@@ -1,0 +1,36 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet star-schema loaders for the driver-generated testdata
+  * (`/root/testdata/sf*`; schemas in FIXTURES.md §2).
+  *
+  * At 100 TB these tables become partitioned parquet directories; the
+  * loaders stay identical — `spark.read.parquet` plans splits via
+  * FileSourceScanExec and `spark.sql.files.maxPartitionBytes`, the same
+  * mechanism that subsumes the reference's LPT file bin-packing
+  * (reference: driver.py:41-68, see SURVEY.md §2a row 12).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
