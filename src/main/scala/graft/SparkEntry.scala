@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, WordCount}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator registry; each entry with a
+  * matching `oracleSql` is hash-compared against DuckDB on the same
+  * parquet tables by the driver's Verify run. Entries without SQL
+  * (hash-family-dependent ops like SimHash / LSH-ANN) get a rows-only
+  * check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's entire data plane as one declarative Spark plan
+    * (reference: src/worker.py:55-139).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    WordCount.wordcount(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    WordCount.queries ++
+      Relational.queries ++
+      TextAnalysis.queries ++
+      Dedup.queries ++
+      Similarity.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    WordCount.oracles ++
+      Relational.oracles ++
+      TextAnalysis.oracles ++
+      Dedup.oracles ++
+      Similarity.oracles
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by the word-count flagship and the
+  * text-analysis / dedup operators.
+  *
+  * Tokenizer spec (the engine's documented contract, mirrored 1:1 in the
+  * DuckDB oracle SQL so correctness is judged engine-vs-oracle):
+  *
+  *   1. split on runs of whitespace (`\s+`)
+  *   2. strip leading/trailing ASCII punctuation (Python
+  *      `string.punctuation`, i.e. the three ASCII ranges `!-/`, `:-@`,
+  *      `[-`` ` `` and `{-~`); interior punctuation survives
+  *      (`U.S.A.` → `U.S.A`, `don't` → `don't`)
+  *   3. lowercase
+  *   4. drop empty tokens
+  *
+  * This reproduces the reference tokenizer's strip/lower/filter behavior
+  * (reference: src/worker.py:37-53) with a precisely-specified split rule
+  * instead of NLTK's model-dependent one (SURVEY.md §7 hard-part 1).
+  *
+  * Everything here is built from codegen'd Catalyst expressions
+  * (`split`/`transform`/`regexp_replace`/`filter`) — no UDFs, so the whole
+  * pipeline stays inside WholeStageCodegen at 100 TB.
+  */
+object Text {
+
+  /** ASCII `string.punctuation` as a Java-regex character class. */
+  val PunctClass = "[!-/:-@\\[-`{-~]"
+
+  /** Strip leading+trailing ASCII punctuation then lowercase. */
+  def cleanToken(t: Column): Column =
+    lower(regexp_replace(regexp_replace(t, s"^$PunctClass+", ""), s"$PunctClass+$$", ""))
+
+  /** Line/document → array of clean non-empty tokens. */
+  def tokens(c: Column): Column =
+    filter(transform(split(c, "\\s+"), cleanToken _), t => length(t) > 0)
+
+  /** Reference bucket function: codepoint of first char mod M
+    * (reference: src/worker.py:76). `ascii` returns the codepoint of the
+    * first character — identical to Python `ord` for all BMP chars.
+    * This MUST be the partitioning expression for the bucketed sink
+    * (user-visible output-file assignment), not default Murmur3 hash.
+    */
+  def bucket(word: Column, m: Int): Column = pmod(ascii(word), lit(m)).cast("long")
+
+  /** Whitespace-collapse + trim + lowercase — dedup normalization. */
+  def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Array of word-level n-gram shingles (space-joined) from a token
+    * array; empty array when the doc has fewer than n tokens.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+}

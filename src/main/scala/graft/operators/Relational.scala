@@ -1,0 +1,432 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** M1 relational operator battery over the TPC-H-ish star schema —
+  * the checklist categories of SURVEY.md §2b, each as one oracle-checked
+  * query. All plans are declarative DataFrame code: Catalyst handles
+  * predicate pushdown, column pruning and join selection; broadcast hints
+  * mark the dimension tables that must never shuffle at 100 TB.
+  *
+  * Determinism rules (engine vs DuckDB oracle must hash-match):
+  *  - money columns are exact 2-decimals → sum through DECIMAL (exact,
+  *    order-independent) and cast the result to double;
+  *  - derived per-row doubles (products) are deterministic IEEE ops;
+  *  - never emit int32/decimal/timestamp columns — longs/doubles/strings
+  *    only, so Spark and DuckDB schemas line up;
+  *  - every window/top-k has a unique-key tiebreak.
+  */
+object Relational {
+
+  /** Exact order-independent sum of a 2-decimal double column. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact sum of a derived double with up to 6 meaningful decimals. */
+  private def dsum6(c: Column): Column =
+    sum(c.cast("decimal(18,6)")).cast("double")
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  // ---- aggregation -------------------------------------------------------
+
+  /** TPC-H Q1-style pricing summary: multi-agg + filter pushed to scan. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),            // integral doubles: exact in any order
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum6(revenue).as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  val q1PricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Distinct aggregates: exact count-distinct per group. */
+  def qDistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n_rows"))
+
+  val qDistinctAggSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Conditional aggregation (CASE WHEN inside agg). */
+  def qCaseAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(when(col("c_acctbal") > 5000, 1L).otherwise(0L)).as("n_rich"),
+        (sum(when(col("c_acctbal") > 5000, 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("rich_share"),
+        countDistinct(col("c_mktsegment")).as("n_segments"))
+
+  val qCaseAggSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  count(*) AS n_cust,
+      |  CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_rich,
+      |  CAST(CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / count(*) AS rich_share,
+      |  count(DISTINCT c_mktsegment) AS n_segments
+      |FROM customer GROUP BY 1""".stripMargin
+
+  /** HAVING: filter on an aggregate. */
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+      .filter(col("n_orders") >= 15)
+
+  val qHavingSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin
+
+  // ---- joins -------------------------------------------------------------
+
+  /** Star join with broadcast dimensions: customer ⋈ nation ⋈ region.
+    * nation/region are tiny and fixed-size at any scale factor —
+    * broadcast them so the fact side never shuffles.
+    */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+
+  val qJoinBroadcastSql: String =
+    """SELECT r_name, n_name, count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Large-large equi-join (sort-merge / shuffled-hash territory at scale):
+    * orders ⋈ lineitem, revenue per order priority.
+    */
+  def qJoinSortMerge(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum6(revenue).as("rev"))
+
+  val qJoinSortMergeSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Semi join (EXISTS): customers that placed at least one order. */
+  def qJoinSemi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_active"))
+
+  val qJoinSemiSql: String =
+    """SELECT c_mktsegment, count(*) AS n_active
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers with no orders, per nation. */
+  def qJoinAnti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_inactive"))
+
+  val qJoinAntiSql: String =
+    """SELECT n_name, count(*) AS n_inactive
+      |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY n_name""".stripMargin
+
+  /** Semi join with a pushed predicate: parts that ever shipped in bulk. */
+  def qExistsSubquery(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .join(
+        Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+
+  val qExistsSubquerySql: String =
+    """SELECT p_partkey, p_brand FROM part p
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)""".stripMargin
+
+  /** Scalar subquery: customers above the global mean balance.
+    * The single-row aggregate is cross-joined (auto-broadcast). */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val threshold = cust.agg(
+      (dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    cust.crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  val qScalarSubquerySql: String =
+    """SELECT c_custkey, c_acctbal FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |                   FROM customer)""".stripMargin
+
+  // ---- windows, sort, top-k ---------------------------------------------
+
+  /** Ranking window: top 3 customers per nation by balance (unique-key
+    * tiebreak on custkey keeps the result deterministic). */
+  def qWindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_custkey"), col("c_acctbal"), col("rn"))
+  }
+
+  val qWindowTopNSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey, c_acctbal, rn FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    CAST(row_number() OVER (PARTITION BY c_nationkey
+      |           ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rn
+      |  FROM customer) t WHERE rn <= 3""".stripMargin
+
+  /** Analytic window with frame: running spend + previous order price per
+    * customer (ordered by date then key; DECIMAL keeps the running sum
+    * exact so both engines agree bit-for-bit). */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        row_number().over(w).cast("long").as("order_idx"))
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  CAST(row_number() OVER w AS BIGINT) AS order_idx
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Global top-k: TakeOrderedAndProject — no full sort at scale. */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val qTopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---- grouping sets / set ops ------------------------------------------
+
+  /** ROLLUP over the region→nation hierarchy. Expressed through
+    * `spark.sql` — Spark 4's ambiguous-self-join check false-positives on
+    * DataFrame `.rollup` after a multi-way join (the Expand node re-exposes
+    * the join-side attributes), while the SQL path resolves cleanly. The
+    * tiny dimensions auto-broadcast under the 10 MB threshold.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("rollup_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("rollup_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("rollup_region")
+    spark.sql(
+      """SELECT r_name, n_name, count(*) AS n_cust
+        |FROM rollup_customer
+        |JOIN rollup_nation ON c_nationkey = n_nationkey
+        |JOIN rollup_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  val qRollupSql: String =
+    """SELECT r_name, n_name, count(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
+  /** CUBE over two lineitem dimensions. */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  /** Set ops: nations that have customers vs suppliers (INTERSECT /
+    * EXCEPT / UNION branches tagged into one relation). */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+    val suppN = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").cast("long").as("nationkey")).distinct()
+    custN.intersect(suppN).withColumn("tag", lit("both"))
+      .unionAll(custN.except(suppN).withColumn("tag", lit("cust_only")))
+      .unionAll(suppN.except(custN).withColumn("tag", lit("supp_only")))
+      .select(col("tag"), col("nationkey"))
+  }
+
+  val qSetOpsSql: String =
+    """WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer),
+      |     s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier)
+      |SELECT 'both' AS tag, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+      |UNION ALL
+      |SELECT 'cust_only' AS tag, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+      |UNION ALL
+      |SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)""".stripMargin
+
+  // ---- scalar function coverage -------------------------------------------
+
+  /** String functions battery (per-row, whole-stage codegen'd). */
+  def qStringFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 100)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 5)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_type"), " ", "_").as("type_slug"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"))
+
+  val qStringFnsSql: String =
+    """SELECT p_partkey,
+      |  upper(substring(p_name, 1, 5)) AS name_prefix,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  regexp_replace(p_type, ' ', '_', 'g') AS type_slug,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key
+      |FROM part WHERE p_partkey <= 100""".stripMargin
+
+  /** Date/time functions: orders per year/month/quarter. */
+  def qDateFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+
+  val qDateFnsSql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+
+  /** Math functions: per-row round (ties-away) summed exactly, plus
+    * sqrt/ln/floor/ceil on aggregates (single deterministic IEEE ops). */
+  def qMathFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        // round in the decimal domain: Spark and DuckDB both round
+        // decimals half-away-from-zero, while round-on-double diverges
+        // on ties because the engines print the binary double differently
+        sum(round((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"), 2))
+          .cast("double").as("sum_disc_amt"),
+        sqrt(max(col("l_quantity"))).as("sqrt_max_qty"),
+        log(sum(col("l_quantity"))).as("ln_total_qty"),
+        floor(sum(col("l_quantity")) / count(lit(1))).cast("long").as("floor_avg_qty"),
+        ceil(sum(col("l_quantity")) / count(lit(1))).cast("long").as("ceil_avg_qty"),
+        pmod(count(lit(1)), lit(7L)).as("n_mod_7"))
+
+  val qMathFnsSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(round(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)), 2)) AS DOUBLE) AS sum_disc_amt,
+      |  sqrt(max(l_quantity)) AS sqrt_max_qty,
+      |  ln(sum(l_quantity)) AS ln_total_qty,
+      |  CAST(floor(sum(l_quantity) / count(*)) AS BIGINT) AS floor_avg_qty,
+      |  CAST(ceil(sum(l_quantity) / count(*)) AS BIGINT) AS ceil_avg_qty,
+      |  count(*) % 7 AS n_mod_7
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_distinct_agg" -> (qDistinctAgg _),
+    "q_case_agg" -> (qCaseAgg _),
+    "q_having" -> (qHaving _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_sortmerge" -> (qJoinSortMerge _),
+    "q_join_semi" -> (qJoinSemi _),
+    "q_join_anti" -> (qJoinAnti _),
+    "q_exists_subquery" -> (qExistsSubquery _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_window_topn" -> (qWindowTopN _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_topk" -> (qTopK _),
+    "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_setops" -> (qSetOps _),
+    "q_string_fns" -> (qStringFns _),
+    "q_date_fns" -> (qDateFns _),
+    "q_math_fns" -> (qMathFns _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1PricingSummarySql,
+    "q_distinct_agg" -> qDistinctAggSql,
+    "q_case_agg" -> qCaseAggSql,
+    "q_having" -> qHavingSql,
+    "q_join_broadcast" -> qJoinBroadcastSql,
+    "q_join_sortmerge" -> qJoinSortMergeSql,
+    "q_join_semi" -> qJoinSemiSql,
+    "q_join_anti" -> qJoinAntiSql,
+    "q_exists_subquery" -> qExistsSubquerySql,
+    "q_scalar_subquery" -> qScalarSubquerySql,
+    "q_window_topn" -> qWindowTopNSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_topk" -> qTopKSql,
+    "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_setops" -> qSetOpsSql,
+    "q_string_fns" -> qStringFnsSql,
+    "q_date_fns" -> qDateFnsSql,
+    "q_math_fns" -> qMathFnsSql)
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Text
+
+/** Text-analysis operators for a training-data pipeline: quality scoring,
+  * language-ID heuristic, token counting (whitespace + BPE-ish regex),
+  * per-language top terms, and document fingerprinting. All per-document
+  * work is array expressions inside whole-stage codegen — one scan, no
+  * UDFs, no shuffle except where a groupBy is the semantics.
+  */
+object TextAnalysis {
+
+  private val StopEn = Seq("the", "a", "of", "and", "is")
+  private val StopEs = Seq("el", "la", "de", "y", "que")
+  private val StopDe = Seq("der", "die", "und", "das", "ist")
+  private val StopFr = Seq("le", "la", "de", "et", "les")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+
+  // ---- quality scoring -----------------------------------------------------
+
+  /** Per-document quality features: token counts, type/token ratio, mean
+    * token length, stopword ratio. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+        (size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double")).as("distinct_ratio"),
+        (aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          size(col("w")).cast("double")).as("avg_token_len"),
+        (hits(col("w"), StopEn).cast("double") /
+          size(col("w")).cast("double")).as("stop_ratio"))
+
+  private val TokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
+      |    t -> length(t) > 0)""".stripMargin
+
+  val textStatsSql: String =
+    s"""WITH tok AS (SELECT doc_id, $TokSql AS w FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+      |  CAST(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS DOUBLE)
+      |    / CAST(len(w) AS DOUBLE) AS avg_token_len,
+      |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+      |    / CAST(len(w) AS DOUBLE) AS stop_ratio
+      |FROM tok""".stripMargin
+
+  // ---- language ID ---------------------------------------------------------
+
+  /** Stopword-vote language heuristic with a fixed precedence tie-break
+    * (en > es > de > fr); 'unknown' when no list matches. */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        hits(col("w"), StopEn).as("en_hits"), hits(col("w"), StopEs).as("es_hits"),
+        hits(col("w"), StopDe).as("de_hits"), hits(col("w"), StopFr).as("fr_hits"))
+    docs.select(
+      col("doc_id"), col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits"),
+      when(col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") === 0, "unknown")
+        .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), "en")
+        .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+        .when(col("de_hits") >= col("fr_hits"), "de")
+        .otherwise("fr").as("lang_pred"))
+  }
+
+  val textLangidSql: String =
+    s"""WITH tok AS (SELECT doc_id, $TokSql AS w FROM documents),
+      |h AS (SELECT doc_id,
+      |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
+      |  CAST(len(list_filter(w, t -> list_contains(['el','la','de','y','que'], t))) AS BIGINT) AS es_hits,
+      |  CAST(len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) AS BIGINT) AS de_hits,
+      |  CAST(len(list_filter(w, t -> list_contains(['le','la','de','et','les'], t))) AS BIGINT) AS fr_hits
+      |FROM tok)
+      |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+      |  CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'unknown'
+      |       WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+      |       WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+      |       WHEN de_hits >= fr_hits THEN 'de'
+      |       ELSE 'fr' END AS lang_pred
+      |FROM h""".stripMargin
+
+  // ---- token counting ------------------------------------------------------
+
+  /** Whitespace tokens, BPE-ish regex tokens ([a-z]+ | digits | other
+    * non-space char), and raw char length per document. */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+          .cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  val textTokenCountSql: String =
+    s"""SELECT doc_id,
+      |  CAST(len($TokSql) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents""".stripMargin
+
+  // ---- top terms per language ----------------------------------------------
+
+  /** Top-5 terms per lang by frequency (word-asc tiebreak): explode +
+    * two-level aggregation + ranking window. */
+  def textTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
+  val textTopTermsSql: String =
+    s"""WITH tok AS (SELECT lang, unnest($TokSql) AS word FROM documents),
+      |c AS (SELECT lang, word, count(*) AS cnt FROM tok GROUP BY 1, 2),
+      |r AS (SELECT lang, word, cnt,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word ASC) AS BIGINT) AS rk
+      |FROM c)
+      |SELECT lang, word, cnt, rk FROM r WHERE rk <= 5""".stripMargin
+
+  // ---- fingerprinting --------------------------------------------------------
+
+  /** Order-insensitive document fingerprint: md5 over the sorted distinct
+    * token set (a set-similarity-stable content signature). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(Text.tokens(col("text"))))))
+          .as("fingerprint"))
+
+  val textFingerprintSql: String =
+    s"""SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct($TokSql)), ' ')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  // ---- registry --------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangid _),
+    "text_token_count" -> (textTokenCount _),
+    "text_top_terms" -> (textTopTerms _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_langid" -> textLangidSql,
+    "text_token_count" -> textTokenCountSql,
+    "text_top_terms" -> textTopTermsSql,
+    "text_fingerprint" -> textFingerprintSql)
+}

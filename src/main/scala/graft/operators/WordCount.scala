@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Text
+
+/** The flagship query — the reference's entire data plane
+  * (reference: src/worker.py:55-139) re-expressed as one declarative plan:
+  *
+  *   scan → tokenize/explode → strip/lower/filter → groupBy(word).count
+  *   [→ repartition(M, pmod(ascii(word), M)) → sortWithinPartitions → text sink]
+  *
+  * Catalyst plans partial (map-side) HashAggregate before the shuffle —
+  * the optimization the reference forbids itself (instructions/instruction.md:41)
+  * — so at 100 TB only (word, partial-count) pairs cross the wire, not every
+  * raw token (SURVEY.md §4).
+  *
+  * The skewed user-visible bucket function (measured distinct-word skew
+  * 6534/5207/4868/7504 at M=4, BASELINE.md) is applied only at the final
+  * write: the heavy aggregation runs on Spark's default hash partitioning
+  * across all shuffle partitions, then the tiny aggregated result is
+  * repartitioned into the M mandated output buckets.
+  */
+object WordCount {
+
+  val M = 4
+
+  /** word → count over a text column. */
+  def counts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    counts(Tables.documents(spark, dir), "text")
+
+  /** Bucketed variant: adds the reference's user-visible bucket id
+    * (reference: src/worker.py:76).
+    */
+  def wordcountBucketed(spark: SparkSession, dir: String): DataFrame =
+    wordcount(spark, dir).select(
+      Text.bucket(col("word"), M).as("bucket"),
+      col("word"), col("cnt"))
+
+  /** Reference-parity bucketed text sink: M part-files, each sorted by
+    * word ascending, lines `"<word> <count>"`
+    * (reference: src/worker.py:134-137, instructions/instruction.md:43-47).
+    * Returns the written DataFrame for inspection.
+    */
+  def writeBucketedText(counted: DataFrame, outDir: String): Unit =
+    counted
+      .repartition(M, Text.bucket(col("word"), M))
+      .sortWithinPartitions("word")
+      .select(concat_ws(" ", col("word"), col("cnt")))
+      .write.mode("overwrite").text(outDir)
+
+  /** Word count straight off `*.txt` files (the reference's input format:
+    * driver.py:93 filters on the extension; pathGlobFilter reproduces the
+    * format predicate). Used by tests against reference-shaped corpora.
+    */
+  def wordcountText(spark: SparkSession, inputDir: String): DataFrame =
+    counts(
+      spark.read.option("pathGlobFilter", "*.txt").text(inputDir),
+      "value")
+
+  // ---- registry ------------------------------------------------------------
+
+  /** The engine tokenizer spec (Text.tokens) expressed in DuckDB SQL. */
+  private val TokSql =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
+      |    t -> length(t) > 0)""".stripMargin
+
+  val wordcountSql: String =
+    s"""WITH tok AS (SELECT unnest($TokSql) AS word FROM documents)
+      |SELECT word, count(*) AS cnt FROM tok GROUP BY word""".stripMargin
+
+  /** DuckDB ascii() = codepoint of first char, same as Spark's. */
+  val wordcountBucketedSql: String =
+    s"""WITH tok AS (SELECT unnest($TokSql) AS word FROM documents),
+      |c AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word)
+      |SELECT CAST(ascii(word) % $M AS BIGINT) AS bucket, word, cnt FROM c""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordcount" -> (wordcount _),
+    "wordcount_bucketed" -> (wordcountBucketed _))
+
+  val oracles: Map[String, String] = Map(
+    "wordcount" -> wordcountSql,
+    "wordcount_bucketed" -> wordcountBucketedSql)
+}

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+For each <name> dir in verifyOutDir: load the Spark parquet result, run
+oracleSql[name] from oracle_sql.json in DuckDB against the sfDir parquet
+tables, sort columns by name and rows by all columns, and compare
+rowcount / schema / values exactly (the driver hash-compares, so exact
+equality is the bar).
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(r[i] for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def cells_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    n_pass = n_fail = n_rowsonly = 0
+    for name in names:
+        try:
+            res = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = [d[0] for d in res.description]
+            srows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: spark result unreadable: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: rows={len(srows)} (no oracle; rows-only)")
+            n_rowsonly += 1
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle sql error: {e}")
+            n_fail += 1
+            continue
+        scols2, srows2 = canon(srows, scols)
+        ocols2, orows2 = canon(orows, ocols)
+        if scols2 != ocols2:
+            print(f"FAIL  {name}: schema {scols2} != {ocols2}")
+            n_fail += 1
+            continue
+        if len(srows2) != len(orows2):
+            print(f"FAIL  {name}: rows {len(srows2)} != {len(orows2)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (sr, orow) in enumerate(zip(srows2, orows2)):
+            for c, (x, y) in enumerate(zip(sr, orow)):
+                if not cells_equal(x, y):
+                    bad = (i, scols2[c], x, y)
+                    break
+            if bad:
+                break
+        if bad:
+            print(f"FAIL  {name}: row {bad[0]} col {bad[1]}: "
+                  f"spark={bad[2]!r} oracle={bad[3]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: rows={len(srows2)}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
