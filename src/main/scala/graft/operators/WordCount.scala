@@ -45,17 +45,37 @@ object WordCount {
       Text.bucket(col("word"), M).as("bucket"),
       col("word"), col("cnt"))
 
-  /** Reference-parity bucketed text sink: M part-files, each sorted by
-    * word ascending, lines `"<word> <count>"`
+  /** Reference-parity bucketed text sink: exactly M part-files where
+    * part-0000b holds bucket b (= first-char codepoint mod M), each file
+    * sorted by word ascending, lines `"<word> <count>"`
     * (reference: src/worker.py:134-137, instructions/instruction.md:43-47).
-    * Returns the written DataFrame for inspection.
+    *
+    * This is the one spot the Dataset API can't express: the bucket id
+    * must BE the partition id. `repartition(M, expr)` hashes the
+    * expression with Murmur3 to choose a partition — deterministic but
+    * scrambled file assignment, and two buckets can collide (caught by
+    * BucketedSinkSpec). A custom `Partitioner` +
+    * `repartitionAndSortWithinPartitions` is the MapReduce contract
+    * exactly; the input here is the already-aggregated (word, cnt)
+    * relation, so the RDD hop is off the hot path.
     */
-  def writeBucketedText(counted: DataFrame, outDir: String): Unit =
-    counted
-      .repartition(M, Text.bucket(col("word"), M))
-      .sortWithinPartitions("word")
-      .select(concat_ws(" ", col("word"), col("cnt")))
-      .write.mode("overwrite").text(outDir)
+  def writeBucketedText(counted: DataFrame, outDir: String): Unit = {
+    val spark = counted.sparkSession
+    val path = new org.apache.hadoop.fs.Path(outDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+
+    class BucketPartitioner(m: Int) extends org.apache.spark.Partitioner {
+      def numPartitions: Int = m
+      def getPartition(key: Any): Int =
+        math.floorMod(key.asInstanceOf[String].codePointAt(0), m)
+    }
+    counted.select(col("word"), col("cnt")).rdd
+      .map(r => (r.getString(0), r.getLong(1)))
+      .repartitionAndSortWithinPartitions(new BucketPartitioner(M))
+      .map { case (w, c) => s"$w $c" }
+      .saveAsTextFile(outDir)
+  }
 
   /** Word count straight off `*.txt` files (the reference's input format:
     * driver.py:93 filters on the extension; pathGlobFilter reproduces the

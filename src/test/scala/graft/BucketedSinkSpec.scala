@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.WordCount
+
+/** Reference-parity check for the bucketed text sink: exactly M part
+  * files, each internally sorted by word ascending, lines
+  * `"<word> <count>"`, words routed to pmod(codepoint, M) buckets
+  * (reference: src/worker.py:134-137, instructions/instruction.md:43-47).
+  */
+class BucketedSinkSpec extends AnyFunSuite {
+
+  test("bucketed sink writes M sorted part files partitioned by codepoint") {
+    val out = Files.createTempDirectory("graft_sink_").toString
+    val counted = WordCount.wordcountText(TestSpark.spark, TestSpark.corpusDir)
+    WordCount.writeBucketedText(counted, out)
+
+    val parts = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    assert(parts.size === WordCount.M)
+
+    val seen = scala.collection.mutable.Map[String, Long]()
+    parts.zipWithIndex.foreach { case (p, idx) =>
+      val lines = Files.readAllLines(p).asScala.toSeq
+      val words = lines.map(_.split(" ")(0))
+      // per-file sort ascending (binary order = codepoint order for BMP)
+      assert(words === words.sorted, s"file $p not sorted")
+      // file index IS the bucket id (reference: out-<bucket>)
+      words.foreach { w =>
+        assert(w.codePointAt(0) % WordCount.M === idx,
+          s"word $w in wrong file $p")
+      }
+      lines.foreach { l =>
+        val Array(w, c) = l.split(" ")
+        seen(w) = c.toLong
+      }
+    }
+    // union of the M files reproduces the full counted relation
+    val expected = counted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seen.toMap === expected)
+  }
+}
