@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis, WordCount}
+import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +28,9 @@ object SparkEntry {
       Relational.queries ++
       TextAnalysis.queries ++
       Dedup.queries ++
-      Similarity.queries
+      Similarity.queries ++
+      Events.queries ++
+      StreamingWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +40,7 @@ object SparkEntry {
       Relational.oracles ++
       TextAnalysis.oracles ++
       Dedup.oracles ++
-      Similarity.oracles
+      Similarity.oracles ++
+      Events.oracles ++
+      StreamingWindows.oracles
 }

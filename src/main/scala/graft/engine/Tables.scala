@@ -26,7 +26,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long via
+    * the legacy flag and convert ns→µs with integer division (`div` —
+    * float division would lose precision past 2^53), matching DuckDB's
+    * own ns→µs truncation so oracle timestamps compare equal.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Tables
+
+/** Event-stream operators in batch form over the `events` table: JSON
+  * extraction, tumbling/sliding/session windows, as-of join, pivot,
+  * distinct-per-day. The same window expressions run under Structured
+  * Streaming in `graft.streaming.StreamingWindows`; keeping the batch
+  * twin here lets the DuckDB oracle check the semantics.
+  *
+  * Scale notes: every query shuffles once on its natural key (window
+  * bucket / user_id / day). The as-of join is the union+last-over-window
+  * form — one shuffle on user_id, no range-join explosion.
+  */
+object Events {
+
+  private val PropsSchema = StructType(Seq(StructField("k", LongType)))
+
+  private def dsum2(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def fmt(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  // ---- JSON extraction -----------------------------------------------------
+
+  /** from_json over `props` → typed field, aggregated per event type. */
+  def eventsJsonKv(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), PropsSchema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        max(col("k")).as("k_max"),
+        (sum(col("k")).cast("double") / count(lit(1))).as("k_avg"))
+
+  val eventsJsonKvSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+      |  max(CAST(props->>'k' AS BIGINT)) AS k_max,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS k_avg
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---- tumbling window -----------------------------------------------------
+
+  /** Tumbling 1-hour windows per event type: the canonical streaming agg
+    * in batch form (`window()` buckets, one shuffle). */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("val_sum"))
+      .select(fmt(col("w.start")).as("ws"), col("event_type"), col("n"), col("val_sum"))
+
+  val eventsHourlySql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---- sliding window ------------------------------------------------------
+
+  /** Sliding windows (1h length, 30m slide): every event lands in exactly
+    * two windows. */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(fmt(col("w.start")).as("ws"), col("n"))
+
+  /** DuckDB twin: each event's two containing window starts are the 30-min
+    * grid point at-or-before ts, and that minus 30 min. */
+  val eventsSlidingSql: String =
+    """WITH g AS (
+      |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      |  FROM events)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, count(*) AS n
+      |FROM g GROUP BY 1""".stripMargin
+
+  // ---- session window ------------------------------------------------------
+
+  val SessionGap = "30 minutes"
+
+  /** Per-user sessions with a 30-minute inactivity gap
+    * (`session_window` — Spark's merging session windows in batch mode).
+    * Duration = last-minus-first event, exact micros.
+    */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), SessionGap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"))
+      // integer division (`div`): Column `/` is IEEE double division and
+      // truncates on the later cast, while DuckDB CAST(double AS BIGINT)
+      // rounds — off-by-one on .5+ fractions. Floor both sides instead.
+      .select(col("user_id"), col("sess_start"), col("n_events"),
+        expr("dur_us div 1000000").as("dur_sec"))
+
+  /** Gaps-and-islands twin: a session break is a gap > 30 min; the
+    * running sum of breaks numbers the sessions. */
+  val eventsSessionsSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL '30 minutes'
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM d)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+      |  count(*) AS n_events,
+      |  CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS dur_sec
+      |FROM s GROUP BY user_id, sess""".stripMargin
+
+  // ---- as-of join ----------------------------------------------------------
+
+  /** As-of join: for each purchase, the most recent click at-or-before it
+    * by the same user. Implemented as union-tag + last(ignoreNulls) over
+    * an ordered window — ONE shuffle on user_id, the plan shape that
+    * survives 100 TB (a naive range join explodes; DuckDB's ASOF JOIN is
+    * the oracle's native form).
+    */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tagged = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+    // clicks sort before purchases at equal ts so ties resolve to "<= ts"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_type").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+  }
+
+  val eventsAsofSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  // ---- pivot ---------------------------------------------------------------
+
+  /** Pivot: daily event counts, one column per event type (explicit value
+    * list — at scale an unlisted pivot needs an extra distinct pass). */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val eventsPivotSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+      |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+      |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+      |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+      |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---- distinct users per day ----------------------------------------------
+
+  /** Exact daily active users + event count. */
+  def eventsDailyActive(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n"))
+
+  val eventsDailyActiveSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  count(DISTINCT user_id) AS dau, count(*) AS n
+      |FROM events GROUP BY 1""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_json_kv" -> (eventsJsonKv _),
+    "events_hourly" -> (eventsHourly _),
+    "events_sliding" -> (eventsSliding _),
+    "events_sessions" -> (eventsSessions _),
+    "events_asof" -> (eventsAsof _),
+    "events_pivot" -> (eventsPivot _),
+    "events_daily_active" -> (eventsDailyActive _))
+
+  val oracles: Map[String, String] = Map(
+    "events_json_kv" -> eventsJsonKvSql,
+    "events_hourly" -> eventsHourlySql,
+    "events_sliding" -> eventsSlidingSql,
+    "events_sessions" -> eventsSessionsSql,
+    "events_asof" -> eventsAsofSql,
+    "events_pivot" -> eventsPivotSql,
+    "events_daily_active" -> eventsDailyActiveSql)
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.Tables
+
+/** Structured Streaming capability demo with an oracle-checkable result:
+  * the events table re-read as a FILE STREAM (`readStream.parquet`) →
+  * watermark → tumbling-window aggregation → memory sink, run to
+  * completion with Trigger.AvailableNow. The returned DataFrame is the
+  * final in-memory table, so graft.Verify checks it like any batch query
+  * against the same SQL oracle as the batch twin (Events.eventsHourly).
+  *
+  * The watermark is far larger than the data's time span, so no rows are
+  * ever late-dropped and streaming output == batch output exactly. In a
+  * live deployment the watermark would be minutes and state eviction is
+  * what makes 100 TB/day of events tractable: state per (window ×
+  * event_type) only, evicted once the watermark passes window end.
+  */
+object StreamingWindows {
+
+  /** Streaming twin of Events.eventsHourly; oracle = the same SQL. */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
+    // Schema must be supplied for file streams; reuse the batch reader's
+    // (ts arrives as raw nanos long — see Tables.events — and is
+    // converted after read).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+
+    // File streams want a directory; the testdata dir holds one parquet
+    // FILE per table, so stream the directory with a glob for this one.
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "365 days")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"), col("val_sum"))
+
+    val tableName = s"stream_hourly_${System.nanoTime()}"
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly" -> (streamHourly _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_hourly" -> graft.operators.Events.eventsHourlySql)
+}
