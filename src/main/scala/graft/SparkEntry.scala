@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Events, Relational, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
 import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,6 +30,7 @@ object SparkEntry {
       Dedup.queries ++
       Similarity.queries ++
       Events.queries ++
+      Multimodal.queries ++
       StreamingWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       Dedup.oracles ++
       Similarity.oracles ++
       Events.oracles ++
+      Multimodal.oracles ++
       StreamingWindows.oracles
 }
