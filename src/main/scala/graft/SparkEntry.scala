@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.Extensibility
 import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
+import graft.sources.Formats
 import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -31,6 +33,8 @@ object SparkEntry {
       Similarity.queries ++
       Events.queries ++
       Multimodal.queries ++
+      Formats.queries ++
+      Extensibility.queries ++
       StreamingWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +48,7 @@ object SparkEntry {
       Similarity.oracles ++
       Events.oracles ++
       Multimodal.oracles ++
+      Formats.oracles ++
+      Extensibility.oracles ++
       StreamingWindows.oracles
 }

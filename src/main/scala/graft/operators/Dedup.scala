@@ -20,18 +20,42 @@ import graft.functions.Text
   *                 exact-Jaccard result while touching far fewer pairs
   *  - SimHash:     64-bit fingerprint; Hamming candidates via 16-bit bank
   *                 pigeonhole join (no oracle — hash family is engine-side)
+  *
+  * Plan-shape note (measured at sf0.1): the tokenizer/shingle array
+  * expressions are expensive, and Catalyst's filter-pushdown + project-
+  * collapse happily re-inline them at every reference — the naive form
+  * evaluated the full tokenize+shingle pipeline ~8× per document per
+  * join side (87 s). `shingleSets` therefore ends in a repartition: the
+  * exchange materializes each document's shingle set exactly once, the
+  * self-join's two sides reuse the same shuffle output (ReuseExchange),
+  * and downstream stages read arrays instead of recomputing them (~3 s).
+  * At 100 TB this barrier is the same one you'd want anyway: compute
+  * heavy per-doc features once, then join on their keys.
   */
 object Dedup {
 
   val ShingleN = 3
   val JaccardThreshold = 0.5
 
-  /** doc_id → distinct shingle set (non-empty). */
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  /** doc_id → (shingle set, size), materialized behind one exchange.
+    * Deliberately NO `sz > 0` filter: a filter above the repartition gets
+    * pushed back through the exchange and re-inlines the whole shingle
+    * expression into the scan; empty sets are harmless downstream
+    * (explode emits no rows, and empty docs can never become candidates).
+    */
+  private[operators] def shingleSets(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+      // coalesce makes `sh` (and so `sz`) non-nullable in the plan: with a
+      // nullable sz, the final jaccard filter's constraint propagation
+      // infers isnotnull(sz) and pushes isnotnull(size(<full shingle
+      // expr>)) into the parquet scan — the whole pipeline re-evaluated
+      // per row as a scan filter. Non-nullable → the constraint folds.
       .select(col("doc_id"),
-        array_distinct(Text.shingles(Text.tokens(col("text")), ShingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
+        coalesce(array_distinct(Text.shingles(col("t"), ShingleN)),
+          array().cast("array<string>")).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+      .repartition(col("doc_id"))
 
   // ---- exact dedup --------------------------------------------------------
 
@@ -57,8 +81,14 @@ object Dedup {
     * proportional to Σ(docs-per-shingle²) — bounded by shingle frequency,
     * not n². */
   def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // explode_outer, NOT explode: plain explode makes the optimizer infer
+    // a `size(sh) > 0` filter that is pushed through the exchange into the
+    // parquet scan, re-inlining the whole tokenize+shingle pipeline as a
+    // per-row scan filter (measured 26 s vs 5 s at sf0.1). The outer
+    // variant infers nothing; the isNotNull filter drops the same rows.
     val ex = shingleSets(spark, dir)
-      .select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("sz"), explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
     val pairs = ex.alias("a")
       .join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -100,16 +130,17 @@ object Dedup {
   val MinHashK = 32   // signature length
   val BandRows = 2    // rows per band → 16 bands
 
-  /** MinHash signature rows: (doc_id, hash_idx, minhash). The hash family
-    * is xxhash64 seeded by the hash index — deterministic, engine-side. */
-  private def minhashSig(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingleSets(spark, dir).select(col("doc_id"), explode(col("sh")).as("s"))
-    val hi = spark.range(MinHashK).select(col("id").as("hi"))
-    ex.crossJoin(hi)
-      .select(col("doc_id"), col("hi"), xxhash64(col("hi"), col("s")).as("hv"))
-      .groupBy("doc_id", "hi")
-      .agg(min(col("hv")).as("mh"))
-  }
+  /** MinHash signatures as ONE array expression per document: mh[k] =
+    * min over shingles of xxhash64(k, shingle). No row explosion, no
+    * crossJoin with a hash-index table, no extra shuffle — the naive
+    * (explode × K) form materialized 48 M rows at sf0.1 and took 50 s;
+    * this computes the same 32 values inside the projection (~2 s).
+    */
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
+      .select(col("doc_id"), col("sh"),
+        transform(sequence(lit(0), lit(MinHashK - 1)),
+          k => array_min(transform(col("sh"), s => xxhash64(k, s)))).as("mh"))
 
   /** MinHash-LSH near-dup: band the signature, bucket-join on
     * (band, band-key), then verify candidates with exact Jaccard.
@@ -118,11 +149,11 @@ object Dedup {
     * near-dups all ≥0.8, next population ≤0.2) the output equals the
     * exact-Jaccard query — which is exactly what the oracle checks. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashSig(spark, dir)
-      .withColumn("band", floor(col("hi") / BandRows))
-      .groupBy("doc_id", "band")
-      .agg(xxhash64(to_json(sort_array(collect_list(struct(col("hi"), col("mh"))))))
-        .as("bkey"))
+    val sigs = minhashSigs(spark, dir)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(MinHashK / BandRows - 1)),
+        b => xxhash64(element_at(col("mh"), b * BandRows + 1),
+          element_at(col("mh"), b * BandRows + 2)))).as(Seq("band", "bkey")))
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -147,7 +178,9 @@ object Dedup {
     * One explode + one aggregation — linear, shuffle on doc_id only. */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      // explode_outer: see dedupNearJaccard — avoids double tokenization
+      .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
@@ -168,7 +201,7 @@ object Dedup {
     * least one intact bank, so an equi-join on (bank_idx, bank_value)
     * finds all of them without an all-pairs comparison. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val fps = simhashFingerprints(spark, dir)
+    val fps = simhashFingerprints(spark, dir).repartition(col("doc_id"))
     val banks = fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("bank"),

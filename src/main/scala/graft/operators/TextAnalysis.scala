@@ -120,7 +120,10 @@ object TextAnalysis {
     * two-level aggregation + ranking window. */
   def textTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
-      .select(col("lang"), explode(Text.tokens(col("text"))).as("word"))
+      // explode_outer: avoids the inferred size()>0 scan filter that
+      // would tokenize each document twice (see WordCount.counts)
+      .select(col("lang"), explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
       .groupBy("lang", "word")
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word").asc)

@@ -27,10 +27,18 @@ object WordCount {
 
   val M = 4
 
-  /** word → count over a text column. */
+  /** word → count over a text column.
+    *
+    * explode_outer + isNotNull instead of plain explode: explode makes
+    * the optimizer infer `size(tokens(text)) > 0` and push it into the
+    * scan, tokenizing every line TWICE (once in the inferred filter, once
+    * in the projection). The outer variant skips the inference; at 100 TB
+    * that's a 2× saving on the hottest expression in the engine.
+    */
   def counts(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .select(explode(Text.tokens(col(textCol))).as("word"))
+      .select(explode_outer(Text.tokens(col(textCol))).as("word"))
+      .filter(col("word").isNotNull)
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 

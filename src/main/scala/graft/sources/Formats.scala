@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** File-format breadth beyond parquet/text: CSV and JSON (and, via
+  * WordCount, raw text) as both source and sink. Each query round-trips a
+  * table through the format in `target/` and aggregates the re-read copy;
+  * the oracle runs the same aggregate on the ORIGINAL parquet, so any
+  * serialization loss (types, nulls, quoting, timestamps) fails the
+  * hash-compare — format fidelity is the thing under test.
+  *
+  * At 100 TB these writers shard per-partition like any Spark sink; CSV/
+  * JSON are interchange formats, so schemas are declared explicitly on
+  * re-read (inference is another full scan at scale).
+  */
+object Formats {
+
+  private def tmp(spark: SparkSession, name: String): String =
+    s"/root/repo/target/fmt/${name}"
+
+  /** CSV round-trip: supplier → csv (header) → re-read with explicit
+    * schema → per-nation aggregate. */
+  def fmtCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, s"supplier_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.supplier(spark, dir)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    spark.read
+      .option("header", "true")
+      .schema("s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+      .csv(path)
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+  }
+
+  val fmtCsvRoundtripSql: String =
+    """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n,
+      |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM supplier GROUP BY 1""".stripMargin
+
+  /** JSON round-trip: part → json lines → re-read with explicit schema →
+    * per-brand aggregate. */
+  def fmtJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, s"part_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.part(spark, dir)
+      .write.mode("overwrite").json(path)
+    spark.read
+      .schema("p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double")
+      .json(path)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        max(col("p_size").cast("long")).as("max_size"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("price_sum"))
+  }
+
+  val fmtJsonRoundtripSql: String =
+    """SELECT p_brand, count(*) AS n,
+      |  CAST(max(p_size) AS BIGINT) AS max_size,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM part GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_csv_roundtrip" -> (fmtCsvRoundtrip _),
+    "fmt_json_roundtrip" -> (fmtJsonRoundtrip _))
+
+  val oracles: Map[String, String] = Map(
+    "fmt_csv_roundtrip" -> fmtCsvRoundtripSql,
+    "fmt_json_roundtrip" -> fmtJsonRoundtripSql)
+}
