@@ -261,6 +261,32 @@ object Relational {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
+  /** Range (interval) join: every lineitem priced into a quantity band.
+    * The band table is tiny and broadcast, so the non-equi condition
+    * runs as BroadcastNestedLoopJoin — each fact row tests 3 intervals,
+    * no shuffle, no cartesian blow-up. At 100 TB this is the only sane
+    * shape for interval joins against small band/calendar tables.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq((1.0, 18.0, "low"), (18.0, 35.0, "mid"), (35.0, 51.0, "high"))
+      .toDF("lo", "hi", "band")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price_sum"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT band, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM lineitem
+      |JOIN (VALUES (1.0, 18.0, 'low'), (18.0, 35.0, 'mid'), (35.0, 51.0, 'high'))
+      |  AS b(lo, hi, band)
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY band""".stripMargin
+
   // ---- grouping sets / set ops ------------------------------------------
 
   /** ROLLUP over the region→nation hierarchy. Expressed through
@@ -399,6 +425,7 @@ object Relational {
     "q_join_anti" -> (qJoinAnti _),
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_range_join" -> (qRangeJoin _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_running" -> (qWindowRunning _),
     "q_topk" -> (qTopK _),
@@ -420,6 +447,7 @@ object Relational {
     "q_join_anti" -> qJoinAntiSql,
     "q_exists_subquery" -> qExistsSubquerySql,
     "q_scalar_subquery" -> qScalarSubquerySql,
+    "q_range_join" -> qRangeJoinSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_running" -> qWindowRunningSql,
     "q_topk" -> qTopKSql,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 
 import graft.engine.Tables
 
@@ -54,9 +54,63 @@ object StreamingWindows {
     spark.table(tableName)
   }
 
+  /** Per-user lifetime totals via arbitrary stateful processing
+    * (`mapGroupsWithState`) — the custom-state API a streaming pipeline
+    * uses where windowed aggregation can't express the logic. State here
+    * is (event count, value cents); cents keep the accumulation exact
+    * integer math so the final state hash-matches the batch oracle.
+    *
+    * The sink runs in Update mode; with one input file AvailableNow
+    * processes a single micro-batch, so each key is emitted exactly once
+    * and the memory table IS the final state. At real scale the state
+    * store is RocksDB and keys stream out incrementally — the plumbing
+    * (groupByKey, typed state, timeout handling slot) is identical.
+    */
+  def streamUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+
+    val typed = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
+      .as[(Long, Long)]
+
+    val totals = typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r => n += 1; cents += r._2 }
+          state.update((n, cents))
+          (uid, n, cents.toDouble / 100.0)
+      }
+      .toDF("user_id", "n_events", "val_sum")
+
+    val tableName = s"stream_user_totals_${System.nanoTime()}"
+    val q = totals.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
+  val streamUserTotalsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS val_sum
+      |FROM events GROUP BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_hourly" -> (streamHourly _))
+    "stream_hourly" -> (streamHourly _),
+    "stream_user_totals" -> (streamUserTotals _))
 
   val oracles: Map[String, String] = Map(
-    "stream_hourly" -> graft.operators.Events.eventsHourlySql)
+    "stream_hourly" -> graft.operators.Events.eventsHourlySql,
+    "stream_user_totals" -> streamUserTotalsSql)
 }
