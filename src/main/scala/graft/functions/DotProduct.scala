@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd integer dot product over two `array<long>` columns.
+  *
+  * Why a native Catalyst Expression instead of
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)`: array higher-order
+  * functions never enter whole-stage codegen — every element pays an
+  * interpreted lambda call plus boxing, which measured ~20× slower on
+  * the 2M-pair similarity join at sf0.1. This expression compiles to a
+  * tight primitive loop inside the generated code (`doGenCode`), keeping
+  * the whole similarity projection in one codegen stage. Interpreted
+  * `nullSafeEval` is provided for completeness (constant folding, edge
+  * paths).
+  *
+  * The preference ladder from the design brief: built-in functions →
+  * native Expression → UDF. This is the middle rung, used where the
+  * built-ins genuinely can't express a primitive loop.
+  */
+case class DotProductLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Manual type check: AbstractDataType (ExpectsInputTypes' vocabulary)
+  // is private[sql], so the contract is spelled out here instead.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_l expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "dot_l"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductLong =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+
+  /** Register `dot_l` in the session's function registry so it is usable
+    * from `expr("dot_l(a, b)")` and `spark.sql`. Runtime registration
+    * keeps the harness-created session untouched; a deployment owning
+    * the session builder would do the same through
+    * `SparkSessionExtensions.injectFunction`.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_l"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_l"),
+      (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1)))
+}

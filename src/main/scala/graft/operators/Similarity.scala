@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.DotProduct
 
 /** Similarity search over `embeddings.embedding: array<float>`.
   *
@@ -32,18 +33,22 @@ object Similarity {
   private def quant(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
-  private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Codegen'd dot product (graft.functions.DotProductLong) — array
+    * HOFs stay outside whole-stage codegen and cost ~20x for this loop.
+    * DotProduct.register must have run on the session (quantized() does).
+    */
+  private def dotL(a: Column, b: Column): Column = call_function("dot_l", a, b)
 
-  private def normSqL(a: Column): Column =
-    aggregate(a, lit(0L), (acc, x) => acc + x * x)
+  private def normSqL(a: Column): Column = dotL(a, a)
 
   /** vec_id → (quantized vector, squared norm), one exchange. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    DotProduct.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), quant(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), normSqL(col("qe")).as("nsq"))
       .repartition(col("vec_id"))
+  }
 
   /** Cosine from precomputed (qe, nsq) pairs: one dot product per pair. */
   private def cosinePre(qa: Column, qb: Column, nsqa: Column, nsqb: Column): Column =
