@@ -159,6 +159,34 @@ object Events {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  // ---- map functions -------------------------------------------------------
+
+  /** JSON → MapType + map functions (map_keys, element_at, map_contains_key):
+    * schema-free props handling, for payloads whose keys vary by event. */
+  def eventsMapFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+      .select(col("event_type"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k_val"),
+        map_contains_key(col("m"), "missing").as("has_missing"))
+      .groupBy("event_type", "has_missing")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_keys")).as("total_keys"),
+        sum(col("k_val")).as("k_sum"))
+
+  val eventsMapFnsSql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+      |    CAST(props->>'k' AS BIGINT) AS k_val,
+      |    json_extract(props, '$.missing') IS NOT NULL AS has_missing
+      |  FROM events)
+      |SELECT event_type, has_missing, count(*) AS n,
+      |  sum(n_keys) AS total_keys, sum(k_val) AS k_sum
+      |FROM m GROUP BY 1, 2""".stripMargin
+
   // ---- pivot ---------------------------------------------------------------
 
   /** Pivot: daily event counts, one column per event type (explicit value
@@ -200,6 +228,7 @@ object Events {
     "events_sliding" -> (eventsSliding _),
     "events_sessions" -> (eventsSessions _),
     "events_asof" -> (eventsAsof _),
+    "events_map_fns" -> (eventsMapFns _),
     "events_pivot" -> (eventsPivot _),
     "events_daily_active" -> (eventsDailyActive _))
 
@@ -209,6 +238,7 @@ object Events {
     "events_sliding" -> eventsSlidingSql,
     "events_sessions" -> eventsSessionsSql,
     "events_asof" -> eventsAsofSql,
+    "events_map_fns" -> eventsMapFnsSql,
     "events_pivot" -> eventsPivotSql,
     "events_daily_active" -> eventsDailyActiveSql)
 }

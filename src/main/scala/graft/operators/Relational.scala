@@ -250,6 +250,29 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** RANGE-frame window: for each order, spend on same-customer orders
+    * priced within 1000 below it (value-based frame, not row-based —
+    * the frame width varies per row). */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_nearby"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("nearby_spend"))
+  }
+
+  val qWindowRangeSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  count(*) OVER w AS n_nearby,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS nearby_spend
+      |FROM orders WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+      |             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** Global top-k: TakeOrderedAndProject — no full sort at scale. */
   def qTopK(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -428,6 +451,7 @@ object Relational {
     "q_range_join" -> (qRangeJoin _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_running" -> (qWindowRunning _),
+    "q_window_range" -> (qWindowRange _),
     "q_topk" -> (qTopK _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -450,6 +474,7 @@ object Relational {
     "q_range_join" -> qRangeJoinSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_running" -> qWindowRunningSql,
+    "q_window_range" -> qWindowRangeSql,
     "q_topk" -> qTopKSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
