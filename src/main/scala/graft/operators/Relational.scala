@@ -310,6 +310,39 @@ object Relational {
       |  ON l_quantity >= lo AND l_quantity < hi
       |GROUP BY band""".stripMargin
 
+  /** TPC-H Q3-style: three-way join (customer ⋈ orders ⋈ lineitem) with
+    * selective filters on both ends, aggregation, and top-10 by revenue —
+    * the canonical multi-operator composition. Filters push to the scans,
+    * the two fact tables sort-merge on their keys, and the final top-k is
+    * TakeOrderedAndProject (no global sort).
+    */
+  def qTpchQ3(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(dsum6(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  val qTpchQ3Sql: String =
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
   // ---- grouping sets / set ops ------------------------------------------
 
   /** ROLLUP over the region→nation hierarchy. Expressed through
@@ -449,6 +482,7 @@ object Relational {
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_range_join" -> (qRangeJoin _),
+    "q_tpch_q3" -> (qTpchQ3 _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_range" -> (qWindowRange _),
@@ -472,6 +506,7 @@ object Relational {
     "q_exists_subquery" -> qExistsSubquerySql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_range_join" -> qRangeJoinSql,
+    "q_tpch_q3" -> qTpchQ3Sql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_range" -> qWindowRangeSql,

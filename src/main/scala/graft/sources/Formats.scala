@@ -62,11 +62,34 @@ object Formats {
       |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
       |FROM part GROUP BY 1""".stripMargin
 
+  /** Hive-style partitioned parquet + partition pruning: documents
+    * written partitioned by `lang`, re-read with a partition filter. The
+    * plan's FileSourceScan shows the predicate under PartitionFilters
+    * (directory-level pruning — non-matching partitions are never
+    * listed, let alone read). At 100 TB, partition-on-ingest is what
+    * turns a full-corpus scan into a single-directory read.
+    */
+  def fmtPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp(spark, s"docs_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
+  val fmtPartitionPruningSql: String =
+    """SELECT source, count(*) AS n, sum(n_chars) AS chars
+      |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_roundtrip" -> (fmtCsvRoundtrip _),
-    "fmt_json_roundtrip" -> (fmtJsonRoundtrip _))
+    "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
+    "fmt_partition_pruning" -> (fmtPartitionPruning _))
 
   val oracles: Map[String, String] = Map(
     "fmt_csv_roundtrip" -> fmtCsvRoundtripSql,
-    "fmt_json_roundtrip" -> fmtJsonRoundtripSql)
+    "fmt_json_roundtrip" -> fmtJsonRoundtripSql,
+    "fmt_partition_pruning" -> fmtPartitionPruningSql)
 }
