@@ -401,6 +401,58 @@ object Relational {
       |UNION ALL
       |SELECT 'supp_only' AS tag, nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)""".stripMargin
 
+  /** Ordered-set/statistical aggregates: exact interpolated median plus
+    * extrema. Median only — higher quantiles interpolate with
+    * formula-order-sensitive float math that differs across engines;
+    * 0.5 on integral doubles is exact in both. */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+
+  val qStatsAggSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Global total-order sort (RangePartitioning + per-partition sort —
+    * distinct from top-k, which never sorts globally). Unique sort key
+    * keeps the order deterministic; the hash-compare checks content,
+    * the physical plan documents the Exchange rangepartitioning. */
+  def qGlobalSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+
+  val qGlobalSortSql: String =
+    """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+      |ORDER BY s_acctbal DESC, s_suppkey ASC""".stripMargin
+
+  /** Null-handling scalars: coalesce / nullif / nvl2-style CASE over a
+    * column made sparse with nullif. */
+  def qNullFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"))
+      .select(
+        col("o_orderkey"),
+        coalesce(col("status_or_null"), lit("OPEN")).as("status_filled"),
+        col("status_or_null").isNull.as("was_open"))
+      .groupBy("status_filled", "was_open")
+      .agg(count(lit(1)).as("n"))
+
+  val qNullFnsSql: String =
+    """WITH s AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null FROM orders)
+      |SELECT coalesce(status_or_null, 'OPEN') AS status_filled,
+      |  status_or_null IS NULL AS was_open, count(*) AS n
+      |FROM s GROUP BY 1, 2""".stripMargin
+
   // ---- scalar function coverage -------------------------------------------
 
   /** String functions battery (per-row, whole-stage codegen'd). */
@@ -483,6 +535,9 @@ object Relational {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_range_join" -> (qRangeJoin _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_global_sort" -> (qGlobalSort _),
+    "q_null_fns" -> (qNullFns _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_range" -> (qWindowRange _),
@@ -507,6 +562,9 @@ object Relational {
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_range_join" -> qRangeJoinSql,
     "q_tpch_q3" -> qTpchQ3Sql,
+    "q_stats_agg" -> qStatsAggSql,
+    "q_global_sort" -> qGlobalSortSql,
+    "q_null_fns" -> qNullFnsSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_range" -> qWindowRangeSql,

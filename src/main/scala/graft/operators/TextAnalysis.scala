@@ -139,6 +139,30 @@ object TextAnalysis {
       |FROM c)
       |SELECT lang, word, cnt, rk FROM r WHERE rk <= 5""".stripMargin
 
+  // ---- array function battery ------------------------------------------------
+
+  /** Array primitives over token arrays: sort, distinct, slice, flatten,
+    * element-wise transform + array_max. Scalar outputs only (arrays are
+    * stringified) so the hash-compare stays engine-neutral. */
+  def textArrayFns(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        concat_ws(" ", slice(array_sort(array_distinct(col("w"))), 1, 3)).as("first3"),
+        array_max(transform(col("w"), t => length(t))).cast("long").as("max_tok_len"),
+        size(flatten(array(col("w"), col("w")))).cast("long").as("n_doubled"),
+        element_at(col("w"), 1).as("first_tok"))
+
+  val textArrayFnsSql: String =
+    s"""WITH tok AS (SELECT doc_id, $TokSql AS w FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3,
+      |  CAST(list_max(list_transform(w, t -> length(t))) AS BIGINT) AS max_tok_len,
+      |  CAST(len(flatten([w, w])) AS BIGINT) AS n_doubled,
+      |  w[1] AS first_tok
+      |FROM tok""".stripMargin
+
   // ---- fingerprinting --------------------------------------------------------
 
   /** Order-insensitive document fingerprint: md5 over the sorted distinct
@@ -161,12 +185,14 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_top_terms" -> (textTopTerms _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_array_fns" -> (textArrayFns _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_top_terms" -> textTopTermsSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_array_fns" -> textArrayFnsSql)
 }
