@@ -94,6 +94,26 @@ object WordCount {
       spark.read.option("pathGlobFilter", "*.txt").text(inputDir),
       "value")
 
+  /** Salted two-phase aggregation: the skew-mitigation shape for hot
+    * keys. Phase 1 counts per (word, salt) — a hot word's load spreads
+    * over 16 reducers — phase 2 sums the partials per word. The salt is
+    * derived (hash of word + row id), aggregated away, and provably
+    * result-invariant: the same oracle as plain wordcount checks it.
+    * On THIS corpus Catalyst's partial aggregation already handles the
+    * skew (map-side combine collapses hot keys before the shuffle);
+    * salting earns its keep when hot-key cardinality × distinct-per-
+    * partition overwhelms the partial-agg hash map.
+    */
+  def wordcountSalted(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+      .withColumn("salt", pmod(xxhash64(col("word"), monotonically_increasing_id()), lit(16)))
+      .groupBy("word", "salt")
+      .agg(count(lit(1)).as("partial_cnt"))
+      .groupBy("word")
+      .agg(sum(col("partial_cnt")).as("cnt"))
+
   // ---- registry ------------------------------------------------------------
 
   /** The engine tokenizer spec (Text.tokens) expressed in DuckDB SQL. */
@@ -114,9 +134,12 @@ object WordCount {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> (wordcount _),
-    "wordcount_bucketed" -> (wordcountBucketed _))
+    "wordcount_bucketed" -> (wordcountBucketed _),
+    "wordcount_salted" -> (wordcountSalted _))
 
   val oracles: Map[String, String] = Map(
     "wordcount" -> wordcountSql,
-    "wordcount_bucketed" -> wordcountBucketedSql)
+    "wordcount_bucketed" -> wordcountBucketedSql,
+    // salting is aggregated away — the plain wordcount oracle applies
+    "wordcount_salted" -> wordcountSql)
 }
