@@ -520,6 +520,33 @@ object Relational {
       |  count(*) % 7 AS n_mod_7
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Pure-SQL interface: every table registered as a view, the query
+    * written as SQL text — the "a reference user could switch and keep
+    * their SQL" demonstration. Same Catalyst plan as the DataFrame
+    * equivalent; the oracle is literally the same SQL modulo dialect.
+    */
+  def qSqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT n_name,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY n_name""".stripMargin)
+  }
+
+  val qSqlInterfaceSql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -538,6 +565,7 @@ object Relational {
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_null_fns" -> (qNullFns _),
+    "q_sql_interface" -> (qSqlInterface _),
     "q_window_topn" -> (qWindowTopN _),
     "q_window_running" -> (qWindowRunning _),
     "q_window_range" -> (qWindowRange _),
@@ -565,6 +593,7 @@ object Relational {
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
     "q_null_fns" -> qNullFnsSql,
+    "q_sql_interface" -> qSqlInterfaceSql,
     "q_window_topn" -> qWindowTopNSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_range" -> qWindowRangeSql,
