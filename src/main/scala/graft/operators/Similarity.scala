@@ -135,26 +135,37 @@ object Similarity {
 
   // ---- LSH-bucketed ANN (scale path; hash-family-dependent → rows-only) ----
 
-  val NumPlanes = 16
+  val NumPlanes = 8   // bits per table: ~2^8 buckets
+  val NumTables = 2   // independent hash tables (multi-table LSH)
 
-  /** Random-hyperplane signature computed entirely inside one projection:
-    * plane weights are deterministic ±1 from xxhash64(plane, dim); the 16
-    * sign bits are Horner-folded into the bucket id. No explode, no join
-    * against a plane table — the naive (posexplode × broadcast-join ×
-    * two groupBys) form cost three shuffles.
+  /** Random-hyperplane signatures computed entirely inside one
+    * projection: plane weights are deterministic ±1 from
+    * xxhash64(table, plane, dim); each table's sign bits are
+    * Horner-folded into its bucket id. No explode, no join against a
+    * plane table — the naive (posexplode × broadcast-join × two
+    * groupBys) form cost three shuffles.
+    *
+    * Multi-table recall: 16 bits in one table gave 1921 buckets for
+    * 2000 vectors — almost every vector alone, top-1 coverage ~0.3%.
+    * Two independent 8-bit tables give ~8 vectors/bucket and a second
+    * chance for every miss; a pair collides in ≥1 table with
+    * probability 1-(1-p^8)² for per-plane agreement p.
     */
-  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    def bucketFor(t: Int) =
+      aggregate(sequence(lit(0), lit(NumPlanes - 1)), lit(0L),
+        (acc, p) => acc * 2 + when(
+          aggregate(
+            zip_with(col("embedding"),
+              sequence(lit(0), size(col("embedding")) - 1),
+              (x, d) => when(pmod(xxhash64(lit(t), p, d), lit(2L)) === 0L,
+                x.cast("double")).otherwise(-x.cast("double"))),
+            lit(0.0), (a, v) => a + v) > 0, 1L).otherwise(0L))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        aggregate(sequence(lit(0), lit(NumPlanes - 1)), lit(0L),
-          (acc, p) => acc * 2 + when(
-            aggregate(
-              zip_with(col("embedding"),
-                sequence(lit(0), size(col("embedding")) - 1),
-                (x, d) => when(pmod(xxhash64(p, d), lit(2L)) === 0L,
-                  x.cast("double")).otherwise(-x.cast("double"))),
-              lit(0.0), (a, v) => a + v) > 0, 1L).otherwise(0L))
-          .as("bucket"))
+        posexplode(array((0 until NumTables).map(bucketFor): _*))
+          .as(Seq("table", "bucket")))
+  }
 
   /** ANN via LSH buckets: candidates share a bucket; rank candidates by
     * quantized cosine, keep the top-1 neighbour per vector. Approximate
@@ -167,9 +178,82 @@ object Similarity {
       .repartition(col("vec_id"))
     val pairs = withB.alias("a")
       .join(withB.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"),
         cosinePre(col("a.qe"), col("b.qe"), col("a.nsq"), col("b.nsq")).as("sim"))
+      .distinct() // a pair can collide in both tables
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("nn"), col("sim"))
+  }
+
+  // ---- IVF ANN (the scale path for low-similarity regimes) ----------------
+
+  val IvfClusters = 32
+  val IvfProbes = 4
+
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * vector space; each query probes its `IvfProbes` nearest centroids
+    * and reranks only those clusters' vectors by exact quantized cosine.
+    *
+    * Why this exists alongside LSH: random-hyperplane LSH concentrates
+    * only high-cosine pairs (measured here: with true-best sims of
+    * 0.27–0.51, per-plane agreement ≈0.6 makes bucket collisions nearly
+    * random — top-1 recall 22/489). LSH is the right tool for near-dup
+    * detection (sims ≥0.8); IVF is the right tool for general nearest-
+    * neighbour search over clustered data. At 100 TB: centroids are
+    * broadcast, the assignment is one map, candidates shuffle on
+    * cluster id — candidates per query ≈ nprobe/k of the corpus.
+    *
+    * KMeans is seeded → deterministic clustering; still rows-only for
+    * the oracle (cluster boundaries are engine-side state).
+    */
+  def annIvfTop1(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val emb = quantized(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("features", array_to_vector(col("embedding")))
+    // random init + a few Lloyd iterations: k-means|| spends ~5 extra
+    // job rounds polishing an init that nprobe-probing doesn't need —
+    // coarse-quantizer recall is governed by nprobe, not centroid
+    // quality (verified: recall unchanged, fit time halved)
+    val model = new KMeans()
+      .setK(IvfClusters).setSeed(42L).setMaxIter(6).setInitMode("random")
+      .fit(emb.select(col("features")))
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("qe"), col("nsq"), col("prediction").as("cluster"))
+      .repartition(col("vec_id"))
+
+    // query → its IvfProbes nearest centroids (tiny broadcast cross join)
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cluster", "centroid")
+    val probes = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cluster"),
+        aggregate(
+          zip_with(col("embedding"), col("centroid"),
+            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+          lit(0.0), (a, v) => a + v).as("dist2"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cluster").asc)
+    val probed = probes.withColumn("rk", row_number().over(w0))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("vec_id"), col("cluster"))
+
+    val qside = probed
+      .join(assigned.select(col("vec_id"), col("qe"), col("nsq")), "vec_id")
+    val pairs = qside.alias("a")
+      .join(assigned.alias("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"),
+        cosinePre(col("a.qe"), col("b.qe"), col("a.nsq"), col("b.nsq")).as("sim"))
+      .distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn").asc)
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -185,7 +269,8 @@ object Similarity {
     // thresholded all-pairs cosine — registered under the dedup name so
     // the coverage mapping is explicit
     "dedup_embedding_cosine" -> (annPairsBruteforce _),
-    "ann_lsh_top1" -> (annLshTop1 _))
+    "ann_lsh_top1" -> (annLshTop1 _),
+    "ann_ivf_top1" -> (annIvfTop1 _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_bruteforce" -> annTopkBruteforceSql,

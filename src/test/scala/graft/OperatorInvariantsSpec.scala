@@ -68,11 +68,13 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(grandTotal === detailSum)
   }
 
-  test("similarity: LSH top-1 neighbours come from the same bucket") {
+  test("similarity: LSH top-1 neighbours share a (table, bucket)") {
     val buckets = Similarity.lshBuckets(spark, dir)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => (r.getInt(1), r.getLong(2))).toSet }
     Similarity.annLshTop1(spark, dir).collect().foreach { r =>
-      assert(buckets(r.getLong(0)) === buckets(r.getLong(1)))
+      assert(buckets(r.getLong(0)).intersect(buckets(r.getLong(1))).nonEmpty)
     }
   }
 }
