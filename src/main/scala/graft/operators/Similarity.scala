@@ -17,9 +17,10 @@ import graft.functions.DotProduct
   *
   * Brute force is the correctness baseline (linear scan per query vector —
   * at 100 TB that's a broadcast of the query batch against a partitioned
-  * scan, still shuffle-free). The LSH variant is the scale path: 16
-  * random-hyperplane sign bits bucket the vectors, candidates come from a
-  * bucket equi-join instead of a full scan.
+  * scan, still shuffle-free). Two approximate scale paths exist, with
+  * measured trade-offs in their docs: multi-table hyperplane LSH
+  * (high-similarity regimes / near-dup) and IVF with a KMeans coarse
+  * quantizer (general ANN over clustered data).
   *
   * Plan-shape note (measured at sf0.1): quantized vectors and squared
   * norms are computed ONCE behind a repartition barrier and reused by
