@@ -453,6 +453,29 @@ object Relational {
       |  status_or_null IS NULL AS was_open, count(*) AS n
       |FROM s GROUP BY 1, 2""".stripMargin
 
+  /** Multiset set ops (ALL variants keep duplicates): order-quantity
+    * multisets per returnflag status. */
+  def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "A")
+      .select(col("l_quantity").cast("long").as("qty"))
+    val n = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "N")
+      .select(col("l_quantity").cast("long").as("qty"))
+    a.intersectAll(n).groupBy(lit("intersect_all").as("op"))
+      .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+      .unionAll(
+        a.exceptAll(n).groupBy(lit("except_all").as("op"))
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum")))
+  }
+
+  val qSetOpsAllSql: String =
+    """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'),
+      |     n AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'N')
+      |SELECT 'intersect_all' AS op, count(*) AS n, sum(qty) AS qty_sum
+      |FROM (SELECT qty FROM a INTERSECT ALL SELECT qty FROM n)
+      |UNION ALL
+      |SELECT 'except_all' AS op, count(*) AS n, sum(qty) AS qty_sum
+      |FROM (SELECT qty FROM a EXCEPT ALL SELECT qty FROM n)""".stripMargin
+
   // ---- scalar function coverage -------------------------------------------
 
   /** String functions battery (per-row, whole-stage codegen'd). */
@@ -573,6 +596,7 @@ object Relational {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_setops" -> (qSetOps _),
+    "q_setops_all" -> (qSetOpsAll _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_math_fns" -> (qMathFns _))
@@ -601,6 +625,7 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_setops" -> qSetOpsSql,
+    "q_setops_all" -> qSetOpsAllSql,
     "q_string_fns" -> qStringFnsSql,
     "q_date_fns" -> qDateFnsSql,
     "q_math_fns" -> qMathFnsSql)
