@@ -223,24 +223,29 @@ object Similarity {
     // coarse-quantizer recall is governed by nprobe, not centroid
     // quality (verified: recall unchanged, fit time halved)
     val model = new KMeans()
-      .setK(IvfClusters).setSeed(42L).setMaxIter(6).setInitMode("random")
+      .setK(IvfClusters).setSeed(42L).setMaxIter(4).setInitMode("random")
       .fit(emb.select(col("features")))
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("qe"), col("nsq"), col("prediction").as("cluster"))
       .repartition(col("vec_id"))
 
-    // query → its IvfProbes nearest centroids (tiny broadcast cross join)
+    // query → its IvfProbes nearest centroids (tiny broadcast cross
+    // join). Distance ranking uses |x-c|² = |x|² - 2x·c + |c|²: |x|² is
+    // constant per query, so ordering by |c|² - 2x·c is equivalent —
+    // and with quantized vectors both terms run through the codegen'd
+    // dot_l instead of an interpreted per-element lambda (the HOF form
+    // cost ~2 s of this query at sf0.1).
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cluster", "centroid")
-    val probes = emb.select(col("vec_id"), col("embedding"))
+      .map { case (c, i) =>
+        val qc = c.toArray.map(x => math.round(x * 1000))
+        (i, qc, qc.map(v => v * v).sum)
+      }.toSeq
+      .toDF("cluster", "qc", "qcn")
+    val probes = assigned.select(col("vec_id"), col("qe"))
       .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cluster"),
-        aggregate(
-          zip_with(col("embedding"), col("centroid"),
-            (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-          lit(0.0), (a, v) => a + v).as("dist2"))
+        (col("qcn") - lit(2L) * dotL(col("qe"), col("qc"))).as("dist2"))
     val w0 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist2").asc, col("cluster").asc)
     val probed = probes.withColumn("rk", row_number().over(w0))
