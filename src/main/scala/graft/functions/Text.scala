@@ -30,6 +30,13 @@ object Text {
   /** ASCII `string.punctuation` as a Java-regex character class. */
   val PunctClass = "[!-/:-@\\[-`{-~]"
 
+  /** DuckDB twin of `tokens` for oracle SQL — the single definition every
+    * oracle interpolates, so a tokenizer-spec change is one edit. */
+  val TokensOracleSql: String =
+    """list_filter(list_transform(string_split_regex(text, '\s+'),
+      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
+      |    t -> length(t) > 0)""".stripMargin
+
   /** Strip leading+trailing ASCII punctuation then lowercase. */
   def cleanToken(t: Column): Column =
     lower(regexp_replace(regexp_replace(t, s"^$PunctClass+", ""), s"$PunctClass+$$", ""))

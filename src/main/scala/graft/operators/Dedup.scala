@@ -105,10 +105,8 @@ object Dedup {
 
   /** Tokenizer + shingling mirrored in DuckDB; shared with the LSH query. */
   val dedupNearJaccardSql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, list_filter(list_transform(string_split_regex(text, '\s+'),
-      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
-      |    t -> length(t) > 0) AS w
+    s"""WITH tok AS (
+      |  SELECT doc_id, ${Text.TokensOracleSql} AS w
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]

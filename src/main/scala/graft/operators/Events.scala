@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.engine.Tables
+import graft.functions.Exact.dsum
 
 /** Event-stream operators in batch form over the `events` table: JSON
   * extraction, tumbling/sliding/session windows, as-of join, pivot,
@@ -20,9 +21,6 @@ import graft.engine.Tables
 object Events {
 
   private val PropsSchema = StructType(Seq(StructField("k", LongType)))
-
-  private def dsum2(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
 
   private def fmt(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
@@ -55,7 +53,7 @@ object Events {
   def eventsHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("val_sum"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("val_sum"))
       .select(fmt(col("w.start")).as("ws"), col("event_type"), col("n"), col("val_sum"))
 
   val eventsHourlySql: String =

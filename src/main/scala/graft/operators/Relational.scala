@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.Exact.{dsum, dsum6}
 
 /** M1 relational operator battery over the TPC-H-ish star schema —
   * the checklist categories of SURVEY.md §2b, each as one oracle-checked
@@ -21,14 +22,6 @@ import graft.engine.Tables
   *  - every window/top-k has a unique-key tiebreak.
   */
 object Relational {
-
-  /** Exact order-independent sum of a 2-decimal double column. */
-  private def dsum(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double")
-
-  /** Exact sum of a derived double with up to 6 meaningful decimals. */
-  private def dsum6(c: Column): Column =
-    sum(c.cast("decimal(18,6)")).cast("double")
 
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 

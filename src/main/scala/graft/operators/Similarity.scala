@@ -34,6 +34,10 @@ object Similarity {
   private def quant(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
+  /** DuckDB twin of `quant` for the oracle SQL. */
+  private val QuantSql =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
   /** Codegen'd dot product (graft.functions.DotProductLong) — array
     * HOFs stay outside whole-stage codegen and cost ~20x for this loop.
     * DotProduct.register must have run on the session (quantized() does).
@@ -72,11 +76,11 @@ object Similarity {
   }
 
   val annTopkBruteforceSql: String =
-    """WITH q AS (
-      |  SELECT list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qb
+    s"""WITH q AS (
+      |  SELECT $QuantSql AS qb
       |  FROM embeddings WHERE vec_id = 0),
       |v AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qa
+      |  SELECT vec_id, $QuantSql AS qa
       |  FROM embeddings WHERE vec_id <> 0),
       |s AS (
       |  SELECT vec_id,
@@ -103,9 +107,12 @@ object Similarity {
     */
   def annPairsBruteforce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val vecs = quantized(spark, dir).as[(Long, Array[Long], Long)]
-    val block = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-    vecs.mapPartitions { it =>
+    // collect once; the same block is both the broadcast side and the
+    // streamed side (re-reading the Dataset would execute the quantize
+    // plan a second time)
+    val all = quantized(spark, dir).as[(Long, Array[Long], Long)].collect().sortBy(_._1)
+    val block = spark.sparkContext.broadcast(all)
+    spark.sparkContext.parallelize(all.toIndexedSeq, 32).mapPartitions { it =>
       val arr = block.value
       it.flatMap { case (ida, qa, na) =>
         arr.iterator
@@ -122,8 +129,8 @@ object Similarity {
   }
 
   val annPairsBruteforceSql: String =
-    """WITH v AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+    s"""WITH v AS (
+      |  SELECT vec_id, $QuantSql AS qe
       |  FROM embeddings)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)

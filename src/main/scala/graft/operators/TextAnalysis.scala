@@ -41,10 +41,7 @@ object TextAnalysis {
         (hits(col("w"), StopEn).cast("double") /
           size(col("w")).cast("double")).as("stop_ratio"))
 
-  private val TokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
-      |    t -> length(t) > 0)""".stripMargin
+  private val TokSql = Text.TokensOracleSql
 
   val textStatsSql: String =
     s"""WITH tok AS (SELECT doc_id, $TokSql AS w FROM documents)

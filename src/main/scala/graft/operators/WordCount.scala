@@ -117,10 +117,7 @@ object WordCount {
   // ---- registry ------------------------------------------------------------
 
   /** The engine tokenizer spec (Text.tokens) expressed in DuckDB SQL. */
-  private val TokSql =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
-      |    t -> length(t) > 0)""".stripMargin
+  private val TokSql = Text.TokensOracleSql
 
   val wordcountSql: String =
     s"""WITH tok AS (SELECT unnest($TokSql) AS word FROM documents)

@@ -18,13 +18,13 @@ import graft.engine.Tables
   */
 object Formats {
 
-  private def tmp(spark: SparkSession, name: String): String =
-    s"/root/repo/target/fmt/${name}"
+  private def tmp(name: String, dir: String): String =
+    s"/root/repo/target/fmt/${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
   /** CSV round-trip: supplier → csv (header) → re-read with explicit
     * schema → per-nation aggregate. */
   def fmtCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmp(spark, s"supplier_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val path = tmp("supplier_csv", dir)
     Tables.supplier(spark, dir)
       .write.mode("overwrite").option("header", "true").csv(path)
     spark.read
@@ -44,7 +44,7 @@ object Formats {
   /** JSON round-trip: part → json lines → re-read with explicit schema →
     * per-brand aggregate. */
   def fmtJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmp(spark, s"part_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val path = tmp("part_json", dir)
     Tables.part(spark, dir)
       .write.mode("overwrite").json(path)
     spark.read
@@ -70,7 +70,7 @@ object Formats {
     * turns a full-corpus scan into a single-directory read.
     */
   def fmtPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
-    val path = tmp(spark, s"docs_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val path = tmp("docs_part", dir)
     Tables.documents(spark, dir)
       .write.mode("overwrite").partitionBy("lang").parquet(path)
     spark.read.parquet(path)

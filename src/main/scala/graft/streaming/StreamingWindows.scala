@@ -21,6 +21,21 @@ import graft.engine.Tables
   */
 object StreamingWindows {
 
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the final table (shared by every streaming query here). */
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+      mode: String, prefix: String): DataFrame = {
+    val tableName = s"${prefix}_${System.nanoTime()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(tableName)
+  }
+
   /** Streaming twin of Events.eventsHourly; oracle = the same SQL. */
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
     // Schema must be supplied for file streams; reuse the batch reader's
@@ -43,15 +58,7 @@ object StreamingWindows {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("val_sum"))
 
-    val tableName = s"stream_hourly_${System.nanoTime()}"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tableName)
+    runToMemory(spark, stream, "complete", "stream_hourly")
   }
 
   /** Per-user lifetime totals via arbitrary stateful processing
@@ -90,15 +97,7 @@ object StreamingWindows {
       }
       .toDF("user_id", "n_events", "val_sum")
 
-    val tableName = s"stream_user_totals_${System.nanoTime()}"
-    val q = totals.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(tableName)
+    runToMemory(spark, totals, "update", "stream_user_totals")
   }
 
   val streamUserTotalsSql: String =
