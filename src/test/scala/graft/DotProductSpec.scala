@@ -31,6 +31,23 @@ class DotProductSpec extends AnyFunSuite {
     assert(got(2).getLong(0) === 0L)
   }
 
+  test("property: dot_l matches a BigInt reference for in-spec magnitudes") {
+    // quantized embeddings are bounded by ~|1000| per component, 64 dims;
+    // generate well beyond that (±10^6, 128 dims) and check against
+    // overflow-free BigInt arithmetic
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(30) {
+      val n = 1 + rnd.nextInt(128)
+      (Array.fill(n)(rnd.nextLong() % 1000000L),
+        Array.fill(n)(rnd.nextLong() % 1000000L))
+    }
+    val got = cases.toDF("a", "b").select(expr("dot_l(a, b)")).collect().map(_.getLong(0))
+    cases.zip(got).foreach { case ((a, b), d) =>
+      val ref = a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      assert(BigInt(d) === ref, s"n=${a.length}")
+    }
+  }
+
   test("dot_l is null-safe and usable from spark.sql") {
     val df = Seq((Some(Array(1L, 2L)), None: Option[Array[Long]])).toDF("a", "b")
     df.createOrReplaceTempView("dot_null_probe")
