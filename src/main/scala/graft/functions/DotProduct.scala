@@ -42,13 +42,23 @@ case class DotProductLong(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
 
+  // a null ELEMENT yields a null result (matching the HOF formulation
+  // `aggregate(zip_with(a,b,_*_), 0L, _+_)`, where null propagates
+  // through multiply+add) — so the expression can be nullable even when
+  // both array columns are non-null
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     acc
   }
 
@@ -61,6 +71,7 @@ case class DotProductLong(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.RewriteDotProduct
+
+/** The optimizer rule must turn the HOF dot-product pattern into the
+  * codegen'd dot_l — plan-shape assertion plus result equality against
+  * the un-rewritten run.
+  */
+class RewriteDotProductSpec extends AnyFunSuite {
+
+  import TestSpark.spark
+  import spark.implicits._
+
+  // parquet-backed (a literal local relation would be constant-folded
+  // away before the rule could be observed)
+  private def hofDot = {
+    spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("d"))
+  }
+
+  test("HOF dot-product pattern is rewritten to DotProductLong") {
+    val before = hofDot.queryExecution.optimizedPlan.toString
+    assert(before.contains("aggregate("), s"baseline plan should keep the HOF form:\n$before")
+    val reference = hofDot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    RewriteDotProduct.install(spark)
+    try {
+      val after = hofDot.queryExecution.optimizedPlan.toString
+      assert(after.contains("dot_l"), s"rule did not fire; plan:\n$after")
+      assert(!after.contains("aggregate("), "HOF form should be gone")
+      assert(hofDot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === reference)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
+    }
+  }
+
+  test("rule leaves non-matching aggregates alone") {
+    RewriteDotProduct.install(spark)
+    try {
+      // sum of squares (aggregate over ONE array) — must not be rewritten
+      val df = Seq(Array(1L, 2L)).toDF("a")
+        .select(aggregate(col("a"), lit(0L), (acc, v) => acc + v * v).as("s"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("dot_l"))
+      assert(df.collect().head.getLong(0) === 5L)
+      // double arrays — type guard must reject
+      val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+        .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      assert(!dd.queryExecution.optimizedPlan.toString.contains("dot_l"))
+      assert(dd.collect().head.getDouble(0) === 11.0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
+    }
+  }
+
+  test("null element propagates to null result through dot_l") {
+    graft.functions.DotProduct.register(spark)
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(2L), Some(3L))))
+      .toDF("a", "b")
+      .selectExpr("dot_l(a, b) AS d")
+    assert(df.collect().head.isNullAt(0))
+  }
+}
