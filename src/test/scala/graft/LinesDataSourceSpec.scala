@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.WordCount
+
+/** The custom DataSource V2 connector (graft-lines) against real
+  * corpora: per-line provenance correctness on the tiny fixture and
+  * word-count equivalence with the built-in text reader on the full
+  * reference corpus.
+  */
+class LinesDataSourceSpec extends AnyFunSuite {
+
+  private def readLines(dir: String) =
+    TestSpark.spark.read.format("graft.sources.LinesDataSource")
+      .option("path", dir).option("pathGlobFilter", "*.txt").load()
+
+  test("provenance: line numbers and paths are exact on the tiny corpus") {
+    val rows = readLines(TestSpark.corpusDir).collect()
+    // a.txt has 2 lines, b.txt has 2, empty.txt 0; notes.pdf excluded
+    assert(rows.length === 4)
+    assert(!rows.exists(_.getString(0).endsWith(".pdf")))
+    val a = rows.filter(_.getString(0).endsWith("a.txt")).sortBy(_.getLong(1))
+    assert(a.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(a.head.getString(2).startsWith("The quick brown fox"))
+    val empty = rows.filter(_.getString(0).endsWith("empty.txt"))
+    assert(empty.isEmpty)
+  }
+
+  test("word count through the connector equals the built-in text reader") {
+    val corpus = "/root/reference/files/inputs"
+    val viaConnector = WordCount.counts(readLines(corpus), "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBuiltin = WordCount.wordcountText(TestSpark.spark, corpus)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaConnector === viaBuiltin)
+    assert(viaConnector.size === 24113)
+  }
+
+  test("parallelism: one partition per file") {
+    val n = readLines("/root/reference/files/inputs").rdd.getNumPartitions
+    assert(n === 8) // 8 Gutenberg books
+  }
+}
