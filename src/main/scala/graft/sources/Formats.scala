@@ -62,6 +62,24 @@ object Formats {
       |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
       |FROM part GROUP BY 1""".stripMargin
 
+  /** ORC round-trip: orders → ORC (Spark's native vectorized ORC
+    * reader/writer) → monthly aggregate. Timestamps survive the
+    * round-trip — the column type most formats mangle. */
+  def fmtOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("orders_orc", dir)
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
+  val fmtOrcRoundtripSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Hive-style partitioned parquet + partition pruning: documents
     * written partitioned by `lang`, re-read with a partition filter. The
     * plan's FileSourceScan shows the predicate under PartitionFilters
@@ -86,10 +104,12 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_roundtrip" -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
+    "fmt_orc_roundtrip" -> (fmtOrcRoundtrip _),
     "fmt_partition_pruning" -> (fmtPartitionPruning _))
 
   val oracles: Map[String, String] = Map(
     "fmt_csv_roundtrip" -> fmtCsvRoundtripSql,
     "fmt_json_roundtrip" -> fmtJsonRoundtripSql,
+    "fmt_orc_roundtrip" -> fmtOrcRoundtripSql,
     "fmt_partition_pruning" -> fmtPartitionPruningSql)
 }
