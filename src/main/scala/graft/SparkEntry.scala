@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Extensibility
 import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
-import graft.sources.Formats
+import graft.sources.{Formats, Lines}
 import graft.streaming.StreamingWindows
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -34,6 +34,7 @@ object SparkEntry {
       Events.queries ++
       Multimodal.queries ++
       Formats.queries ++
+      Lines.queries ++
       Extensibility.queries ++
       StreamingWindows.queries
 
@@ -49,6 +50,7 @@ object SparkEntry {
       Events.oracles ++
       Multimodal.oracles ++
       Formats.oracles ++
+      Lines.oracles ++
       Extensibility.oracles ++
       StreamingWindows.oracles
 }

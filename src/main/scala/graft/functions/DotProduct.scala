@@ -48,10 +48,16 @@ case class DotProductLong(left: Expression, right: Expression)
   // both array columns are non-null
   override def nullable: Boolean = true
 
+  // Length mismatch → null, matching the HOF formulation exactly:
+  // zip_with pads the shorter array with nulls, the padded products are
+  // null, and aggregate's sum propagates them. A min-length dot product
+  // here would let the RewriteDotProduct optimizer rule silently change
+  // results for ragged inputs.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -68,11 +74,14 @@ case class DotProductLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |${ev.isNull} = $n != $b.numElements();
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

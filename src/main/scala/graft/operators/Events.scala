@@ -41,7 +41,7 @@ object Events {
 
   val eventsJsonKvSql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(props->>'k' AS BIGINT)) AS k_sum,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
       |  max(CAST(props->>'k' AS BIGINT)) AS k_max,
       |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS k_avg
       |FROM events GROUP BY event_type""".stripMargin
@@ -182,7 +182,8 @@ object Events {
       |    json_extract(props, '$.missing') IS NOT NULL AS has_missing
       |  FROM events)
       |SELECT event_type, has_missing, count(*) AS n,
-      |  sum(n_keys) AS total_keys, sum(k_val) AS k_sum
+      |  CAST(sum(n_keys) AS BIGINT) AS total_keys,
+      |  CAST(sum(k_val) AS BIGINT) AS k_sum
       |FROM m GROUP BY 1, 2""".stripMargin
 
   // ---- pivot ---------------------------------------------------------------

@@ -167,6 +167,53 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |GROUP BY n_name""".stripMargin
 
+  /** Left-outer join with null-side aggregation: EVERY customer with its
+    * order count and spend — zero/0.0 for customers that never ordered
+    * (the rows an inner join silently drops). count(o_orderkey) ignores
+    * the null side, so no post-join CASE is needed; the spend sum is
+    * null for the null side and coalesced.
+    */
+  def qJoinOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("spend"))
+
+  val qJoinOuterSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+      |FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey""".stripMargin
+
+  /** Full-outer join: customer-nation counts vs supplier-nation counts
+    * over deliberately offset key ranges, so BOTH null fringes appear
+    * and the coalesced using-key is exercised. */
+  def qJoinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_nationkey") < 15)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).filter(col("s_nationkey") >= 10)
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  val qJoinFullOuterSql: String =
+    """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_cust
+      |           FROM customer WHERE c_nationkey < 15 GROUP BY 1),
+      |     s AS (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n_supp
+      |           FROM supplier WHERE s_nationkey >= 10 GROUP BY 1)
+      |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+      |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+      |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+      |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin
+
   /** Semi join with a pushed predicate: parts that ever shipped in bulk. */
   def qExistsSubquery(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -372,6 +419,31 @@ object Relational {
     """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form that rollup/cube compile
+    * to (same Expand operator), exercised through `spark.sql` because the
+    * SQL form has no DataFrame-API equivalent. Per-column `grouping()`
+    * flags disambiguate subtotal rows from genuine null groups (bit-order
+    * of the combined grouping_id differs across engines; the per-column
+    * form is engine-neutral). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gsets")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem_gsets
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
   /** Set ops: nations that have customers vs suppliers (INTERSECT /
     * EXCEPT / UNION branches tagged into one relation). */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
@@ -463,10 +535,10 @@ object Relational {
   val qSetOpsAllSql: String =
     """WITH a AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A'),
       |     n AS (SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'N')
-      |SELECT 'intersect_all' AS op, count(*) AS n, sum(qty) AS qty_sum
+      |SELECT 'intersect_all' AS op, count(*) AS n, CAST(sum(qty) AS BIGINT) AS qty_sum
       |FROM (SELECT qty FROM a INTERSECT ALL SELECT qty FROM n)
       |UNION ALL
-      |SELECT 'except_all' AS op, count(*) AS n, sum(qty) AS qty_sum
+      |SELECT 'except_all' AS op, count(*) AS n, CAST(sum(qty) AS BIGINT) AS qty_sum
       |FROM (SELECT qty FROM a EXCEPT ALL SELECT qty FROM n)""".stripMargin
 
   // ---- scalar function coverage -------------------------------------------
@@ -574,6 +646,9 @@ object Relational {
     "q_join_sortmerge" -> (qJoinSortMerge _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
+    "q_join_outer" -> (qJoinOuter _),
+    "q_join_full_outer" -> (qJoinFullOuter _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_range_join" -> (qRangeJoin _),
@@ -603,6 +678,9 @@ object Relational {
     "q_join_sortmerge" -> qJoinSortMergeSql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
+    "q_join_outer" -> qJoinOuterSql,
+    "q_join_full_outer" -> qJoinFullOuterSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_exists_subquery" -> qExistsSubquerySql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_range_join" -> qRangeJoinSql,

@@ -5,13 +5,19 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.Text
+import graft.functions.{CountIn, Text}
 
 /** Text-analysis operators for a training-data pipeline: quality scoring,
   * language-ID heuristic, token counting (whitespace + BPE-ish regex),
   * per-language top terms, and document fingerprinting. All per-document
   * work is array expressions inside whole-stage codegen — one scan, no
   * UDFs, no shuffle except where a groupBy is the semantics.
+  *
+  * Stopword hits run through the codegen'd `count_in` expression
+  * ([[graft.functions.CountInSet]]) and token-length sums through
+  * `length(array_join(w, ''))` — the r2 forms (`size(filter(...))` and
+  * `aggregate(...)`) were interpreted HOF passes, 4–5 per row, and made
+  * these two queries the slowest non-join scans in the bench.
   */
 object TextAnalysis {
 
@@ -21,13 +27,14 @@ object TextAnalysis {
   private val StopFr = Seq("le", "la", "de", "et", "les")
 
   private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(lit): _*))).cast("long")
+    call_function("count_in", toks, typedlit(words))
 
   // ---- quality scoring -----------------------------------------------------
 
   /** Per-document quality features: token counts, type/token ratio, mean
     * token length, stopword ratio. */
-  def textStats(spark: SparkSession, dir: String): DataFrame =
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    CountIn.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))
       .select(
@@ -36,10 +43,13 @@ object TextAnalysis {
         size(array_distinct(col("w"))).cast("long").as("n_distinct"),
         (size(array_distinct(col("w"))).cast("double") /
           size(col("w")).cast("double")).as("distinct_ratio"),
-        (aggregate(col("w"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        // Σ token lengths == length of the separator-free join (tokens
+        // are non-null), and ArrayJoin is codegen'd where aggregate is not
+        (length(array_join(col("w"), "")).cast("double") /
           size(col("w")).cast("double")).as("avg_token_len"),
         (hits(col("w"), StopEn).cast("double") /
           size(col("w")).cast("double")).as("stop_ratio"))
+  }
 
   private val TokSql = Text.TokensOracleSql
 
@@ -60,6 +70,7 @@ object TextAnalysis {
   /** Stopword-vote language heuristic with a fixed precedence tie-break
     * (en > es > de > fr); 'unknown' when no list matches. */
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    CountIn.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))
       .select(col("doc_id"),

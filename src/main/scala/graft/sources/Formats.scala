@@ -18,8 +18,14 @@ import graft.engine.Tables
   */
 object Formats {
 
-  private def tmp(name: String, dir: String): String =
-    s"/root/repo/target/fmt/${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  /** Scratch root for round-trip sinks: overridable via
+    * -Dgraft.scratch.dir, defaulting to the JVM temp dir — a hardcoded
+    * repo-absolute path would break any checkout elsewhere. */
+  private[sources] def tmp(name: String, dir: String): String = {
+    val root = sys.props.getOrElse("graft.scratch.dir",
+      s"${sys.props("java.io.tmpdir")}/graft-fmt")
+    s"$root/${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  }
 
   /** CSV round-trip: supplier → csv (header) → re-read with explicit
     * schema → per-nation aggregate. */
@@ -98,7 +104,7 @@ object Formats {
   }
 
   val fmtPartitionPruningSql: String =
-    """SELECT source, count(*) AS n, sum(n_chars) AS chars
+    """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Text
+import graft.operators.WordCount
+
+/** Driver-gated queries exercising the [[LinesDataSource]] DSv2 connector
+  * END TO END (the r2 verdict flagged it as test-only): documents are
+  * dumped as lang-partitioned text, re-read THROUGH the connector, and
+  * aggregated; the oracles run against the ORIGINAL parquet, so a
+  * connector that drops/duplicates a file or line fails the hash-compare.
+  *
+  * `lines_wordcount` is the reference input model exactly — word count
+  * over lines-in-files (reference: src/worker.py:68-72) — through a
+  * connector that adds per-line provenance. `lines_provenance` uses the
+  * provenance column itself: word counts grouped by the lang recovered
+  * from each line's FILE PATH (hive-style `lang=…` dirs), which only
+  * matches the parquet-side truth if every line's path attribution is
+  * right. (line_no semantics are pinned in LinesDataSourceSpec; file
+  * names are nondeterministic, so no oracle keys on them.)
+  */
+object Lines {
+
+  /** Dump documents as lang-partitioned newline text and open the result
+    * through the connector. The two-level glob (`lang=*` dirs, `*.txt`
+    * leaves) both crosses the partition dirs and reproduces the
+    * reference's `*.txt` format predicate (reference: src/driver.py:93). */
+  private def dumpedLines(spark: SparkSession, dir: String): DataFrame = {
+    val path = Formats.tmp("docs_lines", dir)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("text"))
+      .write.mode("overwrite").partitionBy("lang").text(path)
+    spark.read.format("graft.sources.LinesDataSource")
+      .option("path", path)
+      .option("pathGlobFilter", "lang=*/*.txt")
+      .load()
+  }
+
+  /** The flagship word count, but fed through the DSv2 read path. Robust
+    * to embedded newlines in documents: tokenization splits on the same
+    * whitespace the line dump does. */
+  def linesWordcount(spark: SparkSession, dir: String): DataFrame =
+    WordCount.counts(dumpedLines(spark, dir), "value")
+
+  /** Provenance aggregate: tokens per lang where lang comes from the
+    * line's path, not the data. */
+  def linesProvenance(spark: SparkSession, dir: String): DataFrame =
+    dumpedLines(spark, dir)
+      .select(regexp_extract(col("path"), "lang=([a-z]+)", 1).as("lang"),
+        explode_outer(Text.tokens(col("value"))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        countDistinct(col("word")).as("n_distinct"))
+
+  private val TokSql = Text.TokensOracleSql
+
+  val linesProvenanceSql: String =
+    s"""WITH tok AS (SELECT lang, unnest($TokSql) AS word FROM documents)
+      |SELECT lang, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+      |FROM tok GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lines_wordcount" -> (linesWordcount _),
+    "lines_provenance" -> (linesProvenance _))
+
+  val oracles: Map[String, String] = Map(
+    // the connector must reproduce the parquet-side word counts exactly
+    "lines_wordcount" -> WordCount.wordcountSql,
+    "lines_provenance" -> linesProvenanceSql)
+}

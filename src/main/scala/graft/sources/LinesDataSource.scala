@@ -6,9 +6,10 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.util.SerializableConfiguration
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
@@ -71,9 +72,15 @@ class LinesScan(path: String, glob: Option[String]) extends Scan with Batch {
   override def readSchema(): StructType = LinesDataSource.Schema
   override def toBatch: Batch = this
 
+  // the SESSION's Hadoop conf (fs credentials, custom fs impls), captured
+  // at plan time on the driver and shipped serialized to the readers — a
+  // bare `new Configuration()` silently drops session filesystem settings
+  private val hadoopConf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf.value)
     // a typo'd path must fail loudly, not read as an empty table
     // (globStatus quietly returns null/empty for missing parents)
     if (!fs.exists(p))
@@ -87,16 +94,16 @@ class LinesScan(path: String, glob: Option[String]) extends Scan with Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LinesReaderFactory
+    new LinesReaderFactory(hadoopConf)
 }
 
-class LinesReaderFactory extends PartitionReaderFactory {
+class LinesReaderFactory(conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[LinesFilePartition].file
     new PartitionReader[InternalRow] {
       private val p = new Path(file)
       private val in = new BufferedReader(new InputStreamReader(
-        p.getFileSystem(new Configuration()).open(p), StandardCharsets.UTF_8))
+        p.getFileSystem(conf.value).open(p), StandardCharsets.UTF_8))
       private val pathUtf8 = UTF8String.fromString(file)
       private var lineNo = 0L
       private var line: String = _

@@ -62,6 +62,19 @@ class RewriteDotProductSpec extends AnyFunSuite {
     }
   }
 
+  test("mismatched lengths yield null — same as the HOF form it replaces") {
+    graft.functions.DotProduct.register(spark)
+    val df = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    // the HOF form: zip_with pads with nulls, so the sum is null
+    val hof = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("d")).collect().head
+    assert(hof.isNullAt(0), "HOF dot product over ragged arrays must be null")
+    // dot_l must agree, or the optimizer rewrite changes results
+    val native = df.selectExpr("dot_l(a, b) AS d").collect().head
+    assert(native.isNullAt(0), "dot_l over ragged arrays must be null")
+  }
+
   test("null element propagates to null result through dot_l") {
     graft.functions.DotProduct.register(spark)
     val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(2L), Some(3L))))

@@ -20,11 +20,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(r[i] for i in order) for r in rows]
     out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+    return ([cols[i] for i in order], [types[i] for i in order], out)
 
 
 def cells_equal(a, b):
@@ -49,10 +49,10 @@ def main():
     n_pass = n_fail = n_rowsonly = 0
     for name in names:
         try:
-            res = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols = [d[0] for d in res.description]
-            srows = res.fetchall()
+            rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = list(rel.columns)
+            stypes = [str(t) for t in rel.types]
+            srows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: spark result unreadable: {e}")
             n_fail += 1
@@ -62,17 +62,26 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            ores = con.execute(oracles[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            orel = con.sql(oracles[name])
+            ocols = list(orel.columns)
+            otypes = [str(t) for t in orel.types]
+            orows = orel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        scols2, srows2 = canon(srows, scols)
-        ocols2, orows2 = canon(orows, ocols)
+        scols2, stypes2, srows2 = canon(srows, scols, stypes)
+        ocols2, otypes2, orows2 = canon(orows, ocols, otypes)
         if scols2 != ocols2:
             print(f"FAIL  {name}: schema {scols2} != {ocols2}")
+            n_fail += 1
+            continue
+        # Type-strict: the driver's hash is type-aware, so an un-cast DuckDB
+        # integer sum() (HUGEINT) vs Spark's BIGINT must fail HERE, not there.
+        if stypes2 != otypes2:
+            diffs = [(c, s, o) for c, s, o in zip(scols2, stypes2, otypes2)
+                     if s != o]
+            print(f"FAIL  {name}: column types differ: {diffs}")
             n_fail += 1
             continue
         if len(srows2) != len(orows2):
