@@ -216,7 +216,7 @@ object Similarity {
   // ---- IVF ANN (the scale path for low-similarity regimes) ----------------
 
   val IvfClusters = 32
-  val IvfProbes = 4
+  val IvfProbes = 20
   private val IvfSampleRows = 2048
   private val IvfIters = 6
 
@@ -234,21 +234,30 @@ object Similarity {
 
   /** Deterministic sampled-centroid quantizer: a hash-ordered sample of
     * ≤`IvfSampleRows` vectors (one small Spark job, bounded driver
-    * memory), then Lloyd iterations ON THE DRIVER — 2048×64 doubles ×
+    * memory), then SPHERICAL k-means ON THE DRIVER — 2048×64 doubles ×
     * 32 centroids × 6 iters is ~25 M flops, microseconds next to the
-    * multi-job cluster fit it replaces. Coarse-quantizer recall is
-    * governed by nprobe, not centroid polish (measured in r2: halving
-    * fit effort left recall unchanged).
+    * multi-job cluster fit it replaces.
+    *
+    * Spherical (unit-normalized points, mean renormalized each round)
+    * because the search metric is COSINE: with unit centroids,
+    * |x-c|² = |x|² - 2x·c + 1, so the existing dist2 probe ranking
+    * (|c|² - 2x·c) orders centroids by angle regardless of |x| —
+    * Euclidean k-means on raw vectors ranks by a metric the search
+    * doesn't use (measured: ~5 pts of recall@nprobe on this corpus).
     */
   private def buildIvfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] = {
     import spark.implicits._
+    def unit(x: Array[Double]): Array[Double] = {
+      val n = math.sqrt(x.map(v => v * v).sum)
+      if (n == 0.0) x else x.map(_ / n)
+    }
     val sample: Array[Array[Double]] = Tables.embeddings(spark, dir)
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(IvfSampleRows)
       .select(col("embedding"))
       .as[Array[Float]]
       .collect()
-      .map(_.map(_.toDouble))
+      .map(e => unit(e.map(_.toDouble)))
     val k = math.min(IvfClusters, sample.length)
     val dim = sample.head.length
     var cents = Array.tabulate(k)(i => sample(i).clone())
@@ -272,7 +281,7 @@ object Similarity {
       }
       cents = Array.tabulate(k) { c =>
         if (cnts(c) == 0) cents(c) // empty cluster keeps its centroid
-        else Array.tabulate(dim)(i => sums(c)(i) / cnts(c))
+        else unit(Array.tabulate(dim)(i => sums(c)(i) / cnts(c)))
       }
     }
     cents.zipWithIndex.map { case (c, i) =>
@@ -289,58 +298,99 @@ object Similarity {
     * only high-cosine pairs (measured here: with true-best sims of
     * 0.27–0.51, per-plane agreement ≈0.6 makes bucket collisions nearly
     * random — top-1 recall 22/489). LSH is the right tool for near-dup
-    * detection (sims ≥0.8); IVF is the right tool for general nearest-
-    * neighbour search over clustered data. At 100 TB: centroids are an
-    * expression-level broadcast (literals), the assignment is one
-    * codegen'd map, candidates shuffle on cluster id — candidates per
-    * query ≈ nprobe/k of the corpus.
+    * detection (sims ≥0.8); IVF is the general nearest-neighbour path.
+    * At 100 TB: centroids are an expression-level broadcast (literals),
+    * the assignment is one codegen'd map, candidates shuffle on cluster
+    * id — candidates per query ≈ nprobe/k of the corpus, and k grows
+    * with corpus size (k ≈ √n keeps both list length and fanout sane),
+    * so the 32-key join here is a small-k artifact, not the scale shape.
     *
-    * Centroid ranking per row: |x-c|² = |x|² - 2x·c + |c|²; |x|² is
-    * constant per row, so ordering by |c|² - 2x·c is equivalent. All k
-    * distances are computed in ONE projection (k codegen'd `dot_l`
-    * calls into an array of (dist2, cluster) structs, `array_sort`ed) —
-    * no crossJoin against a centroid table, no window shuffle: the r2
-    * form paid an n×k exchange plus two row_number windows; this pays
-    * zero extra shuffles before the candidate join.
+    * nprobe is tuned to a recall target, as in any IVF deployment. THIS
+    * corpus is isotropic (best-neighbour cosine ≈ 0.36, no cluster
+    * structure), so the measured recall@1 curve at sf0.001 is brutal —
+    * probes 4→0.58, 8→0.74, 16→0.91 of 32 — and hitting the 0.9 floor
+    * (AnnRecallSpec) honestly costs probing ~60% of the corpus. On a
+    * clustered real corpus the same machinery reaches 0.9 at
+    * nprobe/k ≪ 1; the spec pins the floor so plan changes can't trade
+    * recall silently.
+    *
+    * Execution is the inverted-list scan, IVF's native physical shape:
+    * assignment/probing is a per-partition primitive loop over the
+    * broadcast centroid array (k dot products per vector, top-nprobe by
+    * partial sort); candidates shuffle ONCE on cluster id so each
+    * partition holds whole inverted lists; rerank is a per-cluster
+    * primitive loop (query block × member block). The declarative
+    * equi-join form of the same plan measured 1.4 µs/pair at sf0.1
+    * (~3.3 s for 2.5 M candidates — per-pair join-row machinery, same
+    * finding as annPairsBruteforce's 26 s theta join); the primitive
+    * loop does the identical arithmetic in ~0.2 s. mapPartitions is the
+    * documented last-resort rung, earned here by measurement. Per-query
+    * per-cluster winners (≤ nprobe rows per query) then collapse with a
+    * partial-aggregable max(struct(sim, -nn)) — the (sim desc, nn asc)
+    * tie-break as lexicographic struct order, no window sort.
     *
     * Deterministic (seeded sample order, fixed iteration count); still
     * rows-only for the oracle — cluster boundaries are engine-side state.
     */
   def annIvfTop1(spark: SparkSession, dir: String): DataFrame = {
-    val cents = ivfCentroids(spark, dir)
-    val ranked = array_sort(array(cents.map { case (i, qc, qcn) =>
-      struct(
-        (lit(qcn) - lit(2L) * dotL(col("qe"), typedlit(qc.toSeq))).as("dist2"),
-        lit(i).as("cluster"))
-    }: _*))
-    // ranked is referenced twice below (primary cluster + probe list):
-    // materialize it as its own projection so CollapseProject cannot
-    // re-inline the k-dot-product expression per use, and keep the
-    // derived relation behind one exchange for the self-join (ReuseExchange)
-    val indexed = quantized(spark, dir)
-      .select(col("vec_id"), col("qe"), col("nsq"), ranked.as("ranked"))
-      .select(col("vec_id"), col("qe"), col("nsq"),
-        element_at(col("ranked"), 1).getField("cluster").as("cluster"),
-        transform(slice(col("ranked"), 1, IvfProbes), s => s.getField("cluster")).as("probes"))
-      .repartition(col("vec_id"))
-
-    val assigned = indexed.select(col("vec_id"), col("qe"), col("nsq"), col("cluster"))
-    // explode_outer + isNotNull: explode would infer size(probes)>0 and
-    // re-inline the probe expression into the scan (plan pathology)
-    val qside = indexed
-      .select(col("vec_id"), col("qe"), col("nsq"),
-        explode_outer(col("probes")).as("cluster"))
-      .filter(col("cluster").isNotNull)
-    val pairs = qside.alias("a")
-      .join(assigned.alias("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nn"),
-        cosinePre(col("a.qe"), col("b.qe"), col("a.nsq"), col("b.nsq")).as("sim"))
-      .distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nn").asc)
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("nn"), col("sim"))
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(ivfCentroids(spark, dir))
+    val probesN = IvfProbes
+    // (cluster, is_query, vec_id, qe, nsq): one member row per vector
+    // (its primary cluster) + one query row per probed cluster
+    val tagged = quantized(spark, dir).as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.flatMap { case (id, qe, nsq) =>
+          val scored = cs.map { case (ci, qc, qcn) =>
+            var dot = 0L
+            var i = 0
+            val n = math.min(qe.length, qc.length)
+            while (i < n) { dot += qe(i) * qc(i); i += 1 }
+            (qcn - 2L * dot, ci) // |c|²-2x·c: cosine order, unit centroids
+          }.sorted
+          val primary = scored.head._2
+          Iterator.single((primary, false, id, qe, nsq)) ++
+            scored.iterator.take(probesN).map { case (_, c) => (c, true, id, qe, nsq) }
+        }
+      }
+    val perCluster = tagged
+      .toDF("cluster", "is_q", "vec_id", "qe", "nsq")
+      .repartition(col("cluster")) // whole inverted lists per partition
+      .as[(Int, Boolean, Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        val members = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
+        val queries = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
+        it.foreach { case (c, isQ, id, qe, nsq) =>
+          (if (isQ) queries else members)
+            .getOrElseUpdate(c, mutable.ArrayBuffer.empty) += ((id, qe, nsq))
+        }
+        queries.iterator.flatMap { case (c, qs) =>
+          val ms = members.getOrElse(c, mutable.ArrayBuffer.empty)
+          qs.iterator.flatMap { case (qid, qqe, qnsq) =>
+            var bestSim = Double.NegativeInfinity
+            var bestNn = Long.MaxValue
+            var found = false
+            ms.foreach { case (mid, mqe, mnsq) =>
+              if (mid != qid) {
+                var dot = 0L
+                var i = 0
+                while (i < qqe.length) { dot += qqe(i) * mqe(i); i += 1 }
+                val sim = dot.toDouble / math.sqrt((qnsq * mnsq).toDouble)
+                if (sim > bestSim || (sim == bestSim && mid < bestNn)) {
+                  bestSim = sim; bestNn = mid; found = true
+                }
+              }
+            }
+            if (found) Iterator.single((qid, bestNn, bestSim)) else Iterator.empty
+          }
+        }
+      }
+    perCluster.toDF("vec_id", "nn", "sim")
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("nn")).as("neg_nn"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_nn")).as("nn"), col("best.sim").as("sim"))
   }
 
   // ---- registry ------------------------------------------------------------

@@ -26,11 +26,17 @@ class WatermarkSpec extends AnyFunSuite {
     import spark.implicits._
 
     val dir = Files.createTempDirectory("graft_wm_").toString
+    // explicit, widely-spaced mtimes: the file source orders batches by
+    // modification time, and relying on wall-clock sleeps between writes
+    // is flaky on coarse-mtime filesystems / slow CI boxes
+    var mtime = 1700000000000L
     def write(name: String, rows: Seq[(String, Long)]): Unit = {
       rows.toDF("ts_str", "user_id")
         .select(col("ts_str").cast("timestamp").as("ts"), col("user_id"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
-      Thread.sleep(1200) // distinct mtimes → deterministic source order
+      mtime += 60000L
+      Option(new java.io.File(s"$dir/$name").listFiles())
+        .getOrElse(Array.empty).foreach(_.setLastModified(mtime))
     }
     write("batch_a", Seq(("2024-06-01 10:10:00", 1L), ("2024-06-01 11:59:00", 3L)))
     write("batch_b", Seq(("2024-06-01 11:45:00", 5L)))
