@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd integer dot product over two `array<long>` columns.
   *
@@ -94,17 +94,89 @@ case class DotProductLong(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd IEEE dot product over two `array<double>` columns — the
+  * floating twin of [[DotProductLong]], for hot loops whose semantics
+  * are pinned to a specific sequential summation order (e.g. the LSH
+  * hyperplane projections, whose sign bits must stay bit-identical to
+  * the HOF formulation they replaced). Accumulates left-to-right:
+  * `0.0 + a(0)*b(0) + a(1)*b(1) + …`, exactly the order
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` evaluates in.
+  */
+case class DotProductDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_d expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |${ev.isNull} = $n != $b.numElements();
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override def prettyName: String = "dot_d"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDouble =
+    copy(left = newLeft, right = newRight)
+}
+
 object DotProduct {
 
-  /** Register `dot_l` in the session's function registry so it is usable
-    * from `expr("dot_l(a, b)")` and `spark.sql`. Runtime registration
+  /** Register `dot_l`/`dot_d` in the session's function registry so they
+    * are usable from `expr(...)` and `spark.sql`. Runtime registration
     * keeps the harness-created session untouched; a deployment owning
     * the session builder would do the same through
     * `SparkSessionExtensions.injectFunction`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("dot_l"),
       new ExpressionInfo(classOf[DotProductLong].getName, "dot_l"),
       (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, "dot_d"),
+      (exprs: Seq[Expression]) => DotProductDouble(exprs.head, exprs(1)))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** Tight-loop MinHash helper, called from both interpreted eval and the
+  * generated code (a static call keeps the surrounding projection inside
+  * whole-stage codegen without inlining a two-level loop into Janino).
+  */
+object MinHashSigs {
+
+  /** mh[k] = min over shingles s of xxhash64(k, s), k = 0..k-1.
+    *
+    * Bit-identical to the declarative form it replaces —
+    * `transform(sequence(0, K-1), k => array_min(transform(sh, s =>
+    * xxhash64(k, s))))` — because it chains the SAME
+    * [[XxHash64Function]] steps Spark's `xxhash64(int, string)` does:
+    * seed 42 → hash the int k → hash the UTF8 shingle. Empty shingle
+    * sets yield Long.MaxValue sentinels where the HOF form yields nulls;
+    * both band-collide only with other empty docs, whose candidate pairs
+    * the final Jaccard filter drops either way (NaN ≥ τ is false).
+    */
+  def compute(sh: ArrayData, k: Int): ArrayData = {
+    val n = sh.numElements()
+    val out = new Array[Long](k)
+    var ki = 0
+    while (ki < k) {
+      var m = Long.MaxValue
+      var i = 0
+      val seedK = XxHash64Function.hash(ki, IntegerType, 42L)
+      while (i < n) {
+        val h = XxHash64Function.hash(sh.getUTF8String(i), StringType, seedK)
+        if (h < m) m = h
+        i += 1
+      }
+      out(ki) = m
+      ki += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `minhash_sigs(shingles, K)`: the K-element MinHash signature of a
+  * string-array column as ONE native expression. The nested-HOF
+  * formulation runs interpreted — per element per k it pays a lambda
+  * dispatch plus boxing, K×|sh| times per row — and was ~2 s of
+  * dedup_minhash_lsh's 3.5 s at sf0.1; this is the same arithmetic in a
+  * primitive loop behind a codegen'd static call.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sigs expects (array<string>, positive k), got " +
+        s"(${child.dataType.simpleString}, $k)")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigs.compute($c, $k);")
+
+  override def prettyName: String = "minhash_sigs"
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHash {
+
+  /** Register `minhash_sigs` (same runtime-registration route as
+    * [[DotProduct.register]]); the K argument must be a foldable int. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int]))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.Text
+import graft.functions.{MinHash, Text}
 
 /** Deduplication suite over the `documents` table — the operators a
   * training-data pipeline runs at 100 TB. Every variant is linear +
@@ -128,17 +128,21 @@ object Dedup {
   val MinHashK = 32   // signature length
   val BandRows = 2    // rows per band → 16 bands
 
-  /** MinHash signatures as ONE array expression per document: mh[k] =
+  /** MinHash signatures as ONE native expression per document: mh[k] =
     * min over shingles of xxhash64(k, shingle). No row explosion, no
     * crossJoin with a hash-index table, no extra shuffle — the naive
     * (explode × K) form materialized 48 M rows at sf0.1 and took 50 s;
-    * this computes the same 32 values inside the projection (~2 s).
+    * the nested-HOF projection form computed the same 32 values but
+    * interpreted (K×|sh| lambda dispatches per row, ~2 s of this query);
+    * [[graft.functions.MinHashSignature]] is the same hash chain in a
+    * codegen'd primitive loop, bit-identical (doc there).
     */
-  private def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+  private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    MinHash.register(spark)
     shingleSets(spark, dir)
       .select(col("doc_id"), col("sh"),
-        transform(sequence(lit(0), lit(MinHashK - 1)),
-          k => array_min(transform(col("sh"), s => xxhash64(k, s)))).as("mh"))
+        call_function("minhash_sigs", col("sh"), lit(MinHashK)).as("mh"))
+  }
 
   /** MinHash-LSH near-dup: band the signature, bucket-join on
     * (band, band-key), then verify candidates with exact Jaccard.

@@ -169,6 +169,16 @@ object Similarity {
     * plane table — the naive (posexplode × broadcast-join × two
     * groupBys) form cost three shuffles.
     *
+    * The per-plane projection runs through the codegen'd `dot_d` against
+    * DRIVER-MATERIALIZED ±1 plane literals. The weights are the very
+    * same xxhash64 values the previous HOF formulation computed per row
+    * per element (evaluated once here via the same Catalyst expression),
+    * and `dot_d` accumulates in the same left-to-right order — sign
+    * bits, buckets, and downstream recall are bit-identical, but the 16
+    * interpreted `aggregate(zip_with(...))` passes per row become 16
+    * tight codegen'd loops (the r2 bench's ann_lsh_top1 spent ~2 s of
+    * its 3 s here).
+    *
     * Multi-table recall: 16 bits in one table gave 1921 buckets for
     * 2000 vectors — almost every vector alone, top-1 coverage ~0.3%.
     * Two independent 8-bit tables give ~8 vectors/bucket and a second
@@ -176,20 +186,43 @@ object Similarity {
     * probability 1-(1-p^8)² for per-plane agreement p.
     */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    def bucketFor(t: Int) =
-      aggregate(sequence(lit(0), lit(NumPlanes - 1)), lit(0L),
-        (acc, p) => acc * 2 + when(
-          aggregate(
-            zip_with(col("embedding"),
-              sequence(lit(0), size(col("embedding")) - 1),
-              (x, d) => when(pmod(xxhash64(lit(t), p, d), lit(2L)) === 0L,
-                x.cast("double")).otherwise(-x.cast("double"))),
-            lit(0.0), (a, v) => a + v) > 0, 1L).otherwise(0L))
+    DotProduct.register(spark)
+    val dim = embeddingDim(spark, dir)
+    def plane(t: Int, p: Int): Seq[Double] =
+      (0 until dim).map { d =>
+        // identical hash inputs/types to the previous per-row expression:
+        // xxhash64(int t, int p, int d), evaluated once on the driver
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(t),
+          org.apache.spark.sql.catalyst.expressions.Literal(p),
+          org.apache.spark.sql.catalyst.expressions.Literal(d)))
+          .eval(null).asInstanceOf[Long]
+        if (math.floorMod(h, 2L) == 0L) 1.0 else -1.0
+      }
+    def bucketFor(t: Int): Column =
+      (0 until NumPlanes).foldLeft(lit(0L): Column) { (acc, p) =>
+        acc * 2 + when(
+          call_function("dot_d", col("xd"), typedlit(plane(t, p))) > 0, 1L)
+          .otherwise(0L)
+      }
     Tables.embeddings(spark, dir)
+      // one interpreted pass casts float→double; every projection after
+      // it is codegen'd
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"))
       .select(col("vec_id"),
         posexplode(array((0 until NumTables).map(bucketFor): _*))
           .as(Seq("table", "bucket")))
   }
+
+  /** Embedding dimensionality, looked up once per dataset (one tiny
+    * job) — the LSH plane literals need it at plan time. */
+  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def embeddingDim(spark: SparkSession, dir: String): Int =
+    dimCache.computeIfAbsent(dir, _ =>
+      Tables.embeddings(spark, dir)
+        .select(size(col("embedding"))).limit(1).collect()(0).getInt(0))
 
   /** ANN via LSH buckets: candidates share a bucket; rank candidates by
     * quantized cosine, keep the top-1 neighbour per vector. Approximate

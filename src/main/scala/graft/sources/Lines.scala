@@ -56,6 +56,20 @@ object Lines {
       .agg(count(lit(1)).as("n_words"),
         countDistinct(col("word")).as("n_distinct"))
 
+  /** Full connector round-trip — read THROUGH the DSv2 scan, write
+    * THROUGH the DSv2 sink, re-read, aggregate. The wordcount oracle on
+    * the original parquet catches any line the write path drops,
+    * duplicates, or mangles. */
+  def linesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Formats.tmp("docs_lines_rt", dir)
+    dumpedLines(spark, dir)
+      .write.format("graft.sources.LinesDataSource")
+      .option("path", out).mode("overwrite").save()
+    val reread = spark.read.format("graft.sources.LinesDataSource")
+      .option("path", out).option("pathGlobFilter", "*.txt").load()
+    WordCount.counts(reread, "value")
+  }
+
   private val TokSql = Text.TokensOracleSql
 
   val linesProvenanceSql: String =
@@ -65,10 +79,12 @@ object Lines {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lines_wordcount" -> (linesWordcount _),
-    "lines_provenance" -> (linesProvenance _))
+    "lines_provenance" -> (linesProvenance _),
+    "lines_roundtrip" -> (linesRoundtrip _))
 
   val oracles: Map[String, String] = Map(
     // the connector must reproduce the parquet-side word counts exactly
     "lines_wordcount" -> WordCount.wordcountSql,
-    "lines_provenance" -> linesProvenanceSql)
+    "lines_provenance" -> linesProvenanceSql,
+    "lines_roundtrip" -> WordCount.wordcountSql)
 }

@@ -9,8 +9,9 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.util.SerializableConfiguration
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
@@ -50,16 +51,97 @@ object LinesDataSource {
     StructField("value", StringType, nullable = false)))
 }
 
-class LinesTable(properties: Map[String, String]) extends Table with SupportsRead {
+class LinesTable(properties: Map[String, String]) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft_lines(${properties.getOrElse("path", "?")})"
   override def schema(): StructType = LinesDataSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LinesScanBuilder(
       options.getOrDefault("path", properties.getOrElse("path", "")),
       Option(options.get("pathGlobFilter")))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val path = Option(info.options.get("path"))
+      .orElse(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft-lines write needs a path"))
+    val schema = info.schema()
+    require(
+      schema.exists(f => f.name == "value" && f.dataType == StringType),
+      s"graft-lines write needs a string column named 'value', got ${schema.simpleString}")
+    new LinesWriteBuilder(path, schema)
+  }
+}
+
+/** Write side of the connector: each task streams its rows' `value`
+  * column to one `part-NNNNN.txt` file under the target dir — the
+  * reference's lines-in-files data model as a sink. Provenance columns
+  * (`path`, `line_no`) are accepted and DROPPED: they are derived on
+  * read, so a read→write→read round-trip reproduces `value` exactly and
+  * regenerates provenance against the new files.
+  *
+  * Overwrite maps to SupportsTruncate; the delete happens once on the
+  * driver before writer tasks launch (non-atomic, like any
+  * direct-to-destination text sink — a production sink would stage and
+  * rename on commit).
+  */
+class LinesWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new LinesBatchWrite(path, schema, doTruncate)
+  }
+}
+
+case class LinesCommit(file: String, rows: Long) extends WriterCommitMessage
+
+class LinesBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  private val conf = new SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+  private val valueIdx = schema.fieldIndex("value")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (truncate && fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    new LinesWriterFactory(path, valueIdx, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class LinesWriterFactory(path: String, valueIdx: Int, conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val file = new Path(path, f"part-$partitionId%05d.txt")
+      private val out = file.getFileSystem(conf.value).create(file, true)
+      private var rows = 0L
+
+      override def write(row: InternalRow): Unit = {
+        out.write(row.getUTF8String(valueIdx).getBytes)
+        out.write('\n')
+        rows += 1L
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        LinesCommit(file.toString, rows)
+      }
+
+      override def abort(): Unit =
+        try out.close() catch { case _: Throwable => () }
+
+      override def close(): Unit = ()
+    }
 }
 
 class LinesScanBuilder(path: String, glob: Option[String]) extends ScanBuilder {

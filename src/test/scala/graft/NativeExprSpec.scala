@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must be BIT-IDENTICAL to the declarative HOF
+  * forms they replace — they exist for codegen speed, not different
+  * semantics. Each test evaluates both forms over real data and
+  * compares exactly.
+  */
+class NativeExprSpec extends AnyFunSuite {
+
+  import TestSpark.spark
+
+  test("minhash_sigs equals the nested-HOF minhash formulation") {
+    graft.functions.MinHash.register(spark)
+    val K = 8
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+      .select(col("doc_id"),
+        array_distinct(graft.functions.Text.shingles(
+          graft.functions.Text.tokens(col("text")), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val both = docs.select(
+      col("doc_id"),
+      call_function("minhash_sigs", col("sh"), lit(K)).as("native"),
+      transform(sequence(lit(0), lit(K - 1)),
+        k => array_min(transform(col("sh"), s => xxhash64(k, s)))).as("hof"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"minhash mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("dot_d equals the HOF double dot product, same summation order") {
+    graft.functions.DotProduct.register(spark)
+    val vecs = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"))
+    val both = vecs.select(
+      col("vec_id"),
+      call_function("dot_d", col("xd"), col("xd")).as("native"),
+      aggregate(zip_with(col("xd"), col("xd"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+    both.collect().foreach { r =>
+      // exact bit equality, not approximate — summation order matters
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"dot_d mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
+  test("dot_d null semantics: ragged lengths and null elements yield null") {
+    graft.functions.DotProduct.register(spark)
+    import spark.implicits._
+    val ragged = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .selectExpr("dot_d(a, b) AS d").collect().head
+    assert(ragged.isNullAt(0))
+    val withNull = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))).toDF("a", "b")
+      .selectExpr("dot_d(a, b) AS d").collect().head
+    assert(withNull.isNullAt(0))
+  }
+}
