@@ -1,10 +1,15 @@
 package graft.functions
 
+import java.nio.ByteBuffer
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
@@ -77,14 +82,106 @@ case class MinHashSignature(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** `minhash_union(mh, K)`: element-wise minimum of MinHash signatures
+  * across a group — the sketch of the UNION of the group members'
+  * shingle sets, because min(minA, minB) over a hash family IS the min
+  * over A ∪ B. A [[TypedImperativeAggregate]] — the Catalyst-level
+  * imperative-aggregate rung of the extension ladder (one below the
+  * typed `Aggregator` UDAF in Extensibility): the buffer is a raw
+  * `Array[Long]` mutated in place, serialized only when a partial
+  * buffer crosses the shuffle. Update and merge are associative and
+  * commutative, so Spark runs it with map-side partial aggregation —
+  * per group per partition, exactly K longs cross the wire no matter
+  * how many documents fold in. That O(K) group state is the whole
+  * point of sketching at 100 TB: corpus-level similarity joins touch
+  * sketches, never the shingle sets.
+  */
+case class MinHashUnion(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if k > 0 => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"minhash_union expects (array<bigint>, positive k), got " +
+        s"(${child.dataType.simpleString}, $k)")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] =
+    Array.fill(k)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val n = math.min(k, a.numElements())
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) {
+          val x = a.getLong(i)
+          if (x < buffer(i)) buffer(i) = x
+        }
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      if (other(i) < buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * k)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashUnion =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashUnion =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MinHashUnion =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_union"
+}
+
 object MinHash {
 
-  /** Register `minhash_sigs` (same runtime-registration route as
-    * [[DotProduct.register]]); the K argument must be a foldable int. */
-  def register(spark: SparkSession): Unit =
+  /** Register `minhash_sigs` and `minhash_union` (same
+    * runtime-registration route as [[DotProduct.register]]); the K
+    * arguments must be foldable ints. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) =>
         MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int]))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_union"),
+      new ExpressionInfo(classOf[MinHashUnion].getName, "minhash_union"),
+      (exprs: Seq[Expression]) =>
+        MinHashUnion(exprs.head, exprs(1).eval().asInstanceOf[Int])
+          .toAggregateExpression())
+  }
 }

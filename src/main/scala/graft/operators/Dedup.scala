@@ -173,6 +173,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Corpus-level similarity via UNION sketches: per-source MinHash
+    * sketch of the union of all member documents' shingle sets
+    * (TypedImperativeAggregate `minhash_union` — K longs of group state
+    * regardless of corpus size), then pairwise estimated Jaccard between
+    * sources = fraction of agreeing signature slots. Deterministic for a
+    * fixed corpus, but hash-family-dependent → rows-only for the oracle;
+    * SketchAccuracySpec checks the estimate against exact union Jaccard.
+    * At 100 TB this is THE way to ask "how much do two crawls overlap"
+    * — sketches shuffle, shingle sets never do. */
+  def dedupSketchSources(spark: SparkSession, dir: String): DataFrame = {
+    val sk = minhashSigs(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source")
+      .agg(call_function("minhash_union", col("mh"), lit(MinHashK)).as("sk"))
+    sk.alias("a")
+      .join(sk.alias("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        (size(filter(zip_with(col("a.sk"), col("b.sk"), (x, y) => x === y),
+          b => b)).cast("double") / MinHashK).as("est_jaccard"))
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash fingerprint per document: per-token xxhash64, each bit
@@ -226,6 +247,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_sketch_sources" -> (dedupSketchSources _),
     "dedup_simhash" -> (dedupSimhash _))
 
   val oracles: Map[String, String] = Map(
