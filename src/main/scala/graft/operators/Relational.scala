@@ -137,6 +137,39 @@ object Relational {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Bucketed co-located join: both fact tables written `bucketBy(8, key)
+    * sortBy(key)` into the session catalog, then joined on the bucket
+    * key. Bucketing pre-shuffles AT WRITE TIME, so the join itself needs
+    * NO exchange on either side (BucketedJoinSpec asserts the only
+    * Exchange in the plan is the post-join groupBy's) — at 100 TB this
+    * converts every recurring orders⋈lineitem join from two full-table
+    * shuffles into a zero-shuffle merge of pre-sorted buckets. Same
+    * aggregate as qJoinSortMerge → same oracle, so the driver verifies
+    * the bucketed plan produces bit-identical results to the shuffled
+    * one.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ot = s"orders_bkt_$suffix"
+    val lt = s"lineitem_bkt_$suffix"
+    if (!spark.catalog.tableExists(ot)) {
+      Tables.orders(spark, dir).write
+        .option("path", graft.sources.Formats.tmp("orders_bkt", dir))
+        .mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ot)
+      Tables.lineitem(spark, dir).write
+        .option("path", graft.sources.Formats.tmp("lineitem_bkt", dir))
+        .mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lt)
+    }
+    spark.table(ot)
+      .join(spark.table(lt), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum6(revenue).as("rev"))
+  }
+
   /** Semi join (EXISTS): customers that placed at least one order. */
   def qJoinSemi(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -644,6 +677,7 @@ object Relational {
     "q_having" -> (qHaving _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_sortmerge" -> (qJoinSortMerge _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_join_outer" -> (qJoinOuter _),
@@ -676,6 +710,9 @@ object Relational {
     "q_having" -> qHavingSql,
     "q_join_broadcast" -> qJoinBroadcastSql,
     "q_join_sortmerge" -> qJoinSortMergeSql,
+    // identical aggregate over the co-located join — bucketing must not
+    // change results, only the plan
+    "q_bucketed_join" -> qJoinSortMergeSql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
     "q_join_outer" -> qJoinOuterSql,

@@ -21,7 +21,7 @@ object Formats {
   /** Scratch root for round-trip sinks: overridable via
     * -Dgraft.scratch.dir, defaulting to the JVM temp dir — a hardcoded
     * repo-absolute path would break any checkout elsewhere. */
-  private[sources] def tmp(name: String, dir: String): String = {
+  private[graft] def tmp(name: String, dir: String): String = {
     val root = sys.props.getOrElse("graft.scratch.dir",
       s"${sys.props("java.io.tmpdir")}/graft-fmt")
     s"$root/${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"

@@ -105,11 +105,86 @@ object StreamingWindows {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS val_sum
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** The raw events file as a watermarked stream (shared scaffold). */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming twin of Events.eventsSessions: MERGING session windows
+    * (`session_window`) under Structured Streaming — the state-store
+    * operation where arriving events extend or merge open sessions.
+    * Complete mode needs no watermark-driven finalization, so the final
+    * memory table equals the batch result and the same gaps-and-islands
+    * SQL is the oracle. In production this runs in append mode with a
+    * real watermark: a session is emitted (and its state evicted) once
+    * the watermark passes gap beyond its last event — bounded state over
+    * unbounded input.
+    */
+  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = eventStream(spark, dir)
+      .groupBy(
+        session_window(col("ts"), graft.operators.Events.SessionGap).as("w"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"))
+      .select(col("user_id"), col("sess_start"), col("n_events"),
+        expr("dur_us div 1000000").as("dur_sec"))
+    runToMemory(spark, sessions, "complete", "stream_sessions")
+  }
+
+  /** Stream-stream INNER JOIN with an event-time range: each click joined
+    * to the same user's purchases within the following hour. Both sides
+    * carry watermarks and the join condition bounds event-time distance —
+    * exactly what lets Spark evict join state at scale (a click's state
+    * can be dropped once the purchase-side watermark passes click_ts +
+    * 1 h). The test watermark exceeds the data span, so no pair is
+    * dropped and the batch SQL join is an exact oracle.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "365 days")
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "365 days")
+    val joined = clicks.join(purchases,
+        expr("""c_uid = p_uid AND p_ts >= c_ts AND
+                p_ts <= c_ts + INTERVAL 1 HOUR"""))
+      .select(col("click_id"), col("purchase_id"), col("c_uid").as("user_id"),
+        expr("unix_micros(p_ts) - unix_micros(c_ts)").as("lag_us"))
+    runToMemory(spark, joined, "append", "stream_stream_join")
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.user_id AS user_id,
+      |  date_diff('microsecond', c.ts, p.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> (streamHourly _),
-    "stream_user_totals" -> (streamUserTotals _))
+    "stream_user_totals" -> (streamUserTotals _),
+    "stream_sessions" -> (streamSessions _),
+    "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_hourly" -> graft.operators.Events.eventsHourlySql,
-    "stream_user_totals" -> streamUserTotalsSql)
+    "stream_user_totals" -> streamUserTotalsSql,
+    "stream_sessions" -> graft.operators.Events.eventsSessionsSql,
+    "stream_stream_join" -> streamStreamJoinSql)
 }

@@ -1,72 +1,43 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.operators.Relational
 
-/** Bucketing for co-located joins — the 100 TB recipe for repeated
-  * fact⋈fact joins: write both tables bucketed+sorted by the join key,
-  * and the sort-merge join reads both sides with NO shuffle exchange
-  * (each bucket pair joins locally). This spec builds the bucketed
-  * tables in a temp warehouse and asserts the exchange-free plan plus
-  * result equality with the plain join.
+/** The bucketed join must actually be co-located. At test scale Spark
+  * would happily broadcast the small side (also shuffle-free, but it
+  * proves nothing about bucketing), so auto-broadcast is disabled to
+  * force the sort-merge regime the 100 TB claim is about: both sides
+  * then MUST be joinable with zero shuffle exchanges — the only
+  * `Exchange hashpartitioning` allowed in the final plan is the
+  * post-join groupBy's.
   */
 class BucketedJoinSpec extends AnyFunSuite {
 
-  test("bucketed tables sort-merge join without a shuffle exchange") {
+  test("bucketed SMJ: zero shuffle exchanges below the aggregation") {
     val spark = TestSpark.spark
-    val dir = TestSpark.Sf0001
-    val n = 8
-
-    // drop any leftovers from an aborted run (DROP alone doesn't clear
-    // an orphaned warehouse dir when the table vanished from the catalog)
-    Seq("b_orders", "b_lineitem").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(loc)
-      }
-    }
-
-    Tables.orders(spark, dir).write.mode("overwrite")
-      .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("b_orders")
-    Tables.lineitem(spark, dir).write.mode("overwrite")
-      .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("b_lineitem")
-
-    // the sf0.001 tables are small enough to auto-broadcast, which would
-    // sidestep the bucketed-SMJ path this spec demonstrates — disable it
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-    val joined = spark.table("b_orders")
-      .join(spark.table("b_lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"))
+      val df = Relational.qBucketedJoin(spark, TestSpark.Sf0001)
+      val rows = df.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val ref = Relational.qJoinSortMerge(spark, TestSpark.Sf0001)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(rows === ref, "bucketed plan changed results")
 
-    val plan = joined.queryExecution.executedPlan.toString
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    // one exchange for the final groupBy is fine; the JOIN must add none
-    assert(shuffles <= 1, s"expected bucketed join without join-side shuffles, got plan:\n$plan")
-    assert(plan.contains("SortMergeJoin"), "bucketed join should be sort-merge")
-    assert(plan.contains("SelectedBucketsCount"), "scan should be bucket-aware")
-
-    val plain = Tables.orders(spark, dir)
-      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"))
-    val a = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val b = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(a === b)
+      // final AQE plan only (the string also embeds the initial plan)
+      val executed = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(executed.contains("SortMergeJoin"),
+        s"expected a sort-merge join, plan:\n$executed")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(executed).length
+      assert(shuffles == 1,
+        s"expected exactly the aggregation exchange, found $shuffles:\n$executed")
+      assert(executed.contains("Bucketed: true"),
+        s"scans not bucketed:\n$executed")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
     }
   }
 }
