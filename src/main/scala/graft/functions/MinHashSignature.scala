@@ -19,27 +19,34 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   */
 object MinHashSigs {
 
+  /** Slots of this value mark an empty (or all-null) shingle set. */
+  val EmptySlot: Long = Long.MaxValue
+
   /** mh[k] = min over shingles s of xxhash64(k, s), k = 0..k-1.
     *
     * Bit-identical to the declarative form it replaces —
     * `transform(sequence(0, K-1), k => array_min(transform(sh, s =>
     * xxhash64(k, s))))` — because it chains the SAME
     * [[XxHash64Function]] steps Spark's `xxhash64(int, string)` does:
-    * seed 42 → hash the int k → hash the UTF8 shingle. Empty shingle
-    * sets yield Long.MaxValue sentinels where the HOF form yields nulls;
-    * both band-collide only with other empty docs, whose candidate pairs
-    * the final Jaccard filter drops either way (NaN ≥ τ is false).
+    * seed 42 → hash the int k → hash the UTF8 shingle. A null ELEMENT
+    * hashes to the k-seed alone, exactly as `xxhash64(k, NULL)` does
+    * (hash expressions skip null children). Empty shingle sets yield
+    * [[EmptySlot]] sentinels where the HOF form yields nulls; both
+    * band-collide only with other empty docs, whose candidate pairs the
+    * final Jaccard filter drops either way (NaN ≥ τ is false).
     */
   def compute(sh: ArrayData, k: Int): ArrayData = {
     val n = sh.numElements()
     val out = new Array[Long](k)
     var ki = 0
     while (ki < k) {
-      var m = Long.MaxValue
+      var m = EmptySlot
       var i = 0
       val seedK = XxHash64Function.hash(ki, IntegerType, 42L)
       while (i < n) {
-        val h = XxHash64Function.hash(sh.getUTF8String(i), StringType, seedK)
+        val h =
+          if (sh.isNullAt(i)) seedK
+          else XxHash64Function.hash(sh.getUTF8String(i), StringType, seedK)
         if (h < m) m = h
         i += 1
       }

@@ -187,10 +187,15 @@ object Dedup {
       .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source")
       .agg(call_function("minhash_union", col("mh"), lit(MinHashK)).as("sk"))
+    // exclude EmptySlot sentinel agreements: two sources whose documents
+    // all fall below the shingle length would otherwise "agree" on every
+    // slot and report 1.0 where the exact union Jaccard is 0.0
     sk.alias("a")
       .join(sk.alias("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
-        (size(filter(zip_with(col("a.sk"), col("b.sk"), (x, y) => x === y),
+        (size(filter(
+          zip_with(col("a.sk"), col("b.sk"),
+            (x, y) => x === y && x =!= lit(graft.functions.MinHashSigs.EmptySlot)),
           b => b)).cast("double") / MinHashK).as("est_jaccard"))
   }
 

@@ -152,7 +152,9 @@ object Relational {
     val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val ot = s"orders_bkt_$suffix"
     val lt = s"lineitem_bkt_$suffix"
-    if (!spark.catalog.tableExists(ot)) {
+    // gate on BOTH tables: a failure between the two writes must not
+    // wedge the session into skipping the missing one forever
+    if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
       Tables.orders(spark, dir).write
         .option("path", graft.sources.Formats.tmp("orders_bkt", dir))
         .mode("overwrite")

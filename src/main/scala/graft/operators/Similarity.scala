@@ -112,36 +112,47 @@ object Similarity {
 
   def annPairsBruteforce(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // cached so the per-block collects and the streamed side all read the
+    // cached so the per-block collects and the streamed scans all read the
     // quantize plan's one materialization (CacheManager dedupes by plan)
     val q = quantized(spark, dir).as[(Long, Array[Long], Long)].persist()
-    val n = q.count()
-    val numBlocks = math.max(1L, (n + PairBlockRows - 1) / PairBlockRows)
-    // block b holds ids ≡ b (mod numBlocks); each pair (x<y) is emitted by
-    // exactly the block containing y. Driver holds ONE block at a time;
-    // the streamed side tiles the full scan against each block in turn —
-    // classic block-nested-loop, O(n²) compares but O(block) memory. (At
-    // extreme block counts the union would move to loop-and-append on a
-    // sink; the tiling shape is the same.)
-    val perBlock = (0L until numBlocks).map { b =>
-      val bc = spark.sparkContext.broadcast(
-        q.filter(r => r._1 % numBlocks == b).collect())
-      q.mapPartitions { it =>
-        val arr = bc.value
-        it.flatMap { case (ida, qa, na) =>
-          arr.iterator
-            .filter(_._1 > ida)
-            .flatMap { case (idb, qb, nb) =>
-              var dot = 0L
-              var i = 0
-              while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
-              val sim = dot.toDouble / math.sqrt((na * nb).toDouble)
-              if (sim >= 0.35) Iterator.single((ida, idb, sim)) else Iterator.empty
+    try {
+      val n = q.count()
+      val numBlocks = math.max(1L, (n + PairBlockRows - 1) / PairBlockRows)
+      // block b holds ids ≡ b (mod numBlocks); each pair (x<y) is emitted
+      // by exactly the block containing y. TRUE tiling: each block is its
+      // own job — collect ≤~PairBlockRows rows, broadcast, stream the full
+      // scan against it, append the thresholded pairs to a scratch sink,
+      // DESTROY the broadcast — so driver and executor footprint is one
+      // block regardless of corpus size (a lazy union of all blocks would
+      // pin every broadcast alive for the single action and re-collect the
+      // corpus onto the driver, the exact failure mode this replaces).
+      val out = graft.sources.Formats.tmp("ann_pairs", dir)
+      val outPath = new org.apache.hadoop.fs.Path(out)
+      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(outPath)) fs.delete(outPath, true)
+      (0L until numBlocks).foreach { b =>
+        val bc = spark.sparkContext.broadcast(
+          q.filter(r => r._1 % numBlocks == b).collect())
+        try {
+          q.mapPartitions { it =>
+            val arr = bc.value
+            it.flatMap { case (ida, qa, na) =>
+              arr.iterator
+                .filter(_._1 > ida)
+                .flatMap { case (idb, qb, nb) =>
+                  var dot = 0L
+                  var i = 0
+                  while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
+                  val sim = dot.toDouble / math.sqrt((na * nb).toDouble)
+                  if (sim >= 0.35) Iterator.single((ida, idb, sim)) else Iterator.empty
+                }
             }
-        }
+          }.toDF("vec_a", "vec_b", "sim")
+            .write.mode("append").parquet(out)
+        } finally bc.destroy()
       }
-    }
-    perBlock.reduce(_ union _).toDF("vec_a", "vec_b", "sim")
+      spark.read.parquet(out)
+    } finally q.unpersist()
   }
 
   val annPairsBruteforceSql: String =
@@ -220,9 +231,12 @@ object Similarity {
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def embeddingDim(spark: SparkSession, dir: String): Int =
-    dimCache.computeIfAbsent(dir, _ =>
-      Tables.embeddings(spark, dir)
-        .select(size(col("embedding"))).limit(1).collect()(0).getInt(0))
+    dimCache.computeIfAbsent(dir, _ => {
+      val head = Tables.embeddings(spark, dir)
+        .select(size(col("embedding"))).limit(1).collect()
+      require(head.nonEmpty, s"no embeddings at $dir — cannot derive dimensionality")
+      head(0).getInt(0)
+    })
 
   /** ANN via LSH buckets: candidates share a bucket; rank candidates by
     * quantized cosine, keep the top-1 neighbour per vector. Approximate
@@ -291,6 +305,7 @@ object Similarity {
       .as[Array[Float]]
       .collect()
       .map(e => unit(e.map(_.toDouble)))
+    require(sample.nonEmpty, s"no embeddings to index at $dir")
     val k = math.min(IvfClusters, sample.length)
     val dim = sample.head.length
     var cents = Array.tabulate(k)(i => sample(i).clone())

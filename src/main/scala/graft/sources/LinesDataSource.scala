@@ -84,10 +84,20 @@ class LinesTable(properties: Map[String, String]) extends Table
   * read, so a read→write→read round-trip reproduces `value` exactly and
   * regenerates provenance against the new files.
   *
-  * Overwrite maps to SupportsTruncate; the delete happens once on the
-  * driver before writer tasks launch (non-atomic, like any
-  * direct-to-destination text sink — a production sink would stage and
-  * rename on commit).
+  * Attempt isolation: each task attempt writes `.part-NNNNN-<task>.tmp`
+  * and renames to the final name in `DataWriter.commit()` — which Spark's
+  * output commit coordinator invokes for exactly ONE winning attempt per
+  * partition (useCommitCoordinator defaults to true), so speculative or
+  * zombie duplicates never interleave bytes in a final file. Aborted
+  * attempts delete their temp; `BatchWrite.abort` sweeps any leftover
+  * `*.tmp` so a failed job can't leak partials into later reads (the
+  * read path's `*.txt` glob ignores temps anyway). Null `value` cells
+  * are rejected loudly, matching the built-in text sink's contract.
+  *
+  * Overwrite maps to SupportsTruncate; the truncate itself happens once
+  * on the driver before writer tasks launch (non-atomic across the
+  * whole job, like the built-in file sinks without a staging commit
+  * protocol).
   */
 class LinesWriteBuilder(path: String, schema: StructType)
     extends WriteBuilder with SupportsTruncate {
@@ -115,30 +125,53 @@ class LinesBatchWrite(path: String, schema: StructType, truncate: Boolean)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // sweep temp files of attempts that never reached their own abort
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf.value)
+    if (fs.exists(p)) {
+      Option(fs.globStatus(new Path(path, "*.tmp")))
+        .getOrElse(Array.empty)
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+  }
 }
 
 class LinesWriterFactory(path: String, valueIdx: Int, conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val file = new Path(path, f"part-$partitionId%05d.txt")
-      private val out = file.getFileSystem(conf.value).create(file, true)
+      private val fs = new Path(path).getFileSystem(conf.value)
+      private val tmp = new Path(path, f".part-$partitionId%05d-$taskId.tmp")
+      private val dst = new Path(path, f"part-$partitionId%05d.txt")
+      private val out = fs.create(tmp, true)
       private var rows = 0L
 
       override def write(row: InternalRow): Unit = {
-        out.write(row.getUTF8String(valueIdx).getBytes)
+        val v = row.getUTF8String(valueIdx)
+        if (v == null)
+          throw new IllegalArgumentException(
+            "graft-lines write does not support null 'value' cells")
+        out.write(v.getBytes)
         out.write('\n')
         rows += 1L
       }
 
       override def commit(): WriterCommitMessage = {
         out.close()
-        LinesCommit(file.toString, rows)
+        // only the coordinator-elected attempt reaches here; make the
+        // rename land even if a previous job's file is in the way
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"graft-lines commit rename failed: $tmp -> $dst")
+        LinesCommit(dst.toString, rows)
       }
 
-      override def abort(): Unit =
+      override def abort(): Unit = {
         try out.close() catch { case _: Throwable => () }
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+      }
 
       override def close(): Unit = ()
     }

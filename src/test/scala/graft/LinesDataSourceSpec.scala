@@ -64,5 +64,27 @@ class LinesDataSourceSpec extends AnyFunSuite {
     src.limit(1).repartition(1).write.format("graft.sources.LinesDataSource")
       .option("path", out).mode("overwrite").save()
     assert(readLines(out).count() === 1L)
+    // committed output contains no temp files
+    assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".tmp")))
+  }
+
+  test("write path rejects null value cells loudly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_lines_n_").toString
+    val df = Seq(Some("ok"), None).toDF("value")
+      .withColumn("path", lit("x")).withColumn("line_no", lit(1L))
+    val e = intercept[Exception] {
+      df.write.format("graft.sources.LinesDataSource")
+        .option("path", out).mode("overwrite").save()
+    }
+    // the table schema declares value non-nullable, so Spark itself
+    // asserts before the writer's own defensive check can fire
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val msgs = causes(e).flatMap(c => Option(c.getMessage))
+    assert(msgs.exists(m =>
+      m.contains("NOT_NULL_ASSERT_VIOLATION") || m.contains("null 'value'")),
+      s"unexpected failure chain: $msgs")
   }
 }

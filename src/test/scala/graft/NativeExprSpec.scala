@@ -51,6 +51,24 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_sigs null-element and empty-set semantics match the HOF form") {
+    graft.functions.MinHash.register(spark)
+    import spark.implicits._
+    // null element: xxhash64(k, NULL) hashes only k — the HOF form's value
+    val df = Seq((1L, Seq(Some("abc"), None))).toDF("id", "sh")
+    val r = df.select(
+      call_function("minhash_sigs", col("sh"), lit(4)).as("native"),
+      transform(sequence(lit(0), lit(3)),
+        k => array_min(transform(col("sh"), s => xxhash64(k, s)))).as("hof"))
+      .collect().head
+    assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    // empty set: all slots are the documented sentinel
+    val empty = Seq((1L, Seq.empty[String])).toDF("id", "sh")
+      .select(call_function("minhash_sigs", col("sh"), lit(4)).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(empty.forall(_ == graft.functions.MinHashSigs.EmptySlot))
+  }
+
   test("dot_d null semantics: ragged lengths and null elements yield null") {
     graft.functions.DotProduct.register(spark)
     import spark.implicits._
