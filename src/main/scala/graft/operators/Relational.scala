@@ -418,6 +418,44 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
+  /** TPC-H Q5-style: the six-table join graph (customer ⋈ orders ⋈
+    * lineitem ⋈ supplier ⋈ nation ⋈ region) with the classic
+    * local-supplier twist — `c_nationkey = s_nationkey` closes a CYCLE in
+    * the join graph, so the optimizer must order a join tree where one
+    * edge is non-hierarchical. Dimension tables broadcast; the
+    * year+region filters reach the orders/region scans; the two big
+    * fact⋈fact edges shuffle on their keys.
+    */
+  def qTpchQ5(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum6(revenue).as("revenue"))
+
+  val qTpchQ5Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
   // ---- grouping sets / set ops ------------------------------------------
 
   /** ROLLUP over the region→nation hierarchy. Expressed through
@@ -689,6 +727,7 @@ object Relational {
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_range_join" -> (qRangeJoin _),
     "q_tpch_q3" -> (qTpchQ3 _),
+    "q_tpch_q5" -> (qTpchQ5 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_null_fns" -> (qNullFns _),
@@ -724,6 +763,7 @@ object Relational {
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_range_join" -> qRangeJoinSql,
     "q_tpch_q3" -> qTpchQ3Sql,
+    "q_tpch_q5" -> qTpchQ5Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
     "q_null_fns" -> qNullFnsSql,
