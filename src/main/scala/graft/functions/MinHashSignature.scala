@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   */
 object MinHashSigs {
 
-  /** Slots of this value mark an empty (or all-null) shingle set. */
+  /** Slots of this value mark an EMPTY shingle set. (A set of only null
+    * elements is different: each null hashes to the k-seed alone, so its
+    * slots are the per-k seed values — shared by every all-null set, the
+    * same "spurious agreement" hazard as the sentinel. Unreachable from
+    * the shingle pipeline, whose elements are non-null; direct callers
+    * feeding nullable arrays should pre-filter nulls.) */
   val EmptySlot: Long = Long.MaxValue
 
   /** mh[k] = min over shingles s of xxhash64(k, s), k = 0..k-1.

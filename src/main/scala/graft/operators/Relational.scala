@@ -149,7 +149,7 @@ object Relational {
     * one.
     */
   def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val suffix = graft.sources.Formats.sanitize(dir)
     val ot = s"orders_bkt_$suffix"
     val lt = s"lineitem_bkt_$suffix"
     // gate on BOTH tables: a failure between the two writes must not

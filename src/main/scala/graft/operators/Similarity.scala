@@ -126,7 +126,11 @@ object Similarity {
       // block regardless of corpus size (a lazy union of all blocks would
       // pin every broadcast alive for the single action and re-collect the
       // corpus onto the driver, the exact failure mode this replaces).
-      val out = graft.sources.Formats.tmp("ann_pairs", dir)
+      // per-invocation scratch dir: a fixed path would be deleted and
+      // rewritten by the next call (this function backs TWO query names),
+      // invalidating the lazy DataFrame any earlier caller still holds
+      val out = graft.sources.Formats.tmp(
+        s"ann_pairs_${java.util.UUID.randomUUID().toString.take(8)}", dir)
       val outPath = new org.apache.hadoop.fs.Path(out)
       val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(outPath)) fs.delete(outPath, true)

@@ -18,13 +18,18 @@ import graft.engine.Tables
   */
 object Formats {
 
+  /** Dataset dir → identifier-safe suffix, shared by scratch paths and
+    * catalog table names so the two can never diverge for the same dir. */
+  private[graft] def sanitize(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** Scratch root for round-trip sinks: overridable via
     * -Dgraft.scratch.dir, defaulting to the JVM temp dir — a hardcoded
     * repo-absolute path would break any checkout elsewhere. */
   private[graft] def tmp(name: String, dir: String): String = {
     val root = sys.props.getOrElse("graft.scratch.dir",
       s"${sys.props("java.io.tmpdir")}/graft-fmt")
-    s"$root/${name}_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    s"$root/${name}_${sanitize(dir)}"
   }
 
   /** CSV round-trip: supplier → csv (header) → re-read with explicit

@@ -73,44 +73,52 @@ class LinesTable(properties: Map[String, String]) extends Table
     require(
       schema.exists(f => f.name == "value" && f.dataType == StringType),
       s"graft-lines write needs a string column named 'value', got ${schema.simpleString}")
-    new LinesWriteBuilder(path, schema)
+    new LinesWriteBuilder(path, schema, info.queryId())
   }
 }
 
 /** Write side of the connector: each task streams its rows' `value`
-  * column to one `part-NNNNN.txt` file under the target dir — the
-  * reference's lines-in-files data model as a sink. Provenance columns
-  * (`path`, `line_no`) are accepted and DROPPED: they are derived on
-  * read, so a read→write→read round-trip reproduces `value` exactly and
-  * regenerates provenance against the new files.
+  * column to one `part-<query>-NNNNN.txt` file under the target dir —
+  * the reference's lines-in-files data model as a sink. Provenance
+  * columns (`path`, `line_no`) are accepted and DROPPED: they are
+  * derived on read, so a read→write→read round-trip reproduces `value`
+  * exactly and regenerates provenance against the new files.
   *
-  * Attempt isolation: each task attempt writes `.part-NNNNN-<task>.tmp`
-  * and renames to the final name in `DataWriter.commit()` — which Spark's
-  * output commit coordinator invokes for exactly ONE winning attempt per
-  * partition (useCommitCoordinator defaults to true), so speculative or
-  * zombie duplicates never interleave bytes in a final file. Aborted
-  * attempts delete their temp; `BatchWrite.abort` sweeps any leftover
-  * `*.tmp` so a failed job can't leak partials into later reads (the
-  * read path's `*.txt` glob ignores temps anyway). Null `value` cells
-  * are rejected loudly, matching the built-in text sink's contract.
+  * Commit protocol:
+  *  - final names embed the QUERY id, so an append job can never rename
+  *    over a previous job's committed files;
+  *  - each task attempt writes `.part-<query>-NNNNN-<task>.tmp` and
+  *    renames to the final name in `DataWriter.commit()` — which Spark's
+  *    output commit coordinator invokes for exactly ONE winning attempt
+  *    per partition (useCommitCoordinator defaults to true), so
+  *    speculative or zombie duplicates never interleave bytes;
+  *  - aborted attempts delete their temp; `BatchWrite.commit` sweeps any
+  *    orphaned temps of THIS query (e.g. an executor that died before
+  *    its abort ran) and `BatchWrite.abort` does the same on failure;
+  *  - the read path ignores dot-prefixed/underscore-prefixed files, so
+  *    even an unswept temp is never returned as data.
+  * Null `value` cells are rejected loudly, matching the built-in text
+  * sink's contract.
   *
   * Overwrite maps to SupportsTruncate; the truncate itself happens once
   * on the driver before writer tasks launch (non-atomic across the
   * whole job, like the built-in file sinks without a staging commit
   * protocol).
   */
-class LinesWriteBuilder(path: String, schema: StructType)
+class LinesWriteBuilder(path: String, schema: StructType, queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new LinesBatchWrite(path, schema, doTruncate)
+    override def toBatch: BatchWrite =
+      new LinesBatchWrite(path, schema, doTruncate, queryId)
   }
 }
 
 case class LinesCommit(file: String, rows: Long) extends WriterCommitMessage
 
-class LinesBatchWrite(path: String, schema: StructType, truncate: Boolean)
+class LinesBatchWrite(path: String, schema: StructType, truncate: Boolean,
+    queryId: String)
     extends BatchWrite {
   private val conf = new SerializableConfiguration(
     SparkSession.active.sessionState.newHadoopConf())
@@ -121,30 +129,36 @@ class LinesBatchWrite(path: String, schema: StructType, truncate: Boolean)
     val fs = p.getFileSystem(conf.value)
     if (truncate && fs.exists(p)) fs.delete(p, true)
     fs.mkdirs(p)
-    new LinesWriterFactory(path, valueIdx, conf)
+    new LinesWriterFactory(path, valueIdx, conf, queryId)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    // sweep temp files of attempts that never reached their own abort
+  /** Delete temps of THIS query only — a concurrent writer's in-flight
+    * temps must not be touched. */
+  private def sweepOwnTemps(): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf.value)
     if (fs.exists(p)) {
-      Option(fs.globStatus(new Path(path, "*.tmp")))
+      Option(fs.globStatus(new Path(path, s".part-$queryId-*.tmp")))
         .getOrElse(Array.empty)
         .foreach(s => fs.delete(s.getPath, false))
     }
   }
+
+  // orphaned temps exist when an executor died before its own abort ran;
+  // commit happens after every partition's winning attempt renamed away
+  // its temp, so anything left with this query's prefix is garbage
+  override def commit(messages: Array[WriterCommitMessage]): Unit = sweepOwnTemps()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = sweepOwnTemps()
 }
 
-class LinesWriterFactory(path: String, valueIdx: Int, conf: SerializableConfiguration)
+class LinesWriterFactory(path: String, valueIdx: Int,
+    conf: SerializableConfiguration, queryId: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val fs = new Path(path).getFileSystem(conf.value)
-      private val tmp = new Path(path, f".part-$partitionId%05d-$taskId.tmp")
-      private val dst = new Path(path, f"part-$partitionId%05d.txt")
+      private val tmp = new Path(path, f".part-$queryId-$partitionId%05d-$taskId.tmp")
+      private val dst = new Path(path, f"part-$queryId-$partitionId%05d.txt")
       private val out = fs.create(tmp, true)
       private var rows = 0L
 
@@ -160,9 +174,8 @@ class LinesWriterFactory(path: String, valueIdx: Int, conf: SerializableConfigur
 
       override def commit(): WriterCommitMessage = {
         out.close()
-        // only the coordinator-elected attempt reaches here; make the
-        // rename land even if a previous job's file is in the way
-        if (fs.exists(dst)) fs.delete(dst, false)
+        // only the coordinator-elected attempt reaches here, and the
+        // query-scoped name cannot collide with another job's files
         if (!fs.rename(tmp, dst))
           throw new java.io.IOException(s"graft-lines commit rename failed: $tmp -> $dst")
         LinesCommit(dst.toString, rows)
@@ -204,7 +217,14 @@ class LinesScan(path: String, glob: Option[String]) extends Scan with Batch {
     val files = Option(matcher match {
       case Some(g) => fs.globStatus(g)
       case None => fs.listStatus(p)
-    }).getOrElse(Array.empty).filter(_.isFile)
+    }).getOrElse(Array.empty)
+      .filter(_.isFile)
+      // hidden-file convention (same as Spark's file sources): temp or
+      // marker files (.part-*.tmp, _SUCCESS) are never data
+      .filterNot { f =>
+        val n = f.getPath.getName
+        n.startsWith(".") || n.startsWith("_")
+      }
     files.map(f => LinesFilePartition(f.getPath.toString): InputPartition)
   }
 

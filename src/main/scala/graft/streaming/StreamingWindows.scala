@@ -38,19 +38,7 @@ object StreamingWindows {
 
   /** Streaming twin of Events.eventsHourly; oracle = the same SQL. */
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
-    // Schema must be supplied for file streams; reuse the batch reader's
-    // (ts arrives as raw nanos long — see Tables.events — and is
-    // converted after read).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-
-    // File streams want a directory; the testdata dir holds one parquet
-    // FILE per table, so stream the directory with a glob for this one.
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = eventStream(spark, dir)
       .withWatermark("ts", "365 days")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -75,13 +63,7 @@ object StreamingWindows {
     */
   def streamUserTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-
-    val typed = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val typed = eventStream(spark, dir)
       .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
       .as[(Long, Long)]
 
@@ -105,7 +87,12 @@ object StreamingWindows {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS val_sum
       |FROM events GROUP BY user_id""".stripMargin
 
-  /** The raw events file as a watermarked stream (shared scaffold). */
+  /** The raw events file as a stream — shared by every streaming query.
+    * Schema must be supplied for file streams; reuse the batch reader's
+    * (ts arrives as raw nanos long — see Tables.events — and is converted
+    * after read). File streams want a directory; the testdata dir holds
+    * one parquet FILE per table, so stream the directory with a glob.
+    */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
