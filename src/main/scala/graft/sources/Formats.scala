@@ -91,6 +91,33 @@ object Formats {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** XML round-trip (built-in XML source, Spark 4): customer → nested
+    * <customers><customer>…</customer></customers> → re-read with
+    * explicit schema + rowTag → per-segment aggregate. Doubles survive
+    * because the writer emits the shortest round-trippable decimal
+    * representation. */
+  def fmtXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("customer_xml", dir)
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+      .write.mode("overwrite")
+      .option("rootTag", "customers").option("rowTag", "customer")
+      .format("xml").save(path)
+    spark.read
+      .option("rowTag", "customer")
+      .schema("c_custkey long, c_name string, c_nationkey int, c_mktsegment string, c_acctbal double")
+      .format("xml").load(path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+  }
+
+  val fmtXmlRoundtripSql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer GROUP BY 1""".stripMargin
+
   /** Hive-style partitioned parquet + partition pruning: documents
     * written partitioned by `lang`, re-read with a partition filter. The
     * plan's FileSourceScan shows the predicate under PartitionFilters
@@ -116,11 +143,13 @@ object Formats {
     "fmt_csv_roundtrip" -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_orc_roundtrip" -> (fmtOrcRoundtrip _),
+    "fmt_xml_roundtrip" -> (fmtXmlRoundtrip _),
     "fmt_partition_pruning" -> (fmtPartitionPruning _))
 
   val oracles: Map[String, String] = Map(
     "fmt_csv_roundtrip" -> fmtCsvRoundtripSql,
     "fmt_json_roundtrip" -> fmtJsonRoundtripSql,
     "fmt_orc_roundtrip" -> fmtOrcRoundtripSql,
+    "fmt_xml_roundtrip" -> fmtXmlRoundtripSql,
     "fmt_partition_pruning" -> fmtPartitionPruningSql)
 }
