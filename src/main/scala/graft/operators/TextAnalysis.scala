@@ -102,6 +102,56 @@ object TextAnalysis {
       |       ELSE 'fr' END AS lang_pred
       |FROM h""".stripMargin
 
+  /** Gopher/C4-style quality gate: the per-document features of
+    * textStats folded into a keep/drop decision (min length, sane mean
+    * token length, enough stopwords to look like prose, lexical
+    * diversity). The WHOLE pipeline stays one codegen'd scan — at 100 TB
+    * this is the first pass over a crawl, so the keep decision must cost
+    * one read, not a join against a feature table. The per-rule flags
+    * are emitted so downstream can audit WHY a doc dropped.
+    */
+  def textQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    CountIn.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (length(array_join(col("w"), "")).cast("double") /
+          size(col("w")).cast("double")).as("avg_token_len"),
+        (hits(col("w"), StopEn).cast("double") /
+          size(col("w")).cast("double")).as("stop_ratio"),
+        (size(array_distinct(col("w"))).cast("double") /
+          size(col("w")).cast("double")).as("distinct_ratio"))
+      .select(
+        col("doc_id"),
+        (col("n_tokens") >= 20).as("len_ok"),
+        (col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0).as("tok_len_ok"),
+        (col("stop_ratio") >= 0.01).as("prose_ok"),
+        (col("distinct_ratio") >= 0.2).as("diversity_ok"))
+      .withColumn("keep",
+        col("len_ok") && col("tok_len_ok") && col("prose_ok") && col("diversity_ok"))
+  }
+
+  val textQualityFilterSql: String =
+    s"""WITH tok AS (SELECT doc_id, $TokSql AS w FROM documents),
+      |f AS (SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS DOUBLE)
+      |    / CAST(len(w) AS DOUBLE) AS avg_token_len,
+      |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+      |    / CAST(len(w) AS DOUBLE) AS stop_ratio,
+      |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio
+      |FROM tok)
+      |SELECT doc_id,
+      |  n_tokens >= 20 AS len_ok,
+      |  avg_token_len >= 2.0 AND avg_token_len <= 12.0 AS tok_len_ok,
+      |  stop_ratio >= 0.01 AS prose_ok,
+      |  distinct_ratio >= 0.2 AS diversity_ok,
+      |  (n_tokens >= 20 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+      |   AND stop_ratio >= 0.01 AND distinct_ratio >= 0.2) AS keep
+      |FROM f""".stripMargin
+
   // ---- token counting ------------------------------------------------------
 
   /** Whitespace tokens, BPE-ish regex tokens ([a-z]+ | digits | other
@@ -190,6 +240,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
+    "text_quality_filter" -> (textQualityFilter _),
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_top_terms" -> (textTopTerms _),
@@ -198,6 +249,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
+    "text_quality_filter" -> textQualityFilterSql,
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_top_terms" -> textTopTermsSql,
