@@ -22,17 +22,28 @@ import graft.engine.Tables
 object StreamingWindows {
 
   /** Run a streaming DataFrame to completion into a memory sink and
-    * return the final table (shared by every streaming query here). */
+    * return the final table (shared by every streaming query here).
+    *
+    * Stateful operators allocate one state-store instance PER shuffle
+    * partition, fixed at checkpoint creation — inheriting the batch
+    * default (32 here) pays 32× store setup/commit for key spaces of a
+    * few thousand. 8 is sized to these queries; a deployment sizes this
+    * to its key cardinality, and the choice cannot change results, only
+    * parallelism. */
   private def runToMemory(spark: SparkSession, df: DataFrame,
       mode: String, prefix: String): DataFrame = {
     val tableName = s"${prefix}_${System.nanoTime()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(tableName)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(tableName)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     spark.table(tableName)
   }
 
