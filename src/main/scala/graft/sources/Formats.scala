@@ -118,6 +118,36 @@ object Formats {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       |FROM customer GROUP BY 1""".stripMargin
 
+  /** JDBC round-trip against embedded Derby (in the same JVM under
+    * local mode): customer → JDBC table → PARTITIONED JDBC re-read →
+    * per-nation aggregate. The read supplies partitionColumn/bounds, so
+    * Spark issues one range-predicated query per partition — the shape
+    * that parallelizes an RDBMS ingest at scale (against a real server,
+    * not :memory:). Bounds come from one tiny max() job on the source
+    * rather than hardcoded constants. */
+  def fmtJdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val url = s"jdbc:derby:memory:graft_${sanitize(dir)};create=true"
+    val props = new java.util.Properties()
+    val src = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val maxKey = src.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    src.write.mode("overwrite").jdbc(url, "customer_jdbc", props)
+    spark.read
+      .option("partitionColumn", "c_custkey")
+      .option("lowerBound", "0")
+      .option("upperBound", (maxKey + 1).toString)
+      .option("numPartitions", "4")
+      .jdbc(url, "customer_jdbc", props)
+      .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+  }
+
+  val fmtJdbcRoundtripSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer GROUP BY 1""".stripMargin
+
   /** Hive-style partitioned parquet + partition pruning: documents
     * written partitioned by `lang`, re-read with a partition filter. The
     * plan's FileSourceScan shows the predicate under PartitionFilters
@@ -144,6 +174,7 @@ object Formats {
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_orc_roundtrip" -> (fmtOrcRoundtrip _),
     "fmt_xml_roundtrip" -> (fmtXmlRoundtrip _),
+    "fmt_jdbc_roundtrip" -> (fmtJdbcRoundtrip _),
     "fmt_partition_pruning" -> (fmtPartitionPruning _))
 
   val oracles: Map[String, String] = Map(
@@ -151,5 +182,6 @@ object Formats {
     "fmt_json_roundtrip" -> fmtJsonRoundtripSql,
     "fmt_orc_roundtrip" -> fmtOrcRoundtripSql,
     "fmt_xml_roundtrip" -> fmtXmlRoundtripSql,
+    "fmt_jdbc_roundtrip" -> fmtJdbcRoundtripSql,
     "fmt_partition_pruning" -> fmtPartitionPruningSql)
 }

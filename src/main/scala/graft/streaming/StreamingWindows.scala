@@ -138,6 +138,53 @@ object StreamingWindows {
     runToMemory(spark, sessions, "complete", "stream_sessions")
   }
 
+  /** The same sessionization as streamSessions, but through
+    * `flatMapGroupsWithState` — the ARBITRARY-state API (1 key → N
+    * output rows) for session logic `session_window` can't express
+    * (e.g. per-session custom payloads, early emission, cross-session
+    * features). Events are reduced to (user, micros) before grouping;
+    * the group function sorts its events and splits on the >gap
+    * boundary — the semantics SessionBoundarySpec pins for the
+    * window-based twin, so the SAME gaps-and-islands SQL is the oracle.
+    * Single-batch emission semantics as streamUserTotals (doc there); a
+    * live deployment would keep the open tail session in state and use
+    * an event-time timeout to flush it.
+    */
+  def streamSessionsStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapUs = 30L * 60 * 1000 * 1000
+    val typed = eventStream(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS us")
+      .as[(Long, Long)]
+    val sessions = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, _) =>
+          val ts = rows.map(_._2).toArray
+          java.util.Arrays.sort(ts)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          var start = 0
+          var i = 1
+          while (i <= ts.length) {
+            if (i == ts.length || ts(i) - ts(i - 1) > gapUs) {
+              out += ((uid, ts(start), (i - start).toLong, ts(i - 1) - ts(start)))
+              start = i
+            }
+            i += 1
+          }
+          out.iterator
+      }
+      .toDF("user_id", "start_us", "n_events", "dur_us")
+      .select(col("user_id"),
+        date_format(expr("timestamp_micros(start_us)"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+        col("n_events"),
+        expr("dur_us div 1000000").as("dur_sec"))
+    runToMemory(spark, sessions, "append", "stream_sessions_stateful")
+  }
+
   /** Stream-stream INNER JOIN with an event-time range: each click joined
     * to the same user's purchases within the following hour. Both sides
     * carry watermarks and the join condition bounds event-time distance —
@@ -178,11 +225,13 @@ object StreamingWindows {
     "stream_hourly" -> (streamHourly _),
     "stream_user_totals" -> (streamUserTotals _),
     "stream_sessions" -> (streamSessions _),
+    "stream_sessions_stateful" -> (streamSessionsStateful _),
     "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_hourly" -> graft.operators.Events.eventsHourlySql,
     "stream_user_totals" -> streamUserTotalsSql,
     "stream_sessions" -> graft.operators.Events.eventsSessionsSql,
+    "stream_sessions_stateful" -> graft.operators.Events.eventsSessionsSql,
     "stream_stream_join" -> streamStreamJoinSql)
 }
