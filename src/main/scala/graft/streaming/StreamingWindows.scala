@@ -1,10 +1,34 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.engine.Tables
+
+/** Per-user lifetime totals as a [[StatefulProcessor]] for
+  * `transformWithState` — Spark 4's arbitrary-state API (typed state
+  * variables, timers, TTL) that succeeds mapGroupsWithState. State is a
+  * single ValueState[(count, cents)]; exact integer cents as in the
+  * mapGroupsWithState twin.
+  */
+class RunningTotalsProcessor
+    extends StatefulProcessor[Long, (Long, Long), (Long, Long, Double)] {
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timers: TimerValues): Iterator[(Long, Long, Double)] = {
+    var (n, cents) = Option(totals.get()).getOrElse((0L, 0L))
+    rows.foreach { r => n += 1L; cents += r._2 }
+    totals.update((n, cents))
+    Iterator.single((key, n, cents.toDouble / 100.0))
+  }
+}
 
 /** Structured Streaming capability demo with an oracle-checkable result:
   * the events table re-read as a FILE STREAM (`readStream.parquet`) →
@@ -138,6 +162,36 @@ object StreamingWindows {
     runToMemory(spark, sessions, "complete", "stream_sessions")
   }
 
+  /** The mapGroupsWithState totals re-expressed through
+    * `transformWithState` ([[RunningTotalsProcessor]]) — exercising the
+    * new API's typed state handle end-to-end. transformWithState
+    * requires the RocksDB state store provider (its state layout is
+    * provider-specific), set for this query and restored after; the
+    * same SQL oracle as the mapGroupsWithState twin checks the result,
+    * so the two stateful APIs are verified against each other.
+    */
+  def streamUserTotalsTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = eventStream(spark, dir)
+        .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
+        .as[(Long, Long)]
+      val totals = typed
+        .groupByKey(_._1)
+        .transformWithState(new RunningTotalsProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "val_sum")
+      runToMemory(spark, totals, "update", "stream_user_totals_tws")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The same sessionization as streamSessions, but through
     * `flatMapGroupsWithState` — the ARBITRARY-state API (1 key → N
     * output rows) for session logic `session_window` can't express
@@ -224,6 +278,7 @@ object StreamingWindows {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> (streamHourly _),
     "stream_user_totals" -> (streamUserTotals _),
+    "stream_user_totals_tws" -> (streamUserTotalsTws _),
     "stream_sessions" -> (streamSessions _),
     "stream_sessions_stateful" -> (streamSessionsStateful _),
     "stream_stream_join" -> (streamStreamJoin _))
@@ -231,6 +286,7 @@ object StreamingWindows {
   val oracles: Map[String, String] = Map(
     "stream_hourly" -> graft.operators.Events.eventsHourlySql,
     "stream_user_totals" -> streamUserTotalsSql,
+    "stream_user_totals_tws" -> streamUserTotalsSql,
     "stream_sessions" -> graft.operators.Events.eventsSessionsSql,
     "stream_sessions_stateful" -> graft.operators.Events.eventsSessionsSql,
     "stream_stream_join" -> streamStreamJoinSql)
