@@ -90,11 +90,6 @@ case class CountInSet(left: Expression, right: Expression)
 
 object CountIn {
 
-  /** Register `count_in` in the session's function registry (same
-    * runtime-registration route as [[DotProduct.register]]). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("count_in"),
-      new ExpressionInfo(classOf[CountInSet].getName, "count_in"),
-      (exprs: Seq[Expression]) => CountInSet(exprs.head, exprs(1)))
+  /** Runtime-registration fallback; delegates to [[GraftFunctions]]. */
+  def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

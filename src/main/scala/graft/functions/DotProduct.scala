@@ -163,20 +163,8 @@ case class DotProductDouble(left: Expression, right: Expression)
 
 object DotProduct {
 
-  /** Register `dot_l`/`dot_d` in the session's function registry so they
-    * are usable from `expr(...)` and `spark.sql`. Runtime registration
-    * keeps the harness-created session untouched; a deployment owning
-    * the session builder would do the same through
-    * `SparkSessionExtensions.injectFunction`.
-    */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_l"),
-      new ExpressionInfo(classOf[DotProductLong].getName, "dot_l"),
-      (exprs: Seq[Expression]) => DotProductLong(exprs.head, exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("dot_d"),
-      new ExpressionInfo(classOf[DotProductDouble].getName, "dot_d"),
-      (exprs: Seq[Expression]) => DotProductDouble(exprs.head, exprs(1)))
-  }
+  /** Runtime-registration fallback for externally-created sessions;
+    * delegates to the canonical [[GraftFunctions]] list (the deployment
+    * route is [[GraftExtensions]] on the session builder). */
+  def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

@@ -1,14 +1,50 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+/** The ONE canonical list of the engine's function registrations,
+  * consumed by both deployment routes — [[GraftExtensions]] (session
+  * builder / spark.sql.extensions) and the runtime `register` fallbacks
+  * on [[DotProduct]]/[[CountIn]]/[[MinHash]] — so the two routes cannot
+  * drift: a builder fix lands in both by construction.
+  */
+object GraftFunctions {
+
+  type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def fn(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression): Description =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  val all: Seq[Description] = Seq(
+    fn("dot_l", classOf[DotProductLong],
+      exprs => DotProductLong(exprs.head, exprs(1))),
+    fn("dot_d", classOf[DotProductDouble],
+      exprs => DotProductDouble(exprs.head, exprs(1))),
+    fn("count_in", classOf[CountInSet],
+      exprs => CountInSet(exprs.head, exprs(1))),
+    fn("minhash_sigs", classOf[MinHashSignature],
+      exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])),
+    fn("minhash_union", classOf[MinHashUnion],
+      exprs => MinHashUnion(exprs.head, exprs(1).eval().asInstanceOf[Int])
+        .toAggregateExpression()))
+
+  /** Runtime registration on a live session (idempotent — re-registering
+    * replaces with the identical builder). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
 /** The engine's SparkSessionExtensions entry point — the deployment
   * route for everything the per-query `register(...)` calls install at
-  * runtime: the four native expressions, the MinHash union aggregate,
-  * and the HOF-dot-product optimizer rule. A session owner wires it
-  * with either
+  * runtime: the native expressions, the MinHash union aggregate, and
+  * the HOF-dot-product optimizer rule. A session owner wires it with
+  * either
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions()), or
   *   --conf spark.sql.extensions=graft.functions.GraftExtensions
@@ -22,22 +58,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def fn(name: String, clazz: Class[_],
-      builder: Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
-
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(fn("dot_l", classOf[DotProductLong],
-      exprs => DotProductLong(exprs.head, exprs(1))))
-    ext.injectFunction(fn("dot_d", classOf[DotProductDouble],
-      exprs => DotProductDouble(exprs.head, exprs(1))))
-    ext.injectFunction(fn("count_in", classOf[CountInSet],
-      exprs => CountInSet(exprs.head, exprs(1))))
-    ext.injectFunction(fn("minhash_sigs", classOf[MinHashSignature],
-      exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])))
-    ext.injectFunction(fn("minhash_union", classOf[MinHashUnion],
-      exprs => MinHashUnion(exprs.head, exprs(1).eval().asInstanceOf[Int])
-        .toAggregateExpression()))
+    GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -180,20 +180,7 @@ case class MinHashUnion(
 
 object MinHash {
 
-  /** Register `minhash_sigs` and `minhash_union` (same
-    * runtime-registration route as [[DotProduct.register]]); the K
-    * arguments must be foldable ints. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_sigs"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sigs"),
-      (exprs: Seq[Expression]) =>
-        MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int]))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("minhash_union"),
-      new ExpressionInfo(classOf[MinHashUnion].getName, "minhash_union"),
-      (exprs: Seq[Expression]) =>
-        MinHashUnion(exprs.head, exprs(1).eval().asInstanceOf[Int])
-          .toAggregateExpression())
-  }
+  /** Runtime-registration fallback; delegates to [[GraftFunctions]]
+    * (the K arguments of both functions must be foldable ints). */
+  def register(spark: SparkSession): Unit = GraftFunctions.register(spark)
 }

@@ -126,14 +126,22 @@ object Similarity {
       // block regardless of corpus size (a lazy union of all blocks would
       // pin every broadcast alive for the single action and re-collect the
       // corpus onto the driver, the exact failure mode this replaces).
-      // per-invocation scratch dir: a fixed path would be deleted and
-      // rewritten by the next call (this function backs TWO query names),
-      // invalidating the lazy DataFrame any earlier caller still holds
+      // Per-invocation scratch dir, sweeping prior invocations' dirs for
+      // this dataset first: a single fixed path would be deleted MID-USE
+      // by the next call (this function backs TWO query names), while
+      // never sweeping would accumulate scratch without bound. Net
+      // contract — the same one every Formats round-trip has: a NEW call
+      // invalidates DataFrames returned by earlier calls on the same
+      // dataset, but never a concurrently-open one on another dataset.
+      val suffix = graft.sources.Formats.sanitize(dir)
+      val root = new org.apache.hadoop.fs.Path(
+        graft.sources.Formats.tmp("ann_pairs", dir)).getParent
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, s"ann_pairs_*_$suffix")))
+        .getOrElse(Array.empty)
+        .foreach(s => fs.delete(s.getPath, true))
       val out = graft.sources.Formats.tmp(
         s"ann_pairs_${java.util.UUID.randomUUID().toString.take(8)}", dir)
-      val outPath = new org.apache.hadoop.fs.Path(out)
-      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(outPath)) fs.delete(outPath, true)
       (0L until numBlocks).foreach { b =>
         val bc = spark.sparkContext.broadcast(
           q.filter(r => r._1 % numBlocks == b).collect())

@@ -174,8 +174,12 @@ class LinesWriterFactory(path: String, valueIdx: Int,
 
       override def commit(): WriterCommitMessage = {
         out.close()
-        // only the coordinator-elected attempt reaches here, and the
-        // query-scoped name cannot collide with another job's files
+        // Only the coordinator-elected attempt reaches here. The name is
+        // query-scoped, so an EXISTING dst can only be this query's own
+        // partition output from an earlier elected attempt that died
+        // after its rename — replace it, or commit retries would fail
+        // forever on rename-onto-existing (non-idempotent task commit).
+        if (fs.exists(dst)) fs.delete(dst, false)
         if (!fs.rename(tmp, dst))
           throw new java.io.IOException(s"graft-lines commit rename failed: $tmp -> $dst")
         LinesCommit(dst.toString, rows)

@@ -96,11 +96,18 @@ object StreamingWindows {
     * store is RocksDB and keys stream out incrementally — the plumbing
     * (groupByKey, typed state, timeout handling slot) is identical.
     */
-  def streamUserTotals(spark: SparkSession, dir: String): DataFrame = {
+  /** (user_id, exact integer cents) — the typed input both stateful
+    * totals twins consume, defined once so they stay provably identical. */
+  private def typedCents(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val typed = eventStream(spark, dir)
+    eventStream(spark, dir)
       .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
       .as[(Long, Long)]
+  }
+
+  def streamUserTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val typed = typedCents(spark, dir)
 
     val totals = typed
       .groupByKey(_._1)
@@ -177,10 +184,7 @@ object StreamingWindows {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val typed = eventStream(spark, dir)
-        .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
-        .as[(Long, Long)]
-      val totals = typed
+      val totals = typedCents(spark, dir)
         .groupByKey(_._1)
         .transformWithState(new RunningTotalsProcessor,
           TimeMode.None(), OutputMode.Update())
