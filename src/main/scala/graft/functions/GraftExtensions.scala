@@ -30,7 +30,12 @@ object GraftFunctions {
       exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])),
     fn("minhash_union", classOf[MinHashUnion],
       exprs => MinHashUnion(exprs.head, exprs(1).eval().asInstanceOf[Int])
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    fn("lsh_buckets", classOf[HyperplaneBuckets],
+      exprs => HyperplaneBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        exprs(3).eval().asInstanceOf[Int])))
 
   /** Runtime registration on a live session (idempotent — re-registering
     * replaces with the identical builder). */

@@ -192,15 +192,15 @@ object Similarity {
     * plane table — the naive (posexplode × broadcast-join × two
     * groupBys) form cost three shuffles.
     *
-    * The per-plane projection runs through the codegen'd `dot_d` against
-    * DRIVER-MATERIALIZED ±1 plane literals. The weights are the very
-    * same xxhash64 values the previous HOF formulation computed per row
-    * per element (evaluated once here via the same Catalyst expression),
-    * and `dot_d` accumulates in the same left-to-right order — sign
-    * bits, buckets, and downstream recall are bit-identical, but the 16
-    * interpreted `aggregate(zip_with(...))` passes per row become 16
-    * tight codegen'd loops (the r2 bench's ann_lsh_top1 spent ~2 s of
-    * its 3 s here).
+    * All tables' buckets come from the ONE native expression
+    * [[graft.functions.HyperplaneBuckets]] (`lsh_buckets`). History of
+    * this hot spot: the r2 nested-HOF form paid 16 interpreted
+    * `aggregate(zip_with(...))` passes per row (~2 s of the query); the
+    * dot_d-against-plane-literals form made the arithmetic codegen'd
+    * but cost ~1.7 s of Janino compile for the 16-loop generated-code
+    * wall; the native expression does the same bit-identical arithmetic
+    * (doc there, pinned in NativeExprSpec + the LSH recall floor)
+    * behind one reference-object call.
     *
     * Multi-table recall: 16 bits in one table gave 1921 buckets for
     * 2000 vectors — almost every vector alone, top-1 coverage ~0.3%.
@@ -211,30 +211,14 @@ object Similarity {
   def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     val dim = embeddingDim(spark, dir)
-    def plane(t: Int, p: Int): Seq[Double] =
-      (0 until dim).map { d =>
-        // identical hash inputs/types to the previous per-row expression:
-        // xxhash64(int t, int p, int d), evaluated once on the driver
-        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
-          org.apache.spark.sql.catalyst.expressions.Literal(t),
-          org.apache.spark.sql.catalyst.expressions.Literal(p),
-          org.apache.spark.sql.catalyst.expressions.Literal(d)))
-          .eval(null).asInstanceOf[Long]
-        if (math.floorMod(h, 2L) == 0L) 1.0 else -1.0
-      }
-    def bucketFor(t: Int): Column =
-      (0 until NumPlanes).foldLeft(lit(0L): Column) { (acc, p) =>
-        acc * 2 + when(
-          call_function("dot_d", col("xd"), typedlit(plane(t, p))) > 0, 1L)
-          .otherwise(0L)
-      }
     Tables.embeddings(spark, dir)
-      // one interpreted pass casts float→double; every projection after
-      // it is codegen'd
+      // one interpreted pass casts float→double; everything after is
+      // codegen'd
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("xd"))
       .select(col("vec_id"),
-        posexplode(array((0 until NumTables).map(bucketFor): _*))
+        posexplode(call_function("lsh_buckets",
+          col("xd"), lit(dim), lit(NumTables), lit(NumPlanes)))
           .as(Seq("table", "bucket")))
   }
 

@@ -69,6 +69,41 @@ class NativeExprSpec extends AnyFunSuite {
     assert(empty.forall(_ == graft.functions.MinHashSigs.EmptySlot))
   }
 
+  test("lsh_buckets equals the dot_d-fold hyperplane formulation") {
+    graft.functions.DotProduct.register(spark)
+    val dim = 64
+    val tables = graft.operators.Similarity.NumTables
+    val planes = graft.operators.Similarity.NumPlanes
+    // the formulation lsh_buckets replaced: per table, Horner fold of
+    // sign(dot_d(xd, ±1-plane)) with weights from xxhash64(t, p, d)
+    def plane(t: Int, p: Int): Seq[Double] =
+      (0 until dim).map { d =>
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(t),
+          org.apache.spark.sql.catalyst.expressions.Literal(p),
+          org.apache.spark.sql.catalyst.expressions.Literal(d)))
+          .eval(null).asInstanceOf[Long]
+        if (math.floorMod(h, 2L) == 0L) 1.0 else -1.0
+      }
+    def bucketFor(t: Int) =
+      (0 until planes).foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, p) =>
+        acc * 2 + when(
+          call_function("dot_d", col("xd"), typedlit(plane(t, p))) > 0, 1L)
+          .otherwise(0L)
+      }
+    val both = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("xd"))
+      .select(col("vec_id"),
+        call_function("lsh_buckets", col("xd"), lit(dim), lit(tables), lit(planes)).as("native"),
+        array((0 until tables).map(bucketFor): _*).as("ref"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"bucket mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
   test("dot_d null semantics: ragged lengths and null elements yield null") {
     graft.functions.DotProduct.register(spark)
     import spark.implicits._
