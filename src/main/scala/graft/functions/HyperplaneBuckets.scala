@@ -22,9 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * NativeExprSpec and by the LSH recall floor):
   *  - per plane, the dot accumulates left-to-right `0.0 + w0·x0 + …`,
   *    exactly `dot_d`'s order, and ±1.0·x is exact IEEE sign flip;
-  *  - a vector whose length ≠ dim takes the `otherwise(0)` branch of
-  *    every plane's `when(dot > 0, 1)` — all buckets 0 — matching
-  *    dot_d's null-on-ragged-lengths semantics.
+  *  - a vector whose length ≠ dim, or with a null element, takes the
+  *    `otherwise(0)` branch of every plane's `when(dot > 0, 1)` — all
+  *    buckets 0 — matching dot_d's null-out semantics;
+  *  - a NULL input array yields NULL (standard null-intolerant
+  *    expression); a caller wanting the fold form's all-zero buckets
+  *    for null rows coalesces with a zero array, as lshBuckets does.
   */
 case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int,
     planesPerTable: Int)
@@ -51,14 +54,18 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int,
 
   def compute(xd: ArrayData): ArrayData = {
     val out = new Array[Long](tables)
-    // a null ELEMENT makes every plane's dot_d null → every sign bit
-    // takes the otherwise(0) branch → all buckets 0, same as ragged dim
-    var hasNull = false
+    // buffer the vector once (tables×planes passes would otherwise
+    // re-read every element through ArrayData accessors); a null ELEMENT
+    // or ragged length makes every plane's dot_d null → every sign bit
+    // takes the otherwise(0) branch → all buckets 0
+    val x = new Array[Double](dim)
+    var ok = xd.numElements() == dim
     var i = 0
-    while (!hasNull && i < xd.numElements()) {
-      hasNull = xd.isNullAt(i); i += 1
+    while (ok && i < dim) {
+      if (xd.isNullAt(i)) ok = false else x(i) = xd.getDouble(i)
+      i += 1
     }
-    if (!hasNull && xd.numElements() == dim) {
+    if (ok) {
       var t = 0
       while (t < tables) {
         val planes = weights(t)
@@ -68,7 +75,7 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int,
           val w = planes(p)
           var dot = 0.0
           var d = 0
-          while (d < dim) { dot += w(d) * xd.getDouble(d); d += 1 }
+          while (d < dim) { dot += w(d) * x(d); d += 1 }
           bucket = bucket * 2 + (if (dot > 0) 1L else 0L)
           p += 1
         }

@@ -137,8 +137,14 @@ object Similarity {
       val root = new org.apache.hadoop.fs.Path(
         graft.sources.Formats.tmp("ann_pairs", dir)).getParent
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, s"ann_pairs_*_$suffix")))
+      // exact-name match, not a glob suffix: one dataset's sanitized
+      // suffix can be an underscore-boundary suffix of another's, and a
+      // loose glob would sweep the OTHER dataset's live scratch
+      val own = ("ann_pairs_[0-9a-f]{8}_" +
+        java.util.regex.Pattern.quote(suffix)).r
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "ann_pairs_*")))
         .getOrElse(Array.empty)
+        .filter(s => own.pattern.matcher(s.getPath.getName).matches())
         .foreach(s => fs.delete(s.getPath, true))
       val out = graft.sources.Formats.tmp(
         s"ann_pairs_${java.util.UUID.randomUUID().toString.take(8)}", dir)
@@ -216,9 +222,13 @@ object Similarity {
       // codegen'd
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("xd"))
+      // coalesce: a NULL embedding must keep its bucket-0 rows (the
+      // dot_d fold's otherwise(0) behavior), not vanish from the join
       .select(col("vec_id"),
-        posexplode(call_function("lsh_buckets",
-          col("xd"), lit(dim), lit(NumTables), lit(NumPlanes)))
+        posexplode(coalesce(
+          call_function("lsh_buckets",
+            col("xd"), lit(dim), lit(NumTables), lit(NumPlanes)),
+          typedlit(Seq.fill(NumTables)(0L))))
           .as(Seq("table", "bucket")))
   }
 

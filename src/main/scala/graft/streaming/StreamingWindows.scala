@@ -84,6 +84,15 @@ object StreamingWindows {
     runToMemory(spark, stream, "complete", "stream_hourly")
   }
 
+  /** (user_id, exact integer cents) — the typed input both stateful
+    * totals twins consume, defined once so they stay provably identical. */
+  private def typedCents(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    eventStream(spark, dir)
+      .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
+      .as[(Long, Long)]
+  }
+
   /** Per-user lifetime totals via arbitrary stateful processing
     * (`mapGroupsWithState`) — the custom-state API a streaming pipeline
     * uses where windowed aggregation can't express the logic. State here
@@ -96,15 +105,6 @@ object StreamingWindows {
     * store is RocksDB and keys stream out incrementally — the plumbing
     * (groupByKey, typed state, timeout handling slot) is identical.
     */
-  /** (user_id, exact integer cents) — the typed input both stateful
-    * totals twins consume, defined once so they stay provably identical. */
-  private def typedCents(spark: SparkSession, dir: String) = {
-    import spark.implicits._
-    eventStream(spark, dir)
-      .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
-      .as[(Long, Long)]
-  }
-
   def streamUserTotals(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val typed = typedCents(spark, dir)

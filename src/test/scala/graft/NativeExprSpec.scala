@@ -71,7 +71,11 @@ class NativeExprSpec extends AnyFunSuite {
 
   test("lsh_buckets equals the dot_d-fold hyperplane formulation") {
     graft.functions.DotProduct.register(spark)
-    val dim = 64
+    // dim from the DATA, as lshBuckets derives it — hardcoding would let
+    // a dimensionality change degrade both sides to all-zero buckets and
+    // pin nothing
+    val dim = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+      .selectExpr("size(embedding)").head.getInt(0)
     val tables = graft.operators.Similarity.NumTables
     val planes = graft.operators.Similarity.NumPlanes
     // the formulation lsh_buckets replaced: per table, Horner fold of
@@ -98,10 +102,28 @@ class NativeExprSpec extends AnyFunSuite {
         array((0 until tables).map(bucketFor): _*).as("ref"))
       .collect()
     assert(both.nonEmpty)
+    assert(both.exists(_.getSeq[Long](1).exists(_ != 0L)),
+      "degenerate all-zero buckets — the equivalence would pin nothing")
     both.foreach { r =>
       assert(r.getSeq[Long](1) === r.getSeq[Long](2),
         s"bucket mismatch for vec ${r.getLong(0)}")
     }
+  }
+
+  test("lsh_buckets degraded inputs: ragged/null-element → zero buckets, null → null") {
+    graft.functions.DotProduct.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq(Some(1.0), Some(2.0)))),            // ragged (dim=4 below)
+      (2L, Some(Seq(Some(1.0), None, Some(3.0), Some(4.0)))), // null element
+      (3L, None)                                        // null array
+    ).toDF("id", "xd")
+    val rows = df.select(col("id"),
+      call_function("lsh_buckets", col("xd"), lit(4), lit(2), lit(3)).as("b"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getSeq[Long](1) === Seq(0L, 0L)) // ragged
+    assert(rows(1).getSeq[Long](1) === Seq(0L, 0L)) // null element
+    assert(rows(2).isNullAt(1))                     // null input → null
   }
 
   test("dot_d null semantics: ragged lengths and null elements yield null") {
