@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the native expressions against the HOF forms they
+  * replace, over RANDOM inputs (the NativeExprSpec equivalences run on
+  * corpus data, which can't reach ragged/empty/adversarial shapes).
+  * Raw ScalaCheck generators sampled deterministically, one Spark job
+  * per property — the per-row comparison happens on collected results.
+  */
+class NativeExprPropSpec extends AnyFunSuite {
+
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+
+  test("property: dot_l == HOF aggregate(zip_with) incl. ragged pairs") {
+    graft.functions.DotProduct.register(spark)
+    val arr = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, Gen.choose(-1000L, 1000L)))
+    val pairs = sample(Gen.zip(arr, arr), 300)
+    val rows = pairs.toDF("a", "b").select(
+      expr("dot_l(a, b)").as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+    }
+  }
+
+  test("property: dot_d == HOF bit-exactly incl. ragged pairs") {
+    graft.functions.DotProduct.register(spark)
+    val arr = Gen.choose(0, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(-10.0, 10.0)))
+    val pairs = sample(Gen.zip(arr, arr), 300)
+    val rows = pairs.toDF("a", "b").select(
+      expr("dot_d(a, b)").as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+          java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("property: count_in == HOF size(filter(isin)) incl. empty arrays") {
+    graft.functions.CountIn.register(spark)
+    val stops = Seq("the", "a", "of")
+    val word = Gen.oneOf("the", "a", "of", "and", "cat", "dog", "")
+    val arr = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, word))
+    val rows = sample(arr, 300).map(Tuple1(_)).toDF("w").select(
+      call_function("count_in", col("w"), typedlit(stops)).as("native"),
+      size(filter(col("w"), t => t.isin(stops.map(lit): _*))).cast("long").as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
+  test("property: minhash_sigs == nested-HOF form incl. empty/dup sets") {
+    graft.functions.MinHash.register(spark)
+    val K = 4
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val arr = Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, word))
+    val rows = sample(arr, 300).map(Tuple1(_)).toDF("sh").select(
+      call_function("minhash_sigs", col("sh"), lit(K)).as("native"),
+      transform(sequence(lit(0), lit(K - 1)),
+        k => array_min(transform(col("sh"), s => xxhash64(k, s)))).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val native = r.getSeq[Long](0)
+      // HOF yields nulls for empty sets where the native form yields the
+      // documented sentinel — translate before comparing
+      val hof = (0 until K).map { i =>
+        if (r.getSeq[Any](1)(i) == null) graft.functions.MinHashSigs.EmptySlot
+        else r.getSeq[Long](1)(i)
+      }
+      assert(native === hof)
+    }
+  }
+}
