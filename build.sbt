@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // keep round-trip scratch inside the repo (the library default is
+  // java.io.tmpdir; see graft.sources.Formats.tmp)
+  s"-Dgraft.scratch.dir=${baseDirectory.value}/target/scratch",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
