@@ -221,6 +221,53 @@ object TextAnalysis {
       |  w[1] AS first_tok
       |FROM tok""".stripMargin
 
+  /** Top-3 TF-IDF terms per document — the classic distinctive-term
+    * extractor. Term frequency and document frequency are two
+    * aggregations over the exploded tokens (each with map-side partial
+    * agg; they group by different keys, so two scans beat forcing one
+    * through a foreign exchange), joined on the word, idf from a
+    * broadcast one-row doc count. The score is rounded in the DECIMAL
+    * domain (6 dp) on BOTH engines and the per-doc ranking orders by
+    * that rounded value — `ln` is the one transcendental in the engine,
+    * and JVM Math.log vs libm may differ in the last ulp, so neither
+    * the emitted value nor the top-3 selection may depend on raw-double
+    * ordering. Rank ≤ 3 plans through Spark's WindowGroupLimit (bounded
+    * per-partition top-k, no full window sort).
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val ndocs = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "word")
+      .crossJoin(broadcast(ndocs))
+      .select(col("doc_id"), col("word"), col("tf"),
+        (col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")))
+          .cast("decimal(18,6)").cast("double").as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("doc_id"), col("word"), col("tf"), col("tfidf"))
+  }
+
+  val textTfidfSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($TokSql) AS word FROM documents),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT doc_id, tf.word AS word, tf.tf AS tf,
+      |        CAST(CAST(CAST(tf.tf AS DOUBLE)
+      |          * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS DECIMAL(18,6)) AS DOUBLE) AS tfidf
+      |      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+      |r AS (SELECT doc_id, word, tf, tfidf,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word ASC) AS rn
+      |      FROM s)
+      |SELECT doc_id, word, tf, tfidf FROM r WHERE rn <= 3""".stripMargin
+
   // ---- fingerprinting --------------------------------------------------------
 
   /** Order-insensitive document fingerprint: md5 over the sorted distinct
@@ -244,6 +291,7 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_top_terms" -> (textTopTerms _),
+    "text_tfidf" -> (textTfidf _),
     "text_fingerprint" -> (textFingerprint _),
     "text_array_fns" -> (textArrayFns _))
 
@@ -253,6 +301,7 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_top_terms" -> textTopTermsSql,
+    "text_tfidf" -> textTfidfSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_array_fns" -> textArrayFnsSql)
 }
