@@ -229,10 +229,15 @@ object TextAnalysis {
     * broadcast one-row doc count. The score is rounded in the DECIMAL
     * domain (6 dp) on BOTH engines and the per-doc ranking orders by
     * that rounded value — `ln` is the one transcendental in the engine,
-    * and JVM Math.log vs libm may differ in the last ulp, so neither
-    * the emitted value nor the top-3 selection may depend on raw-double
-    * ordering. Rank ≤ 3 plans through Spark's WindowGroupLimit (bounded
-    * per-partition top-k, no full window sort).
+    * and JVM Math.log vs libm may differ in the last ulp. The rounding
+    * cannot fully ELIMINATE that dependence (a product landing within
+    * ~1 ulp of a 6-dp half boundary could still round apart — a
+    * ~1e-10-per-value coincidence, none of which occur at any shipped
+    * SF; exact-transcendental parity is unattainable without a rational
+    * log), but it shrinks the exposure from every bit of every score to
+    * that boundary sliver. Rank ≤ 3 plans through Spark's
+    * WindowGroupLimit (bounded per-partition top-k, no full window
+    * sort).
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -64,6 +64,56 @@ class NativeExprPropSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("property: lsh_buckets == dot_d fold incl. ragged and null elements") {
+    graft.functions.DotProduct.register(spark)
+    val dim = 4
+    val tables = 2
+    val planes = 3
+    def planeW(t: Int, p: Int): Seq[Double] =
+      (0 until dim).map { d =>
+        val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+          org.apache.spark.sql.catalyst.expressions.Literal(t),
+          org.apache.spark.sql.catalyst.expressions.Literal(p),
+          org.apache.spark.sql.catalyst.expressions.Literal(d)))
+          .eval(null).asInstanceOf[Long]
+        if (math.floorMod(h, 2L) == 0L) 1.0 else -1.0
+      }
+    def bucketFor(t: Int) =
+      (0 until planes).foldLeft(lit(0L): org.apache.spark.sql.Column) { (acc, p) =>
+        acc * 2 + when(
+          call_function("dot_d", col("xd"), typedlit(planeW(t, p))) > 0, 1L)
+          .otherwise(0L)
+      }
+    // random lengths 0..6 (ragged vs dim=4) with occasional null elements
+    val elem = Gen.frequency(9 -> Gen.choose(-5.0, 5.0).map(Option(_)), 1 -> Gen.const(None))
+    val arr = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, elem))
+    val rows = sample(arr, 300).map(Tuple1(_)).toDF("xd").select(
+      call_function("lsh_buckets", col("xd"), lit(dim), lit(tables), lit(planes)).as("native"),
+      array((0 until tables).map(bucketFor): _*).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
+
+  test("property: minhash_union == element-wise min over random groups") {
+    graft.functions.MinHash.register(spark)
+    val K = 4
+    val sig = Gen.listOfN(K, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+    val keyed = Gen.zip(Gen.choose(0, 5), sig)
+    val data = sample(keyed, 300)
+    val expected: Map[Int, Seq[Long]] = data.groupBy(_._1).map { case (k, rs) =>
+      k -> (0 until K).map(i => rs.map(_._2(i)).min)
+    }
+    val got = data.toDF("k", "mh")
+      .groupBy("k")
+      .agg(call_function("minhash_union", col("mh"), lit(K)).as("sk"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (k, sk) => assert(sk === expected(k), s"key $k") }
+  }
+
   test("property: minhash_sigs == nested-HOF form incl. empty/dup sets") {
     graft.functions.MinHash.register(spark)
     val K = 4
