@@ -228,8 +228,20 @@ object Dedup {
     * fingerprint into 4 16-bit banks; any pair at Hamming ≤ 3 shares at
     * least one intact bank, so an equi-join on (bank_idx, bank_value)
     * finds all of them without an all-pairs comparison. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val fps = simhashFingerprints(spark, dir).repartition(col("doc_id"))
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
+    simhashPairsFrom(simhashFingerprints(spark, dir), maxHamming)
+
+  /** The pigeonhole pair join over an explicit `(doc_id, simhash)`
+    * relation — split out so SimhashPairsSpec can plant fingerprints at
+    * known Hamming distances and hard-assert exactness (4 intact-bank
+    * candidates + an exact bit_count filter = EXACT result for ≤ 3, not
+    * a recall floor). `maxHamming` must stay ≤ 3: with 4 banks the
+    * pigeonhole only guarantees an intact shared bank up to 3 flipped
+    * bits; a larger radius needs more/narrower banks. */
+  def simhashPairsFrom(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-bank pigeonhole is exact only for Hamming <= 3, got $maxHamming")
+    val fps = fingerprints.repartition(col("doc_id"))
     val banks = fps.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("bank"),
@@ -253,7 +265,8 @@ object Dedup {
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_sketch_sources" -> (dedupSketchSources _),
-    "dedup_simhash" -> (dedupSimhash _))
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -261,5 +274,7 @@ object Dedup {
     // LSH output provably equals the exact-Jaccard result on this corpus
     // (see dedupMinhashLsh doc) — same oracle.
     "dedup_minhash_lsh" -> dedupNearJaccardSql)
-    // dedup_simhash: hash-family-dependent fingerprints — rows-only check.
+    // dedup_simhash / dedup_simhash_pairs: hash-family-dependent
+    // (xxhash64-derived fingerprints) — rows-only checks; SimhashPairsSpec
+    // hard-asserts the pair join's exactness on planted fingerprints.
 }

@@ -169,6 +169,60 @@ object StreamingWindows {
     runToMemory(spark, sessions, "complete", "stream_sessions")
   }
 
+  /** The PRODUCTION sessionization path: `session_window` in APPEND mode
+    * with a REAL watermark (3 days, well inside the events table's ~30-day
+    * span — unlike the complete-mode harness twin whose 365-day watermark
+    * never drops anything). The eviction contract this verifies: a session
+    * is emitted (and its state evicted) exactly when the watermark passes
+    * its window end, where a session window's end is `last event + gap`
+    * and the final watermark is `max(ts) − 3 days` (AvailableNow runs a
+    * terminal no-data micro-batch so the last watermark advance flushes
+    * closed sessions). Sessions still open at that watermark — the ~3-day
+    * tail — stay in state and are NOT emitted, which is precisely the
+    * bounded-state guarantee that makes unbounded streams tractable: state
+    * holds only sessions younger than the watermark delay. The oracle is
+    * the batch gaps-and-islands SQL time-truncated by the same predicate,
+    * so the emission boundary itself is hash-checked.
+    */
+  def streamSessionsAppend(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = eventStream(spark, dir)
+      .withWatermark("ts", "3 days")
+      .groupBy(
+        session_window(col("ts"), graft.operators.Events.SessionGap).as("w"),
+        col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"))
+      .select(col("user_id"), col("sess_start"), col("n_events"),
+        expr("dur_us div 1000000").as("dur_sec"))
+    runToMemory(spark, sessions, "append", "stream_sessions_append")
+  }
+
+  /** Batch twin of the append-mode emission: sessions whose window end
+    * (last event + gap) the final watermark (global max ts − 3 days) has
+    * passed. */
+  val streamSessionsAppendSql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL '30 minutes'
+      |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM d)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+      |  count(*) AS n_events,
+      |  CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS dur_sec
+      |FROM s GROUP BY user_id, sess
+      |HAVING max(ts) + INTERVAL '30 minutes'
+      |     < (SELECT max(ts) FROM events) - INTERVAL '3 days'""".stripMargin
+
   /** The mapGroupsWithState totals re-expressed through
     * `transformWithState` ([[RunningTotalsProcessor]]) — exercising the
     * new API's typed state handle end-to-end. transformWithState
@@ -284,6 +338,7 @@ object StreamingWindows {
     "stream_user_totals" -> (streamUserTotals _),
     "stream_user_totals_tws" -> (streamUserTotalsTws _),
     "stream_sessions" -> (streamSessions _),
+    "stream_sessions_append" -> (streamSessionsAppend _),
     "stream_sessions_stateful" -> (streamSessionsStateful _),
     "stream_stream_join" -> (streamStreamJoin _))
 
@@ -292,6 +347,7 @@ object StreamingWindows {
     "stream_user_totals" -> streamUserTotalsSql,
     "stream_user_totals_tws" -> streamUserTotalsSql,
     "stream_sessions" -> graft.operators.Events.eventsSessionsSql,
+    "stream_sessions_append" -> streamSessionsAppendSql,
     "stream_sessions_stateful" -> graft.operators.Events.eventsSessionsSql,
     "stream_stream_join" -> streamStreamJoinSql)
 }
