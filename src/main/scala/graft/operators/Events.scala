@@ -46,6 +46,32 @@ object Events {
       |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS k_avg
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** The same extraction through Spark 4's VARIANT type — the
+    * semi-structured path for when props have no fixed schema (from_json
+    * needs one up front; parse_json does not). `parse_json` shreds the
+    * JSON into the binary variant encoding once at the scan, and
+    * `variant_get` does typed path extraction — at 100 TB this is the
+    * difference between parsing JSON text per field access and walking a
+    * compact binary tree. Same aggregate domain as eventsJsonKv, so the
+    * two extraction routes are verified against each other through the
+    * shared DuckDB oracle shape.
+    */
+  def eventsVariant(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("k_sum"),
+        max(col("k")).as("k_max"))
+
+  val eventsVariantSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+      |  max(CAST(props->>'k' AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---- tumbling window -----------------------------------------------------
 
   /** Tumbling 1-hour windows per event type: the canonical streaming agg
@@ -223,6 +249,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_json_kv" -> (eventsJsonKv _),
+    "events_variant" -> (eventsVariant _),
     "events_hourly" -> (eventsHourly _),
     "events_sliding" -> (eventsSliding _),
     "events_sessions" -> (eventsSessions _),
@@ -233,6 +260,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_json_kv" -> eventsJsonKvSql,
+    "events_variant" -> eventsVariantSql,
     "events_hourly" -> eventsHourlySql,
     "events_sliding" -> eventsSlidingSql,
     "events_sessions" -> eventsSessionsSql,

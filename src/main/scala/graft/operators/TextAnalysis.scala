@@ -290,7 +290,34 @@ object TextAnalysis {
 
   // ---- registry --------------------------------------------------------------
 
+  /** Deterministic train/val/test split — the assignment step every
+    * training corpus needs before anything touches it. The split key is
+    * `md5(doc_id)` compared LEXICOGRAPHICALLY against hex-prefix
+    * thresholds: md5 hex is uniform, so `< "cc"` ≈ 204/256 ≈ 79.7%
+    * train, `< "e6"` ≈ 10.2% val, rest test. Properties that matter at
+    * 100 TB: stateless and shuffle-free (a pure projection — each
+    * executor assigns its rows with no coordination), stable across
+    * reruns/engines (no RNG, no partition-order dependence — the same
+    * doc lands in the same split forever, which is what keeps eval sets
+    * uncontaminated as the corpus grows), and exact-oracle-checkable
+    * since both engines agree on md5 hex and ASCII comparison.
+    */
+  def docSampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+  }
+
+  val docSampleSplitSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+      |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_sample_split" -> (docSampleSplit _),
     "text_stats" -> (textStats _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_langid" -> (textLangid _),
@@ -301,6 +328,7 @@ object TextAnalysis {
     "text_array_fns" -> (textArrayFns _))
 
   val oracles: Map[String, String] = Map(
+    "doc_sample_split" -> docSampleSplitSql,
     "text_stats" -> textStatsSql,
     "text_quality_filter" -> textQualityFilterSql,
     "text_langid" -> textLangidSql,

@@ -56,6 +56,16 @@ object StreamingWindows {
     * parallelism. */
   private def runToMemory(spark: SparkSession, df: DataFrame,
       mode: String, prefix: String): DataFrame = {
+    // Sweep THIS query's earlier memory-sink tables before registering a
+    // new one: the nanoTime-suffixed names otherwise accumulate temp
+    // views (and their cached rows) without bound over a long session.
+    // Same contract as the Formats round-trips — a new call invalidates
+    // DataFrames returned by earlier calls of the same query, never
+    // another query's (prefix + digits-only suffix is matched exactly).
+    val own = s"${java.util.regex.Pattern.quote(prefix)}_[0-9]+".r
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && own.pattern.matcher(t.name).matches())
+      .foreach(t => spark.catalog.dropTempView(t.name))
     val tableName = s"${prefix}_${System.nanoTime()}"
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -297,6 +307,37 @@ object StreamingWindows {
     runToMemory(spark, sessions, "append", "stream_sessions_stateful")
   }
 
+  /** Streaming DEDUPLICATION — the at-least-once-delivery compaction every
+    * ingest pipeline runs before anything else.
+    * `dropDuplicatesWithinWatermark` keeps one state entry per key and
+    * EVICTS it once the watermark passes the key's event time — the
+    * operator whose state stays bounded over an unbounded stream (plain
+    * `dropDuplicates` on a derived key would hold state forever: its
+    * eviction needs the event-time column inside the key). Key here is
+    * (user_id, event_type, day) — a daily unique-activity compaction —
+    * and ONLY the key columns are emitted: which physical row survives a
+    * streaming dedup is arrival-order-dependent, so emitting non-key
+    * columns would be nondeterministic, while the surviving KEY SET is
+    * exact and hash-checked against `SELECT DISTINCT`. The oversized
+    * watermark means no key is evicted mid-stream, so dedup-within-
+    * watermark equals global dedup exactly, as the other harness twins.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withWatermark("ts", "365 days")
+      .select(col("user_id"), col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      .select(col("user_id"), col("event_type"), col("day"))
+    runToMemory(spark, deduped, "append", "stream_dedup")
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type,
+      |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      |FROM events""".stripMargin
+
   /** Stream-stream INNER JOIN with an event-time range: each click joined
     * to the same user's purchases within the following hour. Both sides
     * carry watermarks and the join condition bounds event-time distance —
@@ -340,6 +381,7 @@ object StreamingWindows {
     "stream_sessions" -> (streamSessions _),
     "stream_sessions_append" -> (streamSessionsAppend _),
     "stream_sessions_stateful" -> (streamSessionsStateful _),
+    "stream_dedup" -> (streamDedup _),
     "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -349,5 +391,6 @@ object StreamingWindows {
     "stream_sessions" -> graft.operators.Events.eventsSessionsSql,
     "stream_sessions_append" -> streamSessionsAppendSql,
     "stream_sessions_stateful" -> graft.operators.Events.eventsSessionsSql,
+    "stream_dedup" -> streamDedupSql,
     "stream_stream_join" -> streamStreamJoinSql)
 }
