@@ -521,6 +521,32 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
   }
 
+  /** Correlated LATERAL join — per-nation top-2 customers by balance,
+    * expressed as the SQL shape users actually write (`, LATERAL
+    * (SELECT ... WHERE corr ORDER BY ... LIMIT 2)`). Catalyst
+    * decorrelates the limited subquery into the same window/rank plan
+    * the DataFrame `q_window_topn` builds by hand — the point of the
+    * query: the declarative form costs nothing over the manual rewrite.
+    * Unique tiebreak (c_name) keeps the top-2 deterministic for the
+    * hash compare. */
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("lat_nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
+    spark.sql(
+      """SELECT n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        |FROM lat_nation,
+        |LATERAL (SELECT c_name, c_acctbal FROM lat_customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t""".stripMargin)
+  }
+
+  val qLateralSql: String =
+    """SELECT n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
+      |FROM nation,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t""".stripMargin
+
   val qGroupingSetsSql: String =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
@@ -735,6 +761,7 @@ object Relational {
     "q_join_outer" -> (qJoinOuter _),
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_lateral" -> (qLateral _),
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_range_join" -> (qRangeJoin _),
@@ -771,6 +798,7 @@ object Relational {
     "q_join_outer" -> qJoinOuterSql,
     "q_join_full_outer" -> qJoinFullOuterSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_lateral" -> qLateralSql,
     "q_exists_subquery" -> qExistsSubquerySql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_range_join" -> qRangeJoinSql,

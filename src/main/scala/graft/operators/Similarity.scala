@@ -46,14 +46,26 @@ object Similarity {
 
   private def normSqL(a: Column): Column = dotL(a, a)
 
-  /** vec_id → (quantized vector, squared norm), one exchange. */
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+  /** vec_id → (quantized vector, squared norm) as a pure projection —
+    * no exchange. The right input for single-pass consumers (top-k
+    * scoring scans): the corpus side stays scan-partitioned and
+    * shuffle-free. */
+  private def quantizedPlain(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), quant(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), normSqL(col("qe")).as("nsq"))
-      .repartition(col("vec_id"))
   }
+
+  /** [[quantizedPlain]] behind a repartition barrier — for consumers
+    * that read the relation MORE THAN ONCE in a self-join (pair scans,
+    * LSH): the exchange materializes the quantization once and
+    * ReuseExchange shares it across both sides, instead of
+    * re-quantizing 64-element arrays per pair (59 s vs ~8 s at sf0.1,
+    * header note). Single-pass consumers should use the plain form —
+    * the barrier would be a gratuitous full-corpus shuffle at 100 TB. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    quantizedPlain(spark, dir).repartition(col("vec_id"))
 
   /** Cosine from precomputed (qe, nsq) pairs: one dot product per pair. */
   private def cosinePre(qa: Column, qb: Column, nsqa: Column, nsqb: Column): Column =
@@ -64,7 +76,7 @@ object Similarity {
   /** Top-10 nearest neighbours of vec_id=0 by quantized cosine;
     * TakeOrderedAndProject keeps the top-k without a global sort. */
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val q = quantized(spark, dir)
+    val q = quantizedPlain(spark, dir)
     val qv = q.filter(col("vec_id") === 0)
       .select(col("qe").as("qb"), col("nsq").as("nsqb"))
     q.filter(col("vec_id") =!= 0)
@@ -106,7 +118,7 @@ object Similarity {
 
   def annTopkBatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = quantized(spark, dir)
+    val q = quantizedPlain(spark, dir)
     val queries = q.filter(col("vec_id") < BatchQueryCount)
       .select(col("vec_id").as("query_id"), col("qe").as("qb"), col("nsq").as("nsqb"))
     q.crossJoin(broadcast(queries))

@@ -94,6 +94,20 @@ object StreamingWindows {
     runToMemory(spark, stream, "complete", "stream_hourly")
   }
 
+  /** Streaming twin of Events.eventsSliding: HOPPING windows (1 h window,
+    * 30 min slide) — each event lands in two open windows, so the
+    * stateful agg holds two window entries per grid point, evicted as the
+    * watermark passes each window end. Same complete-mode harness
+    * contract as streamHourly; oracle = the batch sliding SQL. */
+  def streamSliding(spark: SparkSession, dir: String): DataFrame = {
+    val stream = eventStream(spark, dir)
+      .withWatermark("ts", "365 days")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("n"))
+    runToMemory(spark, stream, "complete", "stream_sliding")
+  }
+
   /** (user_id, exact integer cents) — the typed input both stateful
     * totals twins consume, defined once so they stay provably identical. */
   private def typedCents(spark: SparkSession, dir: String) = {
@@ -376,6 +390,7 @@ object StreamingWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> (streamHourly _),
+    "stream_sliding" -> (streamSliding _),
     "stream_user_totals" -> (streamUserTotals _),
     "stream_user_totals_tws" -> (streamUserTotalsTws _),
     "stream_sessions" -> (streamSessions _),
@@ -386,6 +401,7 @@ object StreamingWindows {
 
   val oracles: Map[String, String] = Map(
     "stream_hourly" -> graft.operators.Events.eventsHourlySql,
+    "stream_sliding" -> graft.operators.Events.eventsSlidingSql,
     "stream_user_totals" -> streamUserTotalsSql,
     "stream_user_totals_tws" -> streamUserTotalsSql,
     "stream_sessions" -> graft.operators.Events.eventsSessionsSql,
