@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingWindows
+
+/** Planted-data pins for the append-mode streaming semantics — the two
+  * operators whose OUTPUT depends on the watermark, where the corpus
+  * oracle checks the boundary only incidentally. Events are constructed
+  * so session/watermark relationships are unambiguous (days apart, no
+  * boundary coincidences):
+  *
+  *   user 1: t0, t0+10min        → closed session (2 events)
+  *   user 2: t0+5min             → closed session (1 event)
+  *   user 1: t0+20d              → open tail; also drives the watermark
+  *
+  * Final watermark = max(ts) − 3d = t0+17d: both early sessions ended
+  * (last event + 30 min gap) far before it → MUST be emitted; the tail
+  * session is open at the watermark → MUST NOT be. The same planted file
+  * pins stream_dedup: all events share event_type, so the surviving key
+  * set is the three distinct (user, type, day) tuples.
+  */
+class AppendStreamSpec extends AnyFunSuite {
+
+  private val T0 = 1704067200000000000L // 2024-01-01T00:00:00Z in nanos
+  private val Min = 60L * 1000 * 1000 * 1000
+  private val Day = 24 * 60 * Min
+
+  /** Write the planted events as a single `events.parquet` FILE (the
+    * layout eventStream's pathGlobFilter expects). */
+  private def plantedDir(): String = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_append_spec")
+    val stage = root.resolve("stage")
+    Seq(
+      (1L, T0, 1L, "click", 1.0, """{"k": 1}"""),
+      (2L, T0 + 10 * Min, 1L, "click", 1.0, """{"k": 2}"""),
+      (3L, T0 + 5 * Min, 2L, "click", 1.0, """{"k": 3}"""),
+      (4L, T0 + 20 * Day, 1L, "click", 1.0, """{"k": 4}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(stage.toString)
+    val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val dataDir = root.resolve("data")
+    Files.createDirectories(dataDir)
+    Files.move(part, dataDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    dataDir.toString
+  }
+
+  test("append sessions: watermark-closed sessions emitted, open tail held back") {
+    val dir = plantedDir()
+    val out = StreamingWindows.queries("stream_sessions_append")(TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = Set(
+      (1L, "2024-01-01 00:00:00.000000", 2L, 600L), // 2-event session, 10 min
+      (2L, "2024-01-01 00:05:00.000000", 1L, 0L))   // singleton session
+    assert(out === want,
+      s"append emission wrong: got $out — the t0+20d open session must be absent")
+  }
+
+  test("stream dedup: surviving key set is the distinct (user, type, day) tuples") {
+    val dir = plantedDir()
+    val out = StreamingWindows.queries("stream_dedup")(TestSpark.spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    val want = Set(
+      (1L, "click", "2024-01-01"),
+      (2L, "click", "2024-01-01"),
+      (1L, "click", "2024-01-21"))
+    assert(out === want)
+  }
+}
