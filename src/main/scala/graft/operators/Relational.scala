@@ -521,6 +521,36 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
   }
 
+  /** UNPIVOT (wide → long reshape): two per-flag measures melted into
+    * (flag, measure, value) rows — the normalization step feature
+    * pipelines run before generic per-metric processing. `Dataset
+    * .unpivot` plans as an Expand (each input row fans out to one row
+    * per measure inside the same stage): no shuffle beyond the
+    * aggregation's own, no join, and the fan-out happens AFTER the
+    * aggregation collapses the table, so the reshaped relation is
+    * group-count-sized, not input-sized. Oracle is the engine-neutral
+    * UNION ALL form. */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")),
+        "measure", "value")
+
+  val qUnpivotSql: String =
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |    sum(l_quantity) AS sum_qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a""".stripMargin
+
   /** Correlated LATERAL join — per-nation top-2 customers by balance,
     * expressed as the SQL shape users actually write (`, LATERAL
     * (SELECT ... WHERE corr ORDER BY ... LIMIT 2)`). Catalyst
@@ -762,6 +792,7 @@ object Relational {
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_lateral" -> (qLateral _),
+    "q_unpivot" -> (qUnpivot _),
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_range_join" -> (qRangeJoin _),
@@ -799,6 +830,7 @@ object Relational {
     "q_join_full_outer" -> qJoinFullOuterSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_lateral" -> qLateralSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_exists_subquery" -> qExistsSubquerySql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_range_join" -> qRangeJoinSql,
