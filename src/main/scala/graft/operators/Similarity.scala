@@ -510,6 +510,92 @@ object Similarity {
       .select(col("vec_id"), (-col("best.neg_nn")).as("nn"), col("best.sim").as("sim"))
   }
 
+  /** IVF batch top-k — [[annIvfTop1]]'s machinery serving the realistic
+    * request shape: top-10 neighbours for each of the [[BatchQueryCount]]
+    * query vectors, probing [[IvfProbes]] inverted lists per query. The
+    * exact twin (`ann_topk_batch`) is the accuracy reference:
+    * AnnRecallSpec pins recall@10 against it. Two scale properties the
+    * top-1 variant doesn't show: (a) per-cluster candidate generation
+    * keeps a BOUNDED top-10 per (query, cluster) via a primitive
+    * insertion buffer — ≤ nprobe·10 candidate rows per query leave the
+    * inverted-list scan, however long the lists are; (b) every member
+    * belongs to exactly ONE inverted list (its primary cluster), so
+    * per-cluster winners are disjoint and the global per-query rank
+    * needs no dedup — a tiny 32-key window over ≤ nprobe·10 rows. */
+  def annIvfTopkBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(ivfCentroids(spark, dir))
+    val probesN = IvfProbes
+    val nQueries = BatchQueryCount
+    val tagged = quantized(spark, dir).as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.flatMap { case (id, qe, nsq) =>
+          val scored = cs.map { case (ci, qc, qcn) =>
+            var dot = 0L
+            var i = 0
+            val n = math.min(qe.length, qc.length)
+            while (i < n) { dot += qe(i) * qc(i); i += 1 }
+            (qcn - 2L * dot, ci)
+          }.sorted
+          val member = Iterator.single((scored.head._2, false, id, qe, nsq))
+          val queries =
+            if (id < nQueries)
+              scored.iterator.take(probesN).map { case (_, c) => (c, true, id, qe, nsq) }
+            else Iterator.empty
+          member ++ queries
+        }
+      }
+    val perCluster = tagged
+      .toDF("cluster", "is_q", "vec_id", "qe", "nsq")
+      .repartition(col("cluster"))
+      .as[(Int, Boolean, Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        val members = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
+        val queries = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
+        it.foreach { case (c, isQ, id, qe, nsq) =>
+          (if (isQ) queries else members)
+            .getOrElseUpdate(c, mutable.ArrayBuffer.empty) += ((id, qe, nsq))
+        }
+        queries.iterator.flatMap { case (c, qs) =>
+          val ms = members.getOrElse(c, mutable.ArrayBuffer.empty)
+          qs.iterator.flatMap { case (qid, qqe, qnsq) =>
+            // bounded top-10 insertion buffer: (sim desc, id asc) order
+            val simB = Array.fill(10)(Double.NegativeInfinity)
+            val idB = Array.fill(10)(Long.MaxValue)
+            var used = 0
+            ms.foreach { case (mid, mqe, mnsq) =>
+              if (mid != qid) {
+                var dot = 0L
+                var i = 0
+                while (i < qqe.length) { dot += qqe(i) * mqe(i); i += 1 }
+                val sim = dot.toDouble / math.sqrt((qnsq * mnsq).toDouble)
+                var pos = used
+                while (pos > 0 && (sim > simB(pos - 1) ||
+                  (sim == simB(pos - 1) && mid < idB(pos - 1)))) pos -= 1
+                if (pos < 10) {
+                  val last = math.min(used, 9)
+                  var j = last
+                  while (j > pos) { simB(j) = simB(j - 1); idB(j) = idB(j - 1); j -= 1 }
+                  simB(pos) = sim; idB(pos) = mid
+                  if (used < 10) used += 1
+                }
+              }
+            }
+            (0 until used).iterator.map(i => (qid, idB(i), simB(i)))
+          }
+        }
+      }
+    perCluster.toDF("query_id", "vec_id", "sim")
+      .withColumn("rk",
+        row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("vec_id").asc)).cast("long"))
+      .filter(col("rk") <= 10)
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -521,7 +607,8 @@ object Similarity {
     // the coverage mapping is explicit
     "dedup_embedding_cosine" -> (annPairsBruteforce _),
     "ann_lsh_top1" -> (annLshTop1 _),
-    "ann_ivf_top1" -> (annIvfTop1 _))
+    "ann_ivf_top1" -> (annIvfTop1 _),
+    "ann_ivf_topk" -> (annIvfTopkBatch _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_bruteforce" -> annTopkBruteforceSql,

@@ -61,6 +61,25 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.9, f"IVF recall@1 degraded: $r%.3f < 0.9")
   }
 
+  test("IVF batch recall@10 >= 0.9 vs the exact batch twin at sf0.001") {
+    import spark.implicits._
+    // exact per-query 10th-best sim from the oracle-checked exact twin
+    val exact = Similarity.annTopkBatch(spark, TestSpark.Sf0001)
+      .select(col("query_id"), col("sim")).as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).min }
+    val ivf = Similarity.annIvfTopkBatch(spark, TestSpark.Sf0001)
+      .select(col("query_id"), col("sim")).as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2) }
+    // tie-robust hit rule: an IVF neighbour counts if its sim reaches the
+    // exact 10th-best — quality-equivalent neighbours aren't penalized
+    val recalls = exact.map { case (q, kth) =>
+      ivf.getOrElse(q, Array.empty[Double]).count(_ >= kth).min(10) / 10.0
+    }
+    val r = recalls.sum / exact.size
+    info(f"IVF batch recall@10 = $r%.3f over ${exact.size} queries")
+    assert(r >= 0.9, f"IVF batch recall@10 degraded: $r%.3f < 0.9")
+  }
+
   test("LSH recall@1 >= documented floor vs brute force at sf0.001") {
     import spark.implicits._
     val res = Similarity.annLshTop1(spark, TestSpark.Sf0001)
