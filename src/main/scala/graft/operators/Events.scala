@@ -54,12 +54,15 @@ object Events {
     * difference between parsing JSON text per field access and walking a
     * compact binary tree. Same aggregate domain as eventsJsonKv, so the
     * two extraction routes are verified against each other through the
-    * shared DuckDB oracle shape.
+    * shared DuckDB oracle shape. `try_parse_json`, not `parse_json`:
+    * the from_json twin nulls malformed props rows, and the strict
+    * variant parser would instead abort the whole query on one bad
+    * record — lenient keeps the two routes behaviorally identical.
     */
   def eventsVariant(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+        variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),

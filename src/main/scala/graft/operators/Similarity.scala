@@ -449,13 +449,35 @@ object Similarity {
     * Deterministic (seeded sample order, fixed iteration count); still
     * rows-only for the oracle — cluster boundaries are engine-side state.
     */
-  def annIvfTop1(spark: SparkSession, dir: String): DataFrame = {
+  def annIvfTop1(spark: SparkSession, dir: String): DataFrame =
+    ivfCandidates(spark, dir, k = 1, queryLimit = None)
+      .toDF("vec_id", "nn", "sim")
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("nn")).as("neg_nn"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_nn")).as("nn"), col("best.sim").as("sim"))
+
+  /** Shared inverted-list machinery behind BOTH IVF queries: assignment
+    * + probing over the broadcast centroid array, ONE shuffle on cluster
+    * id, then a per-cluster primitive rerank emitting the top-`k`
+    * candidates per (query, cluster) through a bounded insertion buffer
+    * ((sim desc, id asc) order — `k = 1` degenerates to the single best,
+    * so top-1 and top-k cannot drift apart). `queryLimit = None` makes
+    * every vector a query (the all-vectors top-1 sweep); `Some(n)`
+    * restricts queries to `vec_id < n` (the batch serving shape). The
+    * corpus is read ONCE, so quantization is the barrier-free plain
+    * projection. Every dot loop guards on min length — a ragged row
+    * must degrade like the assignment loop does, not throw. Candidates
+    * across clusters are disjoint (each member lives in exactly its
+    * primary list), so callers can rank without dedup. Returns
+    * (query_id, candidate_id, sim) rows. */
+  private def ivfCandidates(spark: SparkSession, dir: String, k: Int,
+      queryLimit: Option[Long]): DataFrame = {
     import spark.implicits._
     val bcCents = spark.sparkContext.broadcast(ivfCentroids(spark, dir))
     val probesN = IvfProbes
     // (cluster, is_query, vec_id, qe, nsq): one member row per vector
     // (its primary cluster) + one query row per probed cluster
-    val tagged = quantized(spark, dir).as[(Long, Array[Long], Long)]
+    val tagged = quantizedPlain(spark, dir).as[(Long, Array[Long], Long)]
       .mapPartitions { it =>
         val cs = bcCents.value
         it.flatMap { case (id, qe, nsq) =>
@@ -466,12 +488,15 @@ object Similarity {
             while (i < n) { dot += qe(i) * qc(i); i += 1 }
             (qcn - 2L * dot, ci) // |c|²-2x·c: cosine order, unit centroids
           }.sorted
-          val primary = scored.head._2
-          Iterator.single((primary, false, id, qe, nsq)) ++
-            scored.iterator.take(probesN).map { case (_, c) => (c, true, id, qe, nsq) }
+          val member = Iterator.single((scored.head._2, false, id, qe, nsq))
+          val queries =
+            if (queryLimit.forall(id < _))
+              scored.iterator.take(probesN).map { case (_, c) => (c, true, id, qe, nsq) }
+            else Iterator.empty
+          member ++ queries
         }
       }
-    val perCluster = tagged
+    tagged
       .toDF("cluster", "is_q", "vec_id", "qe", "nsq")
       .repartition(col("cluster")) // whole inverted lists per partition
       .as[(Int, Boolean, Long, Array[Long], Long)]
@@ -486,28 +511,34 @@ object Similarity {
         queries.iterator.flatMap { case (c, qs) =>
           val ms = members.getOrElse(c, mutable.ArrayBuffer.empty)
           qs.iterator.flatMap { case (qid, qqe, qnsq) =>
-            var bestSim = Double.NegativeInfinity
-            var bestNn = Long.MaxValue
-            var found = false
+            // bounded top-k insertion buffer: (sim desc, id asc) order
+            val simB = Array.fill(k)(Double.NegativeInfinity)
+            val idB = Array.fill(k)(Long.MaxValue)
+            var used = 0
             ms.foreach { case (mid, mqe, mnsq) =>
               if (mid != qid) {
                 var dot = 0L
                 var i = 0
-                while (i < qqe.length) { dot += qqe(i) * mqe(i); i += 1 }
+                val n = math.min(qqe.length, mqe.length)
+                while (i < n) { dot += qqe(i) * mqe(i); i += 1 }
                 val sim = dot.toDouble / math.sqrt((qnsq * mnsq).toDouble)
-                if (sim > bestSim || (sim == bestSim && mid < bestNn)) {
-                  bestSim = sim; bestNn = mid; found = true
+                var pos = used
+                while (pos > 0 && (sim > simB(pos - 1) ||
+                  (sim == simB(pos - 1) && mid < idB(pos - 1)))) pos -= 1
+                if (pos < k) {
+                  val last = math.min(used, k - 1)
+                  var j = last
+                  while (j > pos) { simB(j) = simB(j - 1); idB(j) = idB(j - 1); j -= 1 }
+                  simB(pos) = sim; idB(pos) = mid
+                  if (used < k) used += 1
                 }
               }
             }
-            if (found) Iterator.single((qid, bestNn, bestSim)) else Iterator.empty
+            (0 until used).iterator.map(i => (qid, idB(i), simB(i)))
           }
         }
       }
-    perCluster.toDF("vec_id", "nn", "sim")
-      .groupBy("vec_id")
-      .agg(max(struct(col("sim"), (-col("nn")).as("neg_nn"))).as("best"))
-      .select(col("vec_id"), (-col("best.neg_nn")).as("nn"), col("best.sim").as("sim"))
+      .toDF("query_id", "vec_id", "sim")
   }
 
   /** IVF batch top-k — [[annIvfTop1]]'s machinery serving the realistic
@@ -524,71 +555,7 @@ object Similarity {
     * needs no dedup — a tiny 32-key window over ≤ nprobe·10 rows. */
   def annIvfTopkBatch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
-    val bcCents = spark.sparkContext.broadcast(ivfCentroids(spark, dir))
-    val probesN = IvfProbes
-    val nQueries = BatchQueryCount
-    val tagged = quantized(spark, dir).as[(Long, Array[Long], Long)]
-      .mapPartitions { it =>
-        val cs = bcCents.value
-        it.flatMap { case (id, qe, nsq) =>
-          val scored = cs.map { case (ci, qc, qcn) =>
-            var dot = 0L
-            var i = 0
-            val n = math.min(qe.length, qc.length)
-            while (i < n) { dot += qe(i) * qc(i); i += 1 }
-            (qcn - 2L * dot, ci)
-          }.sorted
-          val member = Iterator.single((scored.head._2, false, id, qe, nsq))
-          val queries =
-            if (id < nQueries)
-              scored.iterator.take(probesN).map { case (_, c) => (c, true, id, qe, nsq) }
-            else Iterator.empty
-          member ++ queries
-        }
-      }
-    val perCluster = tagged
-      .toDF("cluster", "is_q", "vec_id", "qe", "nsq")
-      .repartition(col("cluster"))
-      .as[(Int, Boolean, Long, Array[Long], Long)]
-      .mapPartitions { it =>
-        import scala.collection.mutable
-        val members = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
-        val queries = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
-        it.foreach { case (c, isQ, id, qe, nsq) =>
-          (if (isQ) queries else members)
-            .getOrElseUpdate(c, mutable.ArrayBuffer.empty) += ((id, qe, nsq))
-        }
-        queries.iterator.flatMap { case (c, qs) =>
-          val ms = members.getOrElse(c, mutable.ArrayBuffer.empty)
-          qs.iterator.flatMap { case (qid, qqe, qnsq) =>
-            // bounded top-10 insertion buffer: (sim desc, id asc) order
-            val simB = Array.fill(10)(Double.NegativeInfinity)
-            val idB = Array.fill(10)(Long.MaxValue)
-            var used = 0
-            ms.foreach { case (mid, mqe, mnsq) =>
-              if (mid != qid) {
-                var dot = 0L
-                var i = 0
-                while (i < qqe.length) { dot += qqe(i) * mqe(i); i += 1 }
-                val sim = dot.toDouble / math.sqrt((qnsq * mnsq).toDouble)
-                var pos = used
-                while (pos > 0 && (sim > simB(pos - 1) ||
-                  (sim == simB(pos - 1) && mid < idB(pos - 1)))) pos -= 1
-                if (pos < 10) {
-                  val last = math.min(used, 9)
-                  var j = last
-                  while (j > pos) { simB(j) = simB(j - 1); idB(j) = idB(j - 1); j -= 1 }
-                  simB(pos) = sim; idB(pos) = mid
-                  if (used < 10) used += 1
-                }
-              }
-            }
-            (0 until used).iterator.map(i => (qid, idB(i), simB(i)))
-          }
-        }
-      }
-    perCluster.toDF("query_id", "vec_id", "sim")
+    ivfCandidates(spark, dir, k = 10, queryLimit = Some(BatchQueryCount))
       .withColumn("rk",
         row_number().over(
           Window.partitionBy(col("query_id"))

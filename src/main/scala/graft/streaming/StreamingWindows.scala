@@ -179,8 +179,11 @@ object StreamingWindows {
     * the watermark passes gap beyond its last event — bounded state over
     * unbounded input.
     */
-  def streamSessions(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = eventStream(spark, dir)
+  /** The session aggregation both streaming session twins share — ONE
+    * body so the complete-mode harness and the append-mode production
+    * path stay provably identical (the typedCents pattern). */
+  private def sessionAgg(stream: DataFrame): DataFrame =
+    stream
       .groupBy(
         session_window(col("ts"), graft.operators.Events.SessionGap).as("w"),
         col("user_id"))
@@ -190,8 +193,10 @@ object StreamingWindows {
         date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"))
       .select(col("user_id"), col("sess_start"), col("n_events"),
         expr("dur_us div 1000000").as("dur_sec"))
-    runToMemory(spark, sessions, "complete", "stream_sessions")
-  }
+
+  def streamSessions(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, sessionAgg(eventStream(spark, dir)),
+      "complete", "stream_sessions")
 
   /** The PRODUCTION sessionization path: `session_window` in APPEND mode
     * with a REAL watermark (3 days, well inside the events table's ~30-day
@@ -199,33 +204,29 @@ object StreamingWindows {
     * never drops anything). The eviction contract this verifies: a session
     * is emitted (and its state evicted) exactly when the watermark passes
     * its window end, where a session window's end is `last event + gap`
-    * and the final watermark is `max(ts) − 3 days` (AvailableNow runs a
-    * terminal no-data micro-batch so the last watermark advance flushes
-    * closed sessions). Sessions still open at that watermark — the ~3-day
-    * tail — stay in state and are NOT emitted, which is precisely the
-    * bounded-state guarantee that makes unbounded streams tractable: state
-    * holds only sessions younger than the watermark delay. The oracle is
-    * the batch gaps-and-islands SQL time-truncated by the same predicate,
-    * so the emission boundary itself is hash-checked.
+    * (AvailableNow runs a terminal no-data micro-batch so the last
+    * watermark advance flushes closed sessions). The boundary is pinned
+    * EXACTLY, probe-verified (WatermarkBoundary case in AppendStreamSpec):
+    * Spark tracks event-time stats in MILLISECONDS, so the final
+    * watermark is `floor_ms(max(ts)) − 3 days`, and eviction is
+    * INCLUSIVE: emitted iff `end <= watermark`. A session ending in the
+    * sub-millisecond gap between the floored and raw max is held back.
+    * Sessions still open at that watermark — the ~3-day tail — stay in
+    * state and are NOT emitted, which is precisely the bounded-state
+    * guarantee that makes unbounded streams tractable: state holds only
+    * sessions younger than the watermark delay. The oracle is the batch
+    * gaps-and-islands SQL truncated by the SAME predicate (ms-floor,
+    * inclusive), so the emission boundary itself is hash-checked.
     */
-  def streamSessionsAppend(spark: SparkSession, dir: String): DataFrame = {
-    val sessions = eventStream(spark, dir)
-      .withWatermark("ts", "3 days")
-      .groupBy(
-        session_window(col("ts"), graft.operators.Events.SessionGap).as("w"),
-        col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
-        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"))
-      .select(col("user_id"), col("sess_start"), col("n_events"),
-        expr("dur_us div 1000000").as("dur_sec"))
-    runToMemory(spark, sessions, "append", "stream_sessions_append")
-  }
+  def streamSessionsAppend(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark,
+      sessionAgg(eventStream(spark, dir).withWatermark("ts", "3 days")),
+      "append", "stream_sessions_append")
 
   /** Batch twin of the append-mode emission: sessions whose window end
-    * (last event + gap) the final watermark (global max ts − 3 days) has
-    * passed. */
+    * (last event + gap) is at-or-before the final watermark
+    * (`floor_ms(global max ts) − 3 days`, inclusive — Spark's exact
+    * eviction predicate, probe-verified). */
   val streamSessionsAppendSql: String =
     """WITH d AS (
       |  SELECT user_id, ts,
@@ -245,7 +246,8 @@ object StreamingWindows {
       |  CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS dur_sec
       |FROM s GROUP BY user_id, sess
       |HAVING max(ts) + INTERVAL '30 minutes'
-      |     < (SELECT max(ts) FROM events) - INTERVAL '3 days'""".stripMargin
+      |     <= date_trunc('milliseconds', (SELECT max(ts) FROM events))
+      |        - INTERVAL '3 days'""".stripMargin
 
   /** The mapGroupsWithState totals re-expressed through
     * `transformWithState` ([[RunningTotalsProcessor]]) — exercising the

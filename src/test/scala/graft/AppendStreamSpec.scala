@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,27 +28,17 @@ class AppendStreamSpec extends AnyFunSuite {
   private val Min = 60L * 1000 * 1000 * 1000
   private val Day = 24 * 60 * Min
 
-  /** Write the planted events as a single `events.parquet` FILE (the
-    * layout eventStream's pathGlobFilter expects). */
   private def plantedDir(): String = {
     val spark = TestSpark.spark
     import spark.implicits._
-    val root = Files.createTempDirectory("graft_append_spec")
-    val stage = root.resolve("stage")
-    Seq(
-      (1L, T0, 1L, "click", 1.0, """{"k": 1}"""),
-      (2L, T0 + 10 * Min, 1L, "click", 1.0, """{"k": 2}"""),
-      (3L, T0 + 5 * Min, 2L, "click", 1.0, """{"k": 3}"""),
-      (4L, T0 + 20 * Day, 1L, "click", 1.0, """{"k": 4}"""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.parquet(stage.toString)
-    val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
-      .findFirst().get()
-    val dataDir = root.resolve("data")
-    Files.createDirectories(dataDir)
-    Files.move(part, dataDir.resolve("events.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
-    dataDir.toString
+    TestSpark.plantParquetFile(
+      Seq(
+        (1L, T0, 1L, "click", 1.0, """{"k": 1}"""),
+        (2L, T0 + 10 * Min, 1L, "click", 1.0, """{"k": 2}"""),
+        (3L, T0 + 5 * Min, 2L, "click", 1.0, """{"k": 3}"""),
+        (4L, T0 + 20 * Day, 1L, "click", 1.0, """{"k": 4}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
   }
 
   test("append sessions: watermark-closed sessions emitted, open tail held back") {
@@ -62,6 +52,36 @@ class AppendStreamSpec extends AnyFunSuite {
       (2L, "2024-01-01 00:05:00.000000", 1L, 0L))   // singleton session
     assert(out === want,
       s"append emission wrong: got $out — the t0+20d open session must be absent")
+  }
+
+  test("append sessions: emission boundary is floor_ms(max ts) - delay, inclusive") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // max ts carries a sub-millisecond component so the ms-floored and
+    // raw watermarks differ; single-event sessions end (last + 30 min) at:
+    //   u1: floored watermark - 1ms  → emitted
+    //   u2: exactly the floored watermark → emitted (inclusive)
+    //   u3: floored + 500µs (below the RAW max-3d) → held back (ms floor)
+    //   u4: exactly the raw max-3d → held back
+    val maxTs = T0 + 20 * Day + 123456789L
+    val wmRaw = maxTs - 3 * Day
+    val wmFloor = (maxTs / 1000000L) * 1000000L - 3 * Day
+    val gap = 30 * Min
+    def evt(id: Long, uid: Long, endNs: Long) =
+      (id, endNs - gap, uid, "click", 1.0, "{}")
+    val dir = TestSpark.plantParquetFile(
+      Seq(
+        evt(1, 1, wmFloor - 1000000L),
+        evt(2, 2, wmFloor),
+        evt(3, 3, wmFloor + 500000L),
+        evt(4, 4, wmRaw),
+        (5L, maxTs, 9L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
+    val emitted = StreamingWindows.queries("stream_sessions_append")(spark, dir)
+      .collect().map(_.getLong(0)).toSet - 9L
+    assert(emitted === Set(1L, 2L),
+      s"emission boundary drifted: $emitted — oracle SQL must be updated in lockstep")
   }
 
   test("stream dedup: surviving key set is the distinct (user, type, day) tuples") {

@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.{Files, StandardCopyOption}
+import java.nio.file.Files
 
 import org.apache.spark.sql.streaming.{GroupStateTimeout, Trigger}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -28,13 +28,8 @@ class IncrementalRestartSpec extends AnyFunSuite {
     val data = root.resolve("data"); Files.createDirectories(data)
     val ckpt = root.resolve("ckpt").toString
 
-    def plant(name: String, rows: Seq[(Long, Long)]): Unit = {
-      val stage = root.resolve(s"stage_$name")
-      rows.toDF("user_id", "cents").coalesce(1).write.parquet(stage.toString)
-      val part = Files.list(stage).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      Files.move(part, data.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-    }
+    def plant(name: String, rows: Seq[(Long, Long)]): Unit =
+      TestSpark.plantParquetFileInto(rows.toDF("user_id", "cents"), data, name)
 
     def runPass(pass: Int): Map[Long, (Long, Long)] = {
       val totals = spark.readStream.schema(schema).parquet(data.toString)

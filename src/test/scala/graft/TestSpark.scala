@@ -22,4 +22,30 @@ object TestSpark {
 
   def corpusDir: String =
     getClass.getResource("/tiny_corpus").getPath
+
+  /** Write `df` as a single parquet FILE named `fileName` inside
+    * `dataDir` (the bare-file layout the engine's file-stream fixtures
+    * expect) — shared by every planted-data spec. */
+  def plantParquetFileInto(df: org.apache.spark.sql.DataFrame,
+      dataDir: java.nio.file.Path, fileName: String): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val stage = Files.createTempDirectory("graft_plant_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val parts = Files.list(stage)
+    val part =
+      try parts.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally parts.close()
+    Files.createDirectories(dataDir)
+    Files.move(part, dataDir.resolve(fileName),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** [[plantParquetFileInto]] a fresh temp dir; returns the dir. */
+  def plantParquetFile(df: org.apache.spark.sql.DataFrame,
+      fileName: String): String = {
+    val dataDir = java.nio.file.Files
+      .createTempDirectory("graft_plant").resolve("data")
+    plantParquetFileInto(df, dataDir, fileName)
+    dataDir.toString
+  }
 }
