@@ -111,6 +111,33 @@ object Events {
       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, count(*) AS n
       |FROM g GROUP BY 1""".stripMargin
 
+  /** lead/lag analytics: inter-event gaps per user — the feature
+    * engineering shape behind dwell time / inactivity signals. One
+    * window sort per user; edge rows are null in BOTH engines (lag/lead
+    * outside the partition). event_id tiebreak keeps equal-ts
+    * neighbours deterministic for the hash compare. */
+  def eventsLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+          .as("since_prev_us"),
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+          .as("until_next_us"))
+  }
+
+  val eventsLeadLagSql: String =
+    """SELECT event_id, user_id,
+      |  date_diff('microsecond',
+      |            lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+      |            ts) AS since_prev_us,
+      |  date_diff('microsecond', ts,
+      |            lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |    AS until_next_us
+      |FROM events""".stripMargin
+
   // ---- session window ------------------------------------------------------
 
   val SessionGap = "30 minutes"
@@ -255,6 +282,7 @@ object Events {
     "events_variant" -> (eventsVariant _),
     "events_hourly" -> (eventsHourly _),
     "events_sliding" -> (eventsSliding _),
+    "events_lead_lag" -> (eventsLeadLag _),
     "events_sessions" -> (eventsSessions _),
     "events_asof" -> (eventsAsof _),
     "events_map_fns" -> (eventsMapFns _),
@@ -266,6 +294,7 @@ object Events {
     "events_variant" -> eventsVariantSql,
     "events_hourly" -> eventsHourlySql,
     "events_sliding" -> eventsSlidingSql,
+    "events_lead_lag" -> eventsLeadLagSql,
     "events_sessions" -> eventsSessionsSql,
     "events_asof" -> eventsAsofSql,
     "events_map_fns" -> eventsMapFnsSql,

@@ -197,6 +197,49 @@ object TextAnalysis {
       |FROM c)
       |SELECT lang, word, cnt, rk FROM r WHERE rk <= 5""".stripMargin
 
+  /** Per-language top-5 BIGRAMS — the n>1 companion to textTopTerms,
+    * the feature a langid/fluency model actually wants. Adjacent pairs
+    * come from `zip_with(w[0..n-2], w[1..n-1])` inside the scan.
+    * Plan-shape note: the token array is referenced three times in the
+    * projection (size + two slices) and CollapseProject re-inlines the
+    * tokenizer into each use — deliberate here: at scale, re-running a
+    * scan-local expression beats the alternatives, which are an
+    * exchange barrier (shuffling the full token stream dwarfs 3× scan
+    * CPU) or a per-doc window sort. The empty/1-token guard
+    * (`greatest(n-1, 0)`) keeps slice lengths legal; the oracle guards
+    * the same case because DuckDB's `w[1:len-1]` turns NEGATIVE on
+    * empty lists (counts from the end) rather than empty. */
+  def textBigrams(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode_outer(bigrams).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("lang", "bg")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bg").asc)
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+  }
+
+  val textBigramsSql: String =
+    s"""WITH d AS (SELECT lang, $TokSql AS w FROM documents),
+      |b AS (SELECT lang,
+      |  unnest(CASE WHEN len(w) >= 2
+      |    THEN list_transform(list_zip(w[1:len(w)-1], w[2:len(w)]),
+      |                        p -> p[1] || ' ' || p[2])
+      |    ELSE [] END) AS bg
+      |  FROM d),
+      |c AS (SELECT lang, bg, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |r AS (SELECT lang, bg, cnt,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bg ASC) AS BIGINT) AS rk
+      |FROM c)
+      |SELECT lang, bg, cnt, rk FROM r WHERE rk <= 5""".stripMargin
+
   // ---- array function battery ------------------------------------------------
 
   /** Array primitives over token arrays: sort, distinct, slice, flatten,
@@ -323,6 +366,7 @@ object TextAnalysis {
     "text_langid" -> (textLangid _),
     "text_token_count" -> (textTokenCount _),
     "text_top_terms" -> (textTopTerms _),
+    "text_bigrams" -> (textBigrams _),
     "text_tfidf" -> (textTfidf _),
     "text_fingerprint" -> (textFingerprint _),
     "text_array_fns" -> (textArrayFns _))
@@ -334,6 +378,7 @@ object TextAnalysis {
     "text_langid" -> textLangidSql,
     "text_token_count" -> textTokenCountSql,
     "text_top_terms" -> textTopTermsSql,
+    "text_bigrams" -> textBigramsSql,
     "text_tfidf" -> textTfidfSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_array_fns" -> textArrayFnsSql)
