@@ -103,9 +103,11 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  /** Tokenizer + shingling mirrored in DuckDB; shared with the LSH query. */
-  val dedupNearJaccardSql: String =
-    s"""WITH tok AS (
+  /** Tokenizer + shingling + pair CTEs mirrored in DuckDB — ONE block
+    * shared by the pair oracle, the LSH oracle, and the components
+    * oracle, so the three can't drift apart. */
+  private val PairCtesSql: String =
+    s"""tok AS (
       |  SELECT doc_id, ${Text.TokensOracleSql} AS w
       |  FROM documents),
       |sh AS (
@@ -117,11 +119,80 @@ object Dedup {
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
       |         count(*) AS inter
       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2, 3, 4)
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
+  val dedupNearJaccardSql: String =
+    s"""WITH $PairCtesSql
       |SELECT doc_a, doc_b,
       |  CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) AS jaccard
       |FROM p
       |WHERE CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) >= 0.5""".stripMargin
+
+  /** Transitive near-dup CLUSTERS — the step that turns a pair list into
+    * the actual dedup deliverable ("keep one doc per duplicate group"):
+    * connected components over the near-dup graph, each doc labeled with
+    * its component's minimum doc_id. Near-dup is not transitive (A~B,
+    * B~C does not imply A~C), so pair output alone over-keeps; cluster
+    * labels are what a crawl pipeline dedups on.
+    *
+    * Execution is Pregel-style min-label propagation: labels start as
+    * self, and each round every node takes the min of its own and its
+    * neighbours' labels — one equi-join + one min-groupBy (both shuffles
+    * on doc id) per round, converging in ≤ graph-diameter rounds. The
+    * driver loop is ITERATION CONTROL ONLY (a changed-row count per
+    * round, never data); at 100 TB this is exactly large-scale connected
+    * components: near-dup components are overwhelmingly tiny (pairs and
+    * triangles — diameter ≲ 4), so the round count stays single-digit
+    * regardless of corpus size. Deterministic — the fixpoint and labels
+    * are unique regardless of execution order — so the DuckDB oracle is
+    * a recursive CTE computing min reachable id over the same pair
+    * graph, exact hash match.
+    */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNearJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    try {
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .persist()
+      var changed = 1L
+      while (changed > 0) {
+        val viaNbr = edges
+          .join(labels, edges("doc_b") === labels("node"))
+          .select(edges("doc_a").as("node"), col("label"))
+        val next = labels.union(viaNbr)
+          .groupBy("node").agg(min("label").as("label"))
+          .persist()
+        changed = next.alias("n")
+          .join(labels.alias("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label"))
+          .count()
+        labels.unpersist()
+        labels = next
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("component"))
+    } finally edges.unpersist()
+  }
+
+  /** Recursive-CTE twin: min reachable doc_id over the undirected pair
+    * graph (UNION dedups rows, so the recursion reaches a fixpoint). */
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $PairCtesSql,
+      |np AS (
+      |  SELECT doc_a, doc_b FROM p
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) >= 0.5),
+      |e AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM np
+      |  UNION ALL
+      |  SELECT doc_b, doc_a FROM np),
+      |reach(node, label) AS (
+      |  SELECT src, src FROM e
+      |  UNION
+      |  SELECT e.dst, reach.label FROM reach JOIN e ON e.src = reach.node)
+      |SELECT node AS doc_id, min(label) AS component
+      |FROM reach GROUP BY node""".stripMargin
 
   // ---- MinHash + LSH ------------------------------------------------------
 
@@ -263,6 +334,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
+    "dedup_components" -> (dedupComponents _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_sketch_sources" -> (dedupSketchSources _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -271,6 +343,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_near_jaccard" -> dedupNearJaccardSql,
+    "dedup_components" -> dedupComponentsSql,
     // LSH output provably equals the exact-Jaccard result on this corpus
     // (see dedupMinhashLsh doc) — same oracle.
     "dedup_minhash_lsh" -> dedupNearJaccardSql)
