@@ -81,18 +81,42 @@ object StreamingWindows {
     spark.table(tableName)
   }
 
-  /** Streaming twin of Events.eventsHourly; oracle = the same SQL. */
-  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val stream = eventStream(spark, dir)
-      .withWatermark("ts", "365 days")
+  /** The tumbling-window aggregation both hourly twins share — one body
+    * so complete-mode and append-mode stay provably identical. */
+  private def hourlyAgg(stream: DataFrame): DataFrame =
+    stream
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("val_sum"))
 
-    runToMemory(spark, stream, "complete", "stream_hourly")
-  }
+  /** Streaming twin of Events.eventsHourly; oracle = the same SQL. */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark,
+      hourlyAgg(eventStream(spark, dir).withWatermark("ts", "365 days")),
+      "complete", "stream_hourly")
+
+  /** Tumbling windows on the PRODUCTION path: append mode with a real
+    * 3-day watermark. Same probe-verified eviction contract as the
+    * append session twin: a window is emitted (state evicted) iff its
+    * end is at-or-before `floor_ms(max(ts)) − 3 days` — probed with
+    * boundary-aligned windows (end == watermark emits; end one window
+    * later holds). The oracle is the batch hourly SQL truncated by that
+    * exact predicate, so the emission boundary is hash-checked. */
+  def streamHourlyAppend(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark,
+      hourlyAgg(eventStream(spark, dir).withWatermark("ts", "3 days")),
+      "append", "stream_hourly_append")
+
+  val streamHourlyAppendSql: String =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+      |  event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1, 2
+      |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+      |    <= date_trunc('milliseconds', (SELECT max(ts) FROM events))
+      |       - INTERVAL '3 days'""".stripMargin
 
   /** Streaming twin of Events.eventsSliding: HOPPING windows (1 h window,
     * 30 min slide) — each event lands in two open windows, so the
@@ -392,6 +416,7 @@ object StreamingWindows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_hourly" -> (streamHourly _),
+    "stream_hourly_append" -> (streamHourlyAppend _),
     "stream_sliding" -> (streamSliding _),
     "stream_user_totals" -> (streamUserTotals _),
     "stream_user_totals_tws" -> (streamUserTotalsTws _),
@@ -403,6 +428,7 @@ object StreamingWindows {
 
   val oracles: Map[String, String] = Map(
     "stream_hourly" -> graft.operators.Events.eventsHourlySql,
+    "stream_hourly_append" -> streamHourlyAppendSql,
     "stream_sliding" -> graft.operators.Events.eventsSlidingSql,
     "stream_user_totals" -> streamUserTotalsSql,
     "stream_user_totals_tws" -> streamUserTotalsSql,
