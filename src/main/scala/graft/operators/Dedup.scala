@@ -126,7 +126,7 @@ object Dedup {
       |SELECT doc_a, doc_b,
       |  CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) AS jaccard
       |FROM p
-      |WHERE CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) >= 0.5""".stripMargin
+      |WHERE CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) >= $JaccardThreshold""".stripMargin
 
   /** Transitive near-dup CLUSTERS — the step that turns a pair list into
     * the actual dedup deliverable ("keep one doc per duplicate group"):
@@ -153,6 +153,15 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
+    // The propagation rounds shuffle the LABEL table (one row per doc in
+    // any near-dup pair — orders of magnitude smaller than the corpus),
+    // so their shuffle partitioning is sized to that table, not to the
+    // session default meant for corpus-scale exchanges: the same
+    // sized-to-key-space rule runToMemory applies to stateful streams. A
+    // deployment running components over billions of nodes would size
+    // this up again — the knob scales with |labels|, which is the point.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       var labels = edges.select(col("doc_a").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
@@ -172,8 +181,35 @@ object Dedup {
         labels.unpersist()
         labels = next
       }
-      labels.select(col("node").as("doc_id"), col("label").as("component"))
-    } finally edges.unpersist()
+      // Materialize the fixpoint to per-invocation scratch so EVERY cache
+      // can be released before returning (returning the persisted frame
+      // directly would leak one cached RDD per invocation — the caller
+      // only sees a projection and can never unpersist it; unpersisting
+      // without materializing would recompute the whole loop lineage on
+      // first action). Same sweep-own-scratch contract as the pair scan:
+      // a new call invalidates DataFrames from earlier calls on the same
+      // dataset, never another dataset's.
+      val suffix = graft.sources.Formats.sanitize(dir)
+      val root = new org.apache.hadoop.fs.Path(
+        graft.sources.Formats.tmp("dedup_cc", dir)).getParent
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val own = ("dedup_cc_[0-9a-f]{8}_" +
+        java.util.regex.Pattern.quote(suffix)).r
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "dedup_cc_*")))
+        .getOrElse(Array.empty)
+        .filter(s => own.pattern.matcher(s.getPath.getName).matches())
+        .foreach(s => fs.delete(s.getPath, true))
+      val out = graft.sources.Formats.tmp(
+        s"dedup_cc_${java.util.UUID.randomUUID().toString.take(8)}", dir)
+      try {
+        labels.select(col("node").as("doc_id"), col("label").as("component"))
+          .write.parquet(out)
+      } finally labels.unpersist()
+      spark.read.parquet(out)
+    } finally {
+      edges.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
   }
 
   /** Recursive-CTE twin: min reachable doc_id over the undirected pair
@@ -182,7 +218,7 @@ object Dedup {
     s"""WITH RECURSIVE $PairCtesSql,
       |np AS (
       |  SELECT doc_a, doc_b FROM p
-      |  WHERE CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) >= 0.5),
+      |  WHERE CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) >= $JaccardThreshold),
       |e AS (
       |  SELECT doc_a AS src, doc_b AS dst FROM np
       |  UNION ALL

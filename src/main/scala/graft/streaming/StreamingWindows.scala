@@ -87,7 +87,7 @@ object StreamingWindows {
     stream
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+        graft.functions.Exact.dsum(col("value")).as("val_sum"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
         col("event_type"), col("n"), col("val_sum"))
 

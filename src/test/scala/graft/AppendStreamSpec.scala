@@ -84,6 +84,35 @@ class AppendStreamSpec extends AnyFunSuite {
       s"emission boundary drifted: $emitted — oracle SQL must be updated in lockstep")
   }
 
+  test("append hourly: tumbling windows share the inclusive ms-floored boundary") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // H is an hour boundary; max ts = H + 3d + 500µs makes the final
+    // watermark exactly H (ms floor eats the 500µs). Windows ending H-1h
+    // and H (== watermark, inclusive) must be emitted; the window ending
+    // H+1h must be held in state.
+    val H = T0 + 100 * 60 * Min
+    val Hr = 60 * Min
+    val dir = TestSpark.plantParquetFile(
+      Seq(
+        (1L, H - Hr - Hr / 2, 1L, "c", 1.0, "{}"), // window ends H-1h
+        (2L, H - Hr / 2, 2L, "c", 1.0, "{}"),      // window ends H == wm
+        (3L, H + Hr / 2, 3L, "c", 1.0, "{}"),      // window ends H+1h
+        (4L, H + 3 * Day + 500000L, 9L, "c", 1.0, "{}")) // wm driver
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
+    val emittedStarts = StreamingWindows.queries("stream_hourly_append")(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    def hhmm(ns: Long): String =
+      java.time.Instant.ofEpochSecond(0, ns)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(emittedStarts === Set(hhmm(H - 2 * Hr), hhmm(H - Hr)),
+      s"tumbling emission boundary drifted: $emittedStarts — " +
+        "streamHourlyAppendSql must change in lockstep")
+  }
+
   test("stream dedup: surviving key set is the distinct (user, type, day) tuples") {
     val dir = plantedDir()
     val out = StreamingWindows.queries("stream_dedup")(TestSpark.spark, dir)
