@@ -47,6 +47,42 @@ object Formats {
         sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
   }
 
+  /** Malformed-input ingest — the robustness path a crawl pipeline needs
+    * before anything else reads the data: ~10% of JSON lines are
+    * DETERMINISTICALLY corrupted (doc_id % 10 == 3, truncated mid-object)
+    * at write, then read back in PERMISSIVE mode with a corrupt-record
+    * column. Bad lines land whole in `_corrupt` with data fields null
+    * (so they fall out of the aggregates), good lines parse normally,
+    * and NOTHING throws — contrast FAILFAST, which would abort a 100 TB
+    * ingest on its first bad crawl record. The oracle derives the same
+    * counts from the corruption rule on the ORIGINAL table, so the
+    * parser's good/bad partition is exactly what is hash-checked. */
+  def fmtJsonCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("docs_badjson", dir)
+    Tables.documents(spark, dir)
+      .select(
+        when(col("doc_id") % 10 === 3,
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", BROKEN")))
+          .otherwise(to_json(struct(col("doc_id"), col("n_chars"))))
+          .as("value"))
+      .write.mode("overwrite").text(path)
+    spark.read
+      .schema("doc_id long, n_chars long, _corrupt string")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(col("_corrupt")).as("n_bad"),
+        sum(col("n_chars")).as("good_chars"))
+  }
+
+  val fmtJsonCorruptSql: String =
+    """SELECT count(*) AS n_lines,
+      |  count(CASE WHEN doc_id % 10 = 3 THEN 1 END) AS n_bad,
+      |  CAST(sum(CASE WHEN doc_id % 10 <> 3 THEN n_chars END) AS BIGINT) AS good_chars
+      |FROM documents""".stripMargin
+
   val fmtCsvRoundtripSql: String =
     """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n,
       |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
@@ -172,6 +208,7 @@ object Formats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_roundtrip" -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
+    "fmt_json_corrupt" -> (fmtJsonCorrupt _),
     "fmt_orc_roundtrip" -> (fmtOrcRoundtrip _),
     "fmt_xml_roundtrip" -> (fmtXmlRoundtrip _),
     "fmt_jdbc_roundtrip" -> (fmtJdbcRoundtrip _),
@@ -180,6 +217,7 @@ object Formats {
   val oracles: Map[String, String] = Map(
     "fmt_csv_roundtrip" -> fmtCsvRoundtripSql,
     "fmt_json_roundtrip" -> fmtJsonRoundtripSql,
+    "fmt_json_corrupt" -> fmtJsonCorruptSql,
     "fmt_orc_roundtrip" -> fmtOrcRoundtripSql,
     "fmt_xml_roundtrip" -> fmtXmlRoundtripSql,
     "fmt_jdbc_roundtrip" -> fmtJdbcRoundtripSql,
