@@ -35,7 +35,9 @@ object GraftFunctions {
       exprs => HyperplaneBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int])))
+        exprs(3).eval().asInstanceOf[Int])),
+    fn("graft_tokens", classOf[Tokenize],
+      exprs => Tokenize(exprs.head)))
 
   /** Runtime registration on a live session (idempotent — re-registering
     * replaces with the identical builder). */

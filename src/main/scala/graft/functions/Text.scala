@@ -41,8 +41,24 @@ object Text {
   def cleanToken(t: Column): Column =
     lower(regexp_replace(regexp_replace(t, s"^$PunctClass+", ""), s"$PunctClass+$$", ""))
 
-  /** Line/document → array of clean non-empty tokens. */
-  def tokens(c: Column): Column =
+  /** Line/document → array of clean non-empty tokens, as the native
+    * codegen'd [[Tokenize]] expression — one primitive scan per row
+    * where the HOF twin below pays interpreted lambda dispatch plus two
+    * regex machines per token, in the hot path of every text / dedup /
+    * wordcount query. Registration rides the active session (the one
+    * assembling this very query plan on the driver), so every call site
+    * — operator or test — resolves without per-operator register calls;
+    * [[GraftExtensions]] sessions already carry it. */
+  def tokens(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    call_function("graft_tokens", c)
+  }
+
+  /** The declarative HOF formulation of the SAME tokenizer spec — kept
+    * as the reference twin [[Tokenize]] is pinned bit-identical to
+    * (NativeExprPropSpec random-input property + corpus golden counts). */
+  def tokensHof(c: Column): Column =
     filter(transform(split(c, "\\s+"), cleanToken _), t => length(t) > 0)
 
   /** Reference bucket function: codepoint of first char mod M

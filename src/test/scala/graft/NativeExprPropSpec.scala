@@ -135,4 +135,24 @@ class NativeExprPropSpec extends AnyFunSuite {
       assert(native === hof)
     }
   }
+
+  test("property: graft_tokens == HOF tokenizer incl. punct/ws/unicode edges") {
+    graft.functions.GraftFunctions.register(spark)
+    // characters chosen to hit every branch: the 6 regex-\s whitespace
+    // chars, all four ASCII punct ranges (edge and interior), case in
+    // ASCII and beyond (É, ß, İ is excluded — Java lowercases it to i̇
+    // in both implementations since both call the same toLowerCase),
+    // digits, and empty/all-punct/all-ws tokens
+    val ch = Gen.oneOf(
+      'a', 'Z', 'é', 'É', 'ß', '0', '!', '/', ':', '@', '[', '`', '{', '~',
+      '.', ',', '\'', ' ', '\t', '\n', '\u000B', '\f', '\r')
+    val str = Gen.choose(0, 24).flatMap(n => Gen.listOfN(n, ch)).map(_.mkString)
+    val rows = sample(str, 500).map(Tuple1(_)).toDF("text").select(
+      graft.functions.Text.tokens(col("text")).as("native"),
+      graft.functions.Text.tokensHof(col("text")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
 }
