@@ -37,7 +37,9 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Int],
         exprs(3).eval().asInstanceOf[Int])),
     fn("graft_tokens", classOf[Tokenize],
-      exprs => Tokenize(exprs.head)))
+      exprs => Tokenize(exprs.head)),
+    fn("graft_shingles", classOf[Shingles],
+      exprs => Shingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
 
   /** Runtime registration on a live session (idempotent — re-registering
     * replaces with the identical builder). */

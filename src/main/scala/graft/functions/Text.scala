@@ -73,9 +73,18 @@ object Text {
   def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
 
   /** Array of word-level n-gram shingles (space-joined) from a token
-    * array; empty array when the doc has fewer than n tokens.
+    * array; empty array when the doc has fewer than n tokens. Native
+    * [[Shingles]] expression (registration rides the active session as
+    * in [[tokens]]); the HOF twin below is the pinned reference.
     */
-  def shingles(toks: Column, n: Int): Column =
+  def shingles(toks: Column, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    call_function("graft_shingles", toks, lit(n))
+  }
+
+  /** Declarative twin of [[shingles]] — the pinned reference form. */
+  def shinglesHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))

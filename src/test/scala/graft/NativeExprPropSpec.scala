@@ -155,4 +155,17 @@ class NativeExprPropSpec extends AnyFunSuite {
       assert(r.getSeq[String](0) === r.getSeq[String](1))
     }
   }
+
+  test("property: graft_shingles == HOF windows incl. short/empty arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    val word = Gen.oneOf("a", "bb", "ccc", "déjà", "x.y")
+    val arr = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word))
+    val rows = sample(arr, 400).map(Tuple1(_)).toDF("t").select(
+      graft.functions.Text.shingles(col("t"), 3).as("native"),
+      graft.functions.Text.shinglesHof(col("t"), 3).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1))
+    }
+  }
 }
