@@ -12,6 +12,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (reference: driver.py:41-68, see SURVEY.md §2a row 12).
   */
 object Tables {
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the prior value even on failure — the shared
+    * conf-window idiom for stages whose shuffle keys are orders of
+    * magnitude smaller than the corpus (stateful streaming key spaces,
+    * label-propagation rounds). */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, before)
+  }
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -37,9 +37,14 @@ object Text {
       |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
       |    t -> length(t) > 0)""".stripMargin
 
-  /** Strip leading+trailing ASCII punctuation then lowercase. */
+  /** Strip leading+trailing ASCII punctuation then lowercase. The
+    * trailing anchor is `\z` (absolute end of input), NOT `$`: Java's
+    * `$` also matches BEFORE a final U+0085/U+2028/U+2029 line
+    * terminator, which would strip punctuation ahead of a trailing NEL —
+    * diverging from both the native [[Tokenize]] scan and the DuckDB
+    * oracle's RE2 `$` (end-of-text). With `\z` all three agree. */
   def cleanToken(t: Column): Column =
-    lower(regexp_replace(regexp_replace(t, s"^$PunctClass+", ""), s"$PunctClass+$$", ""))
+    lower(regexp_replace(regexp_replace(t, s"^$PunctClass+", ""), s"$PunctClass+\\z", ""))
 
   /** Line/document → array of clean non-empty tokens, as the native
     * codegen'd [[Tokenize]] expression — one primitive scan per row

@@ -146,7 +146,10 @@ case class Shingles(child: Expression, n: Int) extends UnaryExpression {
         s"(${t.simpleString}, $n)")
   }
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // containsNull = true matches the HOF twin's published type (its
+  // `.otherwise(array().cast("array<string>"))` branch forces nullable
+  // elements) — same swap-must-not-change-nullability rule as Tokenize.
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def nullSafeEval(input: Any): Any =
     ShinglesFn.compute(input.asInstanceOf[ArrayData], n)

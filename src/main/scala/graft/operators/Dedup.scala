@@ -153,63 +153,55 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    // The propagation rounds shuffle the LABEL table (one row per doc in
-    // any near-dup pair — orders of magnitude smaller than the corpus),
-    // so their shuffle partitioning is sized to that table, not to the
-    // session default meant for corpus-scale exchanges: the same
-    // sized-to-key-space rule runToMemory applies to stateful streams. A
-    // deployment running components over billions of nodes would size
-    // this up again — the knob scales with |labels|, which is the point.
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      var labels = edges.select(col("doc_a").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .persist()
-      var changed = 1L
-      while (changed > 0) {
-        val viaNbr = edges
-          .join(labels, edges("doc_b") === labels("node"))
-          .select(edges("doc_a").as("node"), col("label"))
-        val next = labels.union(viaNbr)
-          .groupBy("node").agg(min("label").as("label"))
+      // Materialize the CORPUS-SCALE pair join (tokenize + shingle +
+      // self-join — the heaviest exchange here) at the session's own
+      // shuffle partitioning BEFORE narrowing it for the rounds: edges
+      // is persisted lazily, and letting round 1 trigger it inside the
+      // 8-partition window would run the big join on 8 reducers.
+      edges.count()
+      // The propagation rounds shuffle the LABEL table (one row per doc
+      // in any near-dup pair — orders of magnitude smaller than the
+      // corpus), so their shuffle partitioning is sized to that table:
+      // the same sized-to-key-space rule runToMemory applies to stateful
+      // streams. A deployment running components over billions of nodes
+      // would size this up again — the knob scales with |labels|.
+      Tables.withShufflePartitions(spark, 8) {
+        var labels = edges.select(col("doc_a").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
           .persist()
-        changed = next.alias("n")
-          .join(labels.alias("o"), col("n.node") === col("o.node"))
-          .filter(col("n.label") =!= col("o.label"))
-          .count()
-        labels.unpersist()
-        labels = next
+        try {
+          var changed = 1L
+          while (changed > 0) {
+            val viaNbr = edges
+              .join(labels, edges("doc_b") === labels("node"))
+              .select(edges("doc_a").as("node"), col("label"))
+            val next = labels.union(viaNbr)
+              .groupBy("node").agg(min("label").as("label"))
+              .persist()
+            changed = next.alias("n")
+              .join(labels.alias("o"), col("n.node") === col("o.node"))
+              .filter(col("n.label") =!= col("o.label"))
+              .count()
+            labels.unpersist()
+            labels = next
+          }
+          // Materialize the fixpoint to scratch so EVERY cache can be
+          // released before returning (returning the persisted frame
+          // directly would leak one cached RDD per invocation — the
+          // caller only sees a projection and can never unpersist it;
+          // unpersisting without materializing would recompute the whole
+          // loop lineage on first action). Overwrite of the fixed
+          // per-dataset path is the same invalidation contract every
+          // fmt_* round-trip has: a new call invalidates DataFrames
+          // returned by earlier calls on the same dataset.
+          val out = graft.sources.Formats.tmp("dedup_cc", dir)
+          labels.select(col("node").as("doc_id"), col("label").as("component"))
+            .write.mode("overwrite").parquet(out)
+          spark.read.parquet(out)
+        } finally labels.unpersist() // also covers a mid-loop failure
       }
-      // Materialize the fixpoint to per-invocation scratch so EVERY cache
-      // can be released before returning (returning the persisted frame
-      // directly would leak one cached RDD per invocation — the caller
-      // only sees a projection and can never unpersist it; unpersisting
-      // without materializing would recompute the whole loop lineage on
-      // first action). Same sweep-own-scratch contract as the pair scan:
-      // a new call invalidates DataFrames from earlier calls on the same
-      // dataset, never another dataset's.
-      val suffix = graft.sources.Formats.sanitize(dir)
-      val root = new org.apache.hadoop.fs.Path(
-        graft.sources.Formats.tmp("dedup_cc", dir)).getParent
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val own = ("dedup_cc_[0-9a-f]{8}_" +
-        java.util.regex.Pattern.quote(suffix)).r
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "dedup_cc_*")))
-        .getOrElse(Array.empty)
-        .filter(s => own.pattern.matcher(s.getPath.getName).matches())
-        .foreach(s => fs.delete(s.getPath, true))
-      val out = graft.sources.Formats.tmp(
-        s"dedup_cc_${java.util.UUID.randomUUID().toString.take(8)}", dir)
-      try {
-        labels.select(col("node").as("doc_id"), col("label").as("component"))
-          .write.parquet(out)
-      } finally labels.unpersist()
-      spark.read.parquet(out)
-    } finally {
-      edges.unpersist()
-      spark.conf.set("spark.sql.shuffle.partitions", before)
-    }
+    } finally edges.unpersist()
   }
 
   /** Recursive-CTE twin: min reachable doc_id over the undirected pair

@@ -67,9 +67,7 @@ object StreamingWindows {
       .filter(t => t.isTemporary && own.pattern.matcher(t.name).matches())
       .foreach(t => spark.catalog.dropTempView(t.name))
     val tableName = s"${prefix}_${System.nanoTime()}"
-    val before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    Tables.withShufflePartitions(spark, 8) {
       val q = df.writeStream
         .format("memory")
         .queryName(tableName)
@@ -77,7 +75,7 @@ object StreamingWindows {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    }
     spark.table(tableName)
   }
 
