@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Extensibility
-import graft.operators.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Events, Maintenance, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
 import graft.sources.{Formats, Lines}
 import graft.streaming.StreamingWindows
 
@@ -32,6 +32,7 @@ object SparkEntry {
       Dedup.queries ++
       Similarity.queries ++
       Events.queries ++
+      Maintenance.queries ++
       Multimodal.queries ++
       Formats.queries ++
       Lines.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       Dedup.oracles ++
       Similarity.oracles ++
       Events.oracles ++
+      Maintenance.oracles ++
       Multimodal.oracles ++
       Formats.oracles ++
       Lines.oracles ++

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.Exact.dsum
+import graft.sources.Formats
+
+/** Table-maintenance operators — the janitorial half of a 100 TB
+  * pipeline. Streaming ingest and per-executor sharded writes leave
+  * datasets as swarms of small files; every subsequent scan then pays
+  * per-file open cost (driver listing, footer reads, task scheduling)
+  * that can dwarf the actual IO. Compaction rewrites a directory into
+  * size-targeted files and is the standard periodic fix (the reference
+  * counterpart is its bucketed M-file text sink — a FIXED fan-out that
+  * small inputs over-shard the same way; see reference worker.py
+  * partition/sink behavior cited in SURVEY.md §2a rows 8/11).
+  */
+object Maintenance {
+
+  /** Target output file size. Sized to the test scale factors so the
+    * compaction actually plans >0 merges at sf0.001–0.1; a production
+    * deployment would set 128–1024 MiB (row-group-aligned) via the same
+    * knob.
+    */
+  val TargetFileBytes: Long = 4L << 20
+
+  /** ceil(bytes / target), floored at one file. */
+  def plannedFiles(inputBytes: Long, targetBytes: Long = TargetFileBytes): Int =
+    math.max(1L, (inputBytes + targetBytes - 1) / targetBytes).toInt
+
+  /** Total data bytes of a written dataset dir (part files only —
+    * _SUCCESS and checksums excluded), via the session Hadoop conf so
+    * configured filesystems work (the LinesDataSource lesson).
+    */
+  def dataBytes(spark: SparkSession, dir: String): Long = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).filter(s => s.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+  }
+
+  /** Part-file count of a written dataset dir. */
+  def dataFiles(spark: SparkSession, dir: String): Int = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+  }
+
+  /** Compact `src` into ceil(bytes/target) files at `dest`; returns the
+    * planned file count. The merge is `coalesce`, not `repartition`:
+    * coalesce is a NARROW dependency — each output task concatenates
+    * whole input partitions with zero shuffle — and the parquet scan has
+    * already bin-packed the small files into read partitions
+    * (`spark.sql.files.maxPartitionBytes` / `openCostInBytes`), so the
+    * whole rewrite is one shuffle-free pass. `repartition` would be the
+    * tool only if the rewrite also had to re-CLUSTER rows (see the
+    * spill/skew caveat: coalesce preserves whatever row distribution the
+    * scan produced, which is exactly right for pure compaction).
+    * Overwrite-mode write keeps the operation idempotent — a retried
+    * compaction converges to the same state.
+    */
+  def compact(spark: SparkSession, src: String, dest: String,
+      targetBytes: Long = TargetFileBytes): Int = {
+    val n = plannedFiles(dataBytes(spark, src), targetBytes)
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dest)
+    n
+  }
+
+  /** Driver-gated query: scatter lineitem into 64 deliberately tiny
+    * files (simulating a micro-batched ingest), compact, then aggregate
+    * the COMPACTED copy. The oracle computes the same aggregate over the
+    * original table, so a hash match proves compaction is content-
+    * preserving — every row survives exactly once (count), with values
+    * intact (exact decimal sum) — while `MaintenanceSpec` separately
+    * pins the file-count mechanics.
+    */
+  def maintCompact(spark: SparkSession, dir: String): DataFrame = {
+    val scatter = Formats.tmp("maint_scatter", dir)
+    Tables.lineitem(spark, dir)
+      .repartition(64)
+      .write.mode("overwrite").parquet(scatter)
+    val dest = Formats.tmp("maint_compacted", dir)
+    compact(spark, scatter, dest)
+    spark.read.parquet(dest)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val maintCompactSql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Sort-clustered rewrite — the data-SKIPPING half of maintenance
+    * (compaction fixes file count; clustering fixes file pruning).
+    * `repartitionByRange` on the filter column gives each output file a
+    * disjoint key range (RangePartitioner samples split points, equal
+    * keys land in one partition), and `sortWithinPartitions` orders rows
+    * inside each file so parquet row-group min/max stats are tight too.
+    * A later range-predicate scan then skips whole files/row-groups via
+    * footer stats — at 100 TB this is the difference between reading one
+    * day and reading the whole table. Single-column range clustering is
+    * the degenerate-but-dominant case of Z-order (one dimension); the
+    * spec pins the property that makes skipping work — pairwise-disjoint
+    * per-file key ranges — rather than any engine counter.
+    *
+    * The gated query aggregates a date-sliced scan OF THE CLUSTERED COPY
+    * against the oracle's slice of the original, proving the rewrite
+    * preserved content (clustering must never change query results, only
+    * IO).
+    */
+  def maintCluster(spark: SparkSession, dir: String): DataFrame = {
+    val dest = Formats.tmp("maint_clustered", dir)
+    Tables.lineitem(spark, dir)
+      .repartitionByRange(8, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode("overwrite").parquet(dest)
+    spark.read.parquet(dest)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val maintClusterSql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** CDC snapshot apply (MERGE/upsert): fold a change delta — updates
+    * keyed on the primary key plus brand-new inserts — into a base
+    * snapshot, producing the next snapshot. Parquet has no transactional
+    * MERGE, so the lakehouse-standard pattern is
+    * snapshot' = (base ANTI-JOIN update-keys) ∪ updates ∪ inserts,
+    * rewritten atomically. The plan is the one that survives 100 TB:
+    * the delta is broadcast (deltas are small relative to the base by
+    * definition of CDC), so the anti-join is a BroadcastHashJoin and the
+    * 100 TB base NEVER shuffles — apply cost is one read + one write,
+    * IO-bound. A same-sized-delta world would instead cluster base and
+    * delta on the key (see [[maintCluster]]) for a co-located SMJ.
+    *
+    * The delta here is derived deterministically from the base itself
+    * (keys ≡ 0 mod 97 get an exact +10.00 decimal price bump; keys ≡ 0
+    * mod 101 are re-inserted under an offset key space), so the oracle
+    * can reconstruct the identical delta and the driver hash-compares
+    * the FULL applied snapshot — every untouched row survives, every
+    * updated row carries the new price, every insert appears once.
+    */
+  def maintUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val updates = base.filter(pmod(col("o_orderkey"), lit(97L)) === 0)
+      .withColumn("o_totalprice",
+        (col("o_totalprice").cast("decimal(18,2)") + lit(BigDecimal("10.00")))
+          .cast("double"))
+    val inserts = base.filter(pmod(col("o_orderkey"), lit(101L)) === 0)
+      .select(
+        (col("o_orderkey") + lit(100000000L)).as("o_orderkey"),
+        col("o_custkey"),
+        lit("N").as("o_orderstatus"),
+        col("o_totalprice"))
+    base
+      .join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+      .unionByName(inserts)
+  }
+
+  val maintUpsertSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10.00 AS DOUBLE) AS o_totalprice
+      |  FROM base WHERE o_orderkey % 97 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+      |    'N' AS o_orderstatus, o_totalprice
+      |  FROM base WHERE o_orderkey % 101 = 0)
+      |SELECT * FROM base
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |UNION ALL SELECT * FROM upd
+      |UNION ALL SELECT * FROM ins""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_compact" -> (maintCompact _),
+    "maint_cluster" -> (maintCluster _),
+    "maint_upsert" -> (maintUpsert _))
+
+  val oracles: Map[String, String] = Map(
+    "maint_compact" -> maintCompactSql,
+    "maint_cluster" -> maintClusterSql,
+    "maint_upsert" -> maintUpsertSql)
+}

@@ -749,6 +749,85 @@ object Relational {
       |  count(*) % 7 AS n_mod_7
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Pivot (long→wide): per-nation revenue with one column per order
+    * status. The value list is EXPLICIT (`Seq("F","O","P")`) — without
+    * it `pivot` first runs a values-discovery job (a full distinct scan
+    * of the pivot column) before it can even plan, an extra 100 TB pass
+    * that a fixed enum never needs. With the list supplied, the whole
+    * pivot compiles to one partial-aggregable hash aggregate over
+    * `sum(CASE WHEN status=… THEN price END)` columns — exactly the
+    * FILTER-aggregation the oracle spells out, one shuffle, no Expand.
+    * Absent (nation, status) combinations surface as NULL cells in both
+    * engines.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+
+  val qPivotSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Exact interpolated percentiles per group (`percentile`, the
+    * order-statistic aggregate) vs DuckDB's `quantile_cont` — both
+    * compute value[lo] + (rank − lo)·(value[hi] − value[lo]) at rank
+    * p·(n−1). Hash-exact here because l_quantity is small integers and
+    * p ∈ {¼, ½, ¾} are exact binary fractions, so every intermediate is
+    * representable — the same reasoning documented for text_tfidf does
+    * NOT hold for arbitrary doubles, which is why this query pins the
+    * integer-domain case only. Scale note: exact percentile buffers a
+    * value→count map per group (bounded here by the 50-value quantity
+    * domain, NOT by row count — partial aggregation merges counts). For
+    * unbounded real-valued columns at 100 TB the right tool is
+    * approx_percentile's fixed-size sketch, the same exact→sketch trade
+    * q_approx_distinct documents for count-distinct.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        count(lit(1)).as("n"))
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.50) AS p50,
+      |  quantile_cont(l_quantity, 0.75) AS p75,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** The sketch twin of [[qPercentiles]] — `percentile_approx`'s
+    * Greenwald-Khanna summary holds O(accuracy·log n) state per group
+    * regardless of value domain, the 100 TB path for unbounded
+    * real-valued columns. Sketch outputs are engine-specific (GK picks
+    * an observed value within rank error n/accuracy; no interpolation)
+    * → rows-only at the driver, with `ApproxPercentileSpec` bounding the
+    * estimates against the exact twin at two scale factors — the same
+    * exact↔sketch pairing as q_distinct_agg / q_approx_distinct.
+    */
+  def qApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_quantity"), lit(0.25), lit(10000)).as("p25"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col("l_quantity"), lit(0.75), lit(10000)).as("p75"),
+        count(lit(1)).as("n"))
+
   /** Pure-SQL interface: every table registered as a view, the query
     * written as SQL text — the "a reference user could switch and keep
     * their SQL" demonstration. Same Catalyst plan as the DataFrame
@@ -812,7 +891,10 @@ object Relational {
     "q_setops_all" -> (qSetOpsAll _),
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
-    "q_math_fns" -> (qMathFns _))
+    "q_math_fns" -> (qMathFns _),
+    "q_pivot" -> (qPivot _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_approx_percentiles" -> (qApproxPercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1PricingSummarySql,
@@ -850,5 +932,9 @@ object Relational {
     "q_setops_all" -> qSetOpsAllSql,
     "q_string_fns" -> qStringFnsSql,
     "q_date_fns" -> qDateFnsSql,
-    "q_math_fns" -> qMathFnsSql)
+    "q_math_fns" -> qMathFnsSql,
+    "q_pivot" -> qPivotSql,
+    "q_percentiles" -> qPercentilesSql)
+    // q_approx_percentiles: GK-sketch values are engine-specific →
+    // rows-only; ApproxPercentileSpec bounds them against q_percentiles.
 }

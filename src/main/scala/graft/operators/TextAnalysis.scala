@@ -359,8 +359,66 @@ object TextAnalysis {
       |       ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
+  /** Stratified (per-language) downsampling — the corpus-rebalancing
+    * step of a training pipeline: the dominant language is thinned hard
+    * (en → 25%), mid-resource languages moderately (75%), and the
+    * lowest-resource one kept whole (zh threshold "g" sorts above every
+    * hex digit, so no md5 ever exceeds it). Same deterministic
+    * hash-threshold machinery as [[docSampleSplit]] — stateless,
+    * shuffle-free, stable across reruns — but the key is SALTED
+    * (`doc_id || ":strat"`): reusing the split hash would correlate the
+    * two decisions and systematically bias which split the sampled
+    * corpus draws from. Exact-oracle-checkable because md5 hex and ASCII
+    * string comparison agree across engines.
+    */
+  def docSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":strat")))
+    val threshold = when(col("lang") === "en", "40")
+      .when(col("lang") === "zh", "g")
+      .otherwise("c0")
+    Tables.documents(spark, dir)
+      .filter(h < threshold)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  val docSampleStratifiedSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE md5(CAST(doc_id AS VARCHAR) || ':strat') <
+      |  CASE WHEN lang = 'en' THEN '40'
+      |       WHEN lang = 'zh' THEN 'g'
+      |       ELSE 'c0' END""".stripMargin
+
+  /** Blocklist scrubbing: redact every whole-word hit of an entity
+    * blocklist to an `<ENT>` sentinel and count the redactions — one
+    * codegen'd projection, the decontamination-pass shape (strip PII /
+    * eval-benchmark markers before training; this corpus has no digit
+    * runs, so the demonstration pattern is a term blocklist rather than
+    * the equally-shaped `[0-9]+`). The regex stays in the Java∩RE2
+    * common subset — alternation + ASCII `\b` word boundaries, no
+    * backrefs or lookaround — so engine and oracle replace identical
+    * spans ("customers" is not a hit); the oracle needs DuckDB's
+    * explicit `'g'` flag since its regexp_replace is first-match-only
+    * by default, while Spark's is always global. Redaction count via
+    * regexp_count, cast to BIGINT (the longs-only schema contract).
+    */
+  val RedactPattern = "\\b(customer|supplier|spark)\\b"
+
+  def textRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), RedactPattern, "<ENT>").as("redacted"),
+        regexp_count(col("text"), lit(RedactPattern)).cast("long").as("n_redacted"))
+
+  val textRedactSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(text, '\b(customer|supplier|spark)\b', '<ENT>', 'g') AS redacted,
+      |  len(regexp_extract_all(text, '\b(customer|supplier|spark)\b')) AS n_redacted
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_sample_split" -> (docSampleSplit _),
+    "doc_sample_stratified" -> (docSampleStratified _),
+    "text_redact" -> (textRedact _),
     "text_stats" -> (textStats _),
     "text_quality_filter" -> (textQualityFilter _),
     "text_langid" -> (textLangid _),
@@ -373,6 +431,8 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "doc_sample_split" -> docSampleSplitSql,
+    "doc_sample_stratified" -> docSampleStratifiedSql,
+    "text_redact" -> textRedactSql,
     "text_stats" -> textStatsSql,
     "text_quality_filter" -> textQualityFilterSql,
     "text_langid" -> textLangidSql,

@@ -48,7 +48,8 @@ class WordCountSpec extends AnyFunSuite {
   test("every query has either an oracle or is a documented rows-only op") {
     val rowsOnly = Set("dedup_simhash", "dedup_simhash_pairs",
       "dedup_sketch_sources",
-      "ann_lsh_top1", "ann_ivf_top1", "ann_ivf_topk", "q_approx_distinct")
+      "ann_lsh_top1", "ann_ivf_top1", "ann_ivf_topk", "q_approx_distinct",
+      "q_approx_percentiles")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === rowsOnly)
     // and no oracle without a query
