@@ -103,17 +103,23 @@ object Dedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  /** Tokenizer + shingling + pair CTEs mirrored in DuckDB — ONE block
-    * shared by the pair oracle, the LSH oracle, and the components
-    * oracle, so the three can't drift apart. */
-  private val PairCtesSql: String =
+  /** Tokenizer + shingle-set CTEs mirrored in DuckDB — the oracle twin of
+    * [[shingleSets]], shared by every shingle-consuming oracle here so
+    * the SQL shingling can never drift from itself. */
+  private val ShingleCtesSql: String =
     s"""tok AS (
       |  SELECT doc_id, ${Text.TokensOracleSql} AS w
       |  FROM documents),
       |sh AS (
       |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                                FOR i IN range(1, len(w) - 1)]) AS s
-      |  FROM tok WHERE len(w) >= 3),
+      |  FROM tok WHERE len(w) >= 3)""".stripMargin
+
+  /** [[ShingleCtesSql]] + the all-pairs intersection CTEs — ONE block
+    * shared by the pair oracle, the LSH oracle, and the components
+    * oracle, so the three can't drift apart. */
+  private val PairCtesSql: String =
+    s"""$ShingleCtesSql,
       |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
@@ -359,7 +365,64 @@ object Dedup {
 
   // ---- registry ------------------------------------------------------------
 
+  // ---- benchmark decontamination ------------------------------------------
+
+  /** Every 83rd doc stands in for the held-out benchmark/eval corpus the
+    * decontamination pass protects (derived deterministically from the
+    * corpus itself so the DuckDB oracle can reconstruct it exactly —
+    * the maintUpsert delta trick). */
+  val EvalMod = 83L
+
+  /** Contamination threshold: flag a training doc when ≥ this percent of
+    * its distinct shingles appear anywhere in the eval corpus. */
+  val ContamPct = 20L
+
+  /** Benchmark DECONTAMINATION — the training-pipeline pass that keeps
+    * eval answers out of the training set: for each training document,
+    * the fraction of its distinct 3-gram shingles that appear anywhere in
+    * the eval corpus, flagged at ≥ [[ContamPct]]%. The scale shape is the
+    * one that matters at 100 TB: eval corpora are small BY DEFINITION
+    * (benchmarks are MBs against a 100 TB train set), so the eval shingle
+    * dimension is distinct-reduced and BROADCAST — the training side
+    * never shuffles for the probe; its only exchange is the final per-doc
+    * count agg, and since each doc's exploded shingles stay in the doc's
+    * input partition, partial aggregation collapses them map-side before
+    * that shuffle. Output is integer counts plus an integer-cross-
+    * multiplied flag (n_cont·100 ≥ n_sh·pct) — no division, so the flag
+    * is hash-exact in both engines.
+    */
+  def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleSets(spark, dir)
+    val evalShingles = sh
+      .filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
+      .select(explode(col("sh")).as("shingle"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    sh.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(evalShingles), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("contaminated",
+        col("n_contaminated") * lit(100L) >= col("n_shingles") * lit(ContamPct))
+  }
+
+  val dedupDecontaminateSql: String =
+    s"""WITH $ShingleCtesSql,
+      |ev AS (
+      |  SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % $EvalMod = 0),
+      |tr AS (
+      |  SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % $EvalMod <> 0)
+      |SELECT tr.doc_id,
+      |  count(*) AS n_shingles,
+      |  count(ev.shingle) AS n_contaminated,
+      |  count(ev.shingle) * 100 >= count(*) * $ContamPct AS contaminated
+      |FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+      |GROUP BY tr.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_decontaminate" -> (dedupDecontaminate _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_components" -> (dedupComponents _),
@@ -369,6 +432,7 @@ object Dedup {
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_near_jaccard" -> dedupNearJaccardSql,
     "dedup_components" -> dedupComponentsSql,

@@ -415,8 +415,52 @@ object TextAnalysis {
       |  len(regexp_extract_all(text, '\b(customer|supplier|spark)\b')) AS n_redacted
       |FROM documents""".stripMargin
 
+  /** Repetition threshold: flag when the most frequent bigram accounts
+    * for ≥ 1/5 of all bigram occurrences in the document. */
+  val RepetitionDen = 5L
+
+  /** Intra-document REPETITION profiling — the boilerplate/degenerate-
+    * text detector of a quality pipeline (nav-bar spam, keyword stuffing,
+    * generation loops all show up as a few n-grams dominating the
+    * document). Per doc: total bigram occurrences, distinct bigrams, the
+    * top bigram's count, and a flag when that top count is ≥ 1/5 of the
+    * total. Plan shape: explode keeps each doc's bigrams in the doc's
+    * input partition, so the (doc_id, bigram) partial aggregate collapses
+    * every duplicate MAP-SIDE — the exchange carries one row per distinct
+    * bigram (the theoretical minimum for a distributed distinct-count),
+    * and the second agg is partial too. All-integer output (counts and a
+    * cross-multiplied flag), so the row is hash-exact cross-engine.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_count"))
+      .withColumn("repetitive",
+        col("top_count") * lit(RepetitionDen) >= col("n_bigrams"))
+
+  val textRepetitionSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, ${Text.TokensOracleSql} AS w FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS b
+      |  FROM tok WHERE len(w) >= 2),
+      |c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  count(*) AS n_distinct_bigrams,
+      |  max(c) AS top_count,
+      |  max(c) * $RepetitionDen >= sum(c) AS repetitive
+      |FROM c GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_sample_split" -> (docSampleSplit _),
+    "text_repetition" -> (textRepetition _),
     "doc_sample_stratified" -> (docSampleStratified _),
     "text_redact" -> (textRedact _),
     "text_stats" -> (textStats _),
@@ -431,6 +475,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "doc_sample_split" -> docSampleSplitSql,
+    "text_repetition" -> textRepetitionSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,
     "text_redact" -> textRedactSql,
     "text_stats" -> textStatsSql,

@@ -403,6 +403,38 @@ object StreamingWindows {
     runToMemory(spark, joined, "append", "stream_stream_join")
   }
 
+  /** STREAM-STATIC enrichment join — the dimension-lookup shape every
+    * event pipeline runs (click stream × user table): the event stream
+    * joined to a batch customer→nation dimension, then aggregated per
+    * (nation, event_type). The static side is BROADCAST — re-planned per
+    * micro-batch but never shuffled, and the stream side's only exchange
+    * is the aggregation itself; at 100 TB/day of events and a
+    * millions-row dimension this is the join that must not shuffle the
+    * stream. No watermark is needed: stream-static joins are stateless
+    * (each micro-batch joins against the current static snapshot), state
+    * exists only in the downstream agg. Oracle = the same join+agg as one
+    * batch SQL statement.
+    */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name"))
+    val enriched = eventStream(spark, dir)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("n_name"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.dsum(col("value")).as("val_sum"))
+    runToMemory(spark, enriched, "complete", "stream_enrich")
+  }
+
+  val streamEnrichSql: String =
+    """SELECT n_name, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+      |FROM events
+      |JOIN customer ON user_id = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2""".stripMargin
+
   val streamStreamJoinSql: String =
     """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
       |  c.user_id AS user_id,
@@ -422,6 +454,7 @@ object StreamingWindows {
     "stream_sessions_append" -> (streamSessionsAppend _),
     "stream_sessions_stateful" -> (streamSessionsStateful _),
     "stream_dedup" -> (streamDedup _),
+    "stream_enrich" -> (streamEnrich _),
     "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -434,5 +467,6 @@ object StreamingWindows {
     "stream_sessions_append" -> streamSessionsAppendSql,
     "stream_sessions_stateful" -> graft.operators.Events.eventsSessionsSql,
     "stream_dedup" -> streamDedupSql,
+    "stream_enrich" -> streamEnrichSql,
     "stream_stream_join" -> streamStreamJoinSql)
 }
