@@ -421,8 +421,55 @@ object Dedup {
       |FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
       |GROUP BY tr.doc_id""".stripMargin
 
+  // ---- fuzzy (edit-distance) entity matching ------------------------------
+
+  /** Fuzzy NAME matching — the entity-resolution flavor of dedup: all
+    * pairs of distinct customer names within Levenshtein distance 1
+    * (near-identical IDs, one-keystroke variants). The naive form is an
+    * O(V²) cross join with an edit-distance predicate — 10¹⁰ pairs for a
+    * 100k-name table, unrunnable at scale. The engine instead uses
+    * SymSpell-style DELETION-NEIGHBORHOOD BLOCKING: each name generates
+    * its single-character-deletion variants plus itself as join keys, and
+    * two names are within one edit iff they share a key (substitution:
+    * deleting the differing position from both yields the same string;
+    * insertion/deletion: the shorter name IS a deletion of the longer;
+    * equality excluded by `<`). That turns the cross join into an
+    * equi-join on ~(L+1)·V short keys with work ∝ Σ bucket² — the same
+    * candidate-generate-then-verify shape as MinHash-LSH, and like LSH
+    * the blocking admits false positives (two DIFFERENT deletions can
+    * coincide at distance 2), so a final codegen'd `levenshtein` filter
+    * verifies each candidate. The oracle runs the honest quadratic form —
+    * the oracle is allowed to be slow; the engine is not.
+    */
+  def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.customer(spark, dir)
+      .select(col("c_name").as("name")).distinct()
+      .select(col("name"), explode(expr(
+        """array_union(array(name),
+          |  transform(sequence(1, length(name)),
+          |    i -> concat(substr(name, 1, i - 1),
+          |                substr(name, i + 1, length(name) - i))))""".stripMargin))
+        .as("k"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b")).cast("long"))
+  }
+
+  val dedupFuzzyNamesSql: String =
+    """WITH v AS (SELECT DISTINCT c_name AS name FROM customer)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |  levenshtein(a.name, b.name) AS dist
+      |FROM v a JOIN v b
+      |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_decontaminate" -> (dedupDecontaminate _),
+    "dedup_fuzzy_names" -> (dedupFuzzyNames _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_components" -> (dedupComponents _),
@@ -433,6 +480,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_decontaminate" -> dedupDecontaminateSql,
+    "dedup_fuzzy_names" -> dedupFuzzyNamesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_near_jaccard" -> dedupNearJaccardSql,
     "dedup_components" -> dedupComponentsSql,

@@ -277,7 +277,58 @@ object Events {
 
   // ---- registry ------------------------------------------------------------
 
+  /** Time-series RESAMPLE + forward fill — the gap-filling step every
+    * downstream ML/monitoring consumer needs (regular grid in, ragged
+    * events out): per user, an hourly grid from the user's first to last
+    * event hour, each grid cell carrying that hour's event count (0 when
+    * silent) and the most recent non-empty hour's value sum
+    * (forward/LOCF fill). Grid generation is `sequence` + explode — rows
+    * are produced from each user's 2-row bound, never read — so the scan
+    * stays one pass; the fill is `last(..., ignoreNulls)` over a
+    * running ROWS frame, one shuffle on user_id shared by grid and fill.
+    * Forward-filled values are CARRIED, not recomputed — each was
+    * produced once by the decimal-domain hourly sum, so LOCF introduces
+    * no new floating-point ops and the result stays hash-exact.
+    * Per-user grids (not one global grid) keep the row count
+    * Σ user-span-hours, not users × global-span — the difference between
+    * linear and quadratic blow-up when user lifetimes are staggered at
+    * scale.
+    */
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+    val grid = hourly
+      .groupBy("user_id")
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "h"), "left")
+      .select(col("user_id"), fmt(col("h")).as("ws"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("v"), ignoreNulls = true).over(w).as("val_ff"))
+  }
+
+  val eventsResampleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+      |  FROM o GROUP BY user_id)
+      |SELECT g.user_id, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS ws,
+      |  coalesce(o.n, 0) AS n,
+      |  last_value(o.v IGNORE NULLS)
+      |    OVER (PARTITION BY g.user_id ORDER BY g.h
+      |          ROWS UNBOUNDED PRECEDING) AS val_ff
+      |FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.h = o.h""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_resample" -> (eventsResample _),
     "events_json_kv" -> (eventsJsonKv _),
     "events_variant" -> (eventsVariant _),
     "events_hourly" -> (eventsHourly _),
@@ -290,6 +341,7 @@ object Events {
     "events_daily_active" -> (eventsDailyActive _))
 
   val oracles: Map[String, String] = Map(
+    "events_resample" -> eventsResampleSql,
     "events_json_kv" -> eventsJsonKvSql,
     "events_variant" -> eventsVariantSql,
     "events_hourly" -> eventsHourlySql,
