@@ -327,8 +327,65 @@ object Events {
       |          ROWS UNBOUNDED PRECEDING) AS val_ff
       |FROM g LEFT JOIN o ON g.user_id = o.user_id AND g.h = o.h""".stripMargin
 
+  /** FUNNEL analysis — staged conversion over an event stream: per user,
+    * the first signup, the first click strictly after it, and the first
+    * purchase strictly after that click, with the stage reached (1–3).
+    * Each stage is one filtered aggregation joined to the previous
+    * stage's per-user firsts — the stage tables are user-cardinality
+    * (dimension-sized, broadcast), so the big event scan is filtered and
+    * partially aggregated before its only exchange, three times; no
+    * window over the full event history and no per-user event sorting.
+    * All outputs are carried timestamps (formatted) and integer flags —
+    * no arithmetic on values, hash-exact cross-engine.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t_signup"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(broadcast(signup), Seq("user_id"))
+      .filter(col("ts") > col("t_signup"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(click), Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+    signup
+      .join(click, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"),
+        fmtUs(col("t_signup")).as("t_signup"),
+        fmtUs(col("t_click")).as("t_click"),
+        fmtUs(col("t_purchase")).as("t_purchase"),
+        (lit(1L) + col("t_click").isNotNull.cast("long")
+          + col("t_purchase").isNotNull.cast("long")).as("stage"))
+  }
+
+  private def fmtUs(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  val eventsFunnelSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT s1.user_id,
+      |  strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS t_signup,
+      |  strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+      |  strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase,
+      |  CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT) AS stage
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_resample" -> (eventsResample _),
+    "events_funnel" -> (eventsFunnel _),
     "events_json_kv" -> (eventsJsonKv _),
     "events_variant" -> (eventsVariant _),
     "events_hourly" -> (eventsHourly _),
@@ -342,6 +399,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_resample" -> eventsResampleSql,
+    "events_funnel" -> eventsFunnelSql,
     "events_json_kv" -> eventsJsonKvSql,
     "events_variant" -> eventsVariantSql,
     "events_hourly" -> eventsHourlySql,
