@@ -205,7 +205,56 @@ object Formats {
     """SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin
 
+  /** `binaryFile` ingest — the raw-asset on-ramp (images, audio, model
+    * shards arrive as FILES, not rows): each document's text is written
+    * as an individual `.bin` file from the EXECUTORS (foreachPartition
+    * through the session-configured Hadoop filesystem — the driver never
+    * sees a byte, and the same code writes to s3a/hdfs), then read back
+    * with `format("binaryFile")`, which lists the directory into one
+    * task per file group and exposes (path, length, content). The query
+    * re-derives each doc's identity from its path and fingerprints the
+    * bytes; the oracle computes byte length and md5 from the ORIGINAL
+    * text column, so a single flipped or lost byte anywhere in the
+    * write→list→read cycle fails the hash-compare. (binaryFile is
+    * read-only by design in Spark; the write half IS the executor-side
+    * loop.) Scale note: one small file per record is the pathology
+    * [[graft.operators.Maintenance]] compaction exists to fix — here it
+    * is the deliberate fixture, because raw multimodal corpora really do
+    * arrive that way.
+    */
+  def fmtBinary(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("docs_bin", dir)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(hconf.value)
+        rows.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(p, s"doc_${r.getLong(0)}.bin"), true)
+          try out.write(r.getString(1).getBytes(
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        }
+      }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "doc_*.bin")
+      .load(path)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+  }
+
+  val fmtBinarySql: String =
+    """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_binary" -> (fmtBinary _),
     "fmt_csv_roundtrip" -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
     "fmt_json_corrupt" -> (fmtJsonCorrupt _),
@@ -215,6 +264,7 @@ object Formats {
     "fmt_partition_pruning" -> (fmtPartitionPruning _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_binary" -> fmtBinarySql,
     "fmt_csv_roundtrip" -> fmtCsvRoundtripSql,
     "fmt_json_roundtrip" -> fmtJsonRoundtripSql,
     "fmt_json_corrupt" -> fmtJsonCorruptSql,
