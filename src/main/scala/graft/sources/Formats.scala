@@ -222,23 +222,40 @@ object Formats {
     * is the deliberate fixture, because raw multimodal corpora really do
     * arrive that way.
     */
+  /** Fixture bound: one file per record costs ~7 ms on this VM's local
+    * filesystem (create + checksum twin, then open on read) regardless
+    * of size, so an unbounded fixture would benchmark the VM's file
+    * syscall throughput, not the format path. 500 files exercises
+    * listing, glob filtering, bin-packing, and content fidelity fully. */
+  val BinaryFixtureDocs = 500L
+
   def fmtBinary(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("docs_bin", dir)
     val hconf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(hconf.value)
-        rows.foreach { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(p, s"doc_${r.getLong(0)}.bin"), true)
-          try out.write(r.getString(1).getBytes(
-            java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
+    // Raw assets are a SOURCE: build the file fixture once per dataset
+    // dir (marker committed only after every file is written — a torn
+    // earlier attempt rebuilds), then every query run just reads it.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_FIXTURE_OK")
+    if (!fs.exists(marker)) {
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") < BinaryFixtureDocs)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val p = new org.apache.hadoop.fs.Path(path)
+          val pfs = p.getFileSystem(hconf.value)
+          rows.foreach { r =>
+            val out = pfs.create(
+              new org.apache.hadoop.fs.Path(p, s"doc_${r.getLong(0)}.bin"), true)
+            try out.write(r.getString(1).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
         }
-      }
+      fs.create(marker, true).close()
+    }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "doc_*.bin")
       .load(path)
@@ -250,8 +267,8 @@ object Formats {
   }
 
   val fmtBinarySql: String =
-    """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
-      |FROM documents""".stripMargin
+    s"""SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
+      |FROM documents WHERE doc_id < ${BinaryFixtureDocs}""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_binary" -> (fmtBinary _),
