@@ -392,14 +392,20 @@ object Dedup {
     * is hash-exact in both engines.
     */
   def dedupDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // explode_outer + isNotNull, NOT plain explode — same pathology note
+    // as dedupNearJaccard: explode makes the optimizer infer size(sh)>0
+    // and push the whole tokenize+shingle pipeline back into the scan as
+    // a per-row filter, evaluating it twice per document.
     val sh = shingleSets(spark, dir)
     val evalShingles = sh
       .filter(pmod(col("doc_id"), lit(EvalMod)) === 0)
-      .select(explode(col("sh")).as("shingle"))
+      .select(explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .distinct()
       .withColumn("hit", lit(1))
     sh.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
       .join(broadcast(evalShingles), Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),

@@ -25,6 +25,13 @@ object Events {
   private def fmt(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss")
 
+  /** Microsecond-precision render — ONE definition for every
+    * oracle-compared event timestamp (batch and streaming twins), so a
+    * precision change is a single edit mirrored in the `%f` strftime of
+    * the oracles. */
+  private[graft] def fmtUs(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
   // ---- JSON extraction -----------------------------------------------------
 
   /** from_json over `props` → typed field, aggregated per event type. */
@@ -152,7 +159,7 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
-        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"))
+        fmtUs(min(col("ts"))).as("sess_start"))
       // integer division (`div`): Column `/` is IEEE double division and
       // truncates on the later cast, while DuckDB CAST(double AS BIGINT)
       // rounds — off-by-one on .5+ fractions. Floor both sides instead.
@@ -201,8 +208,8 @@ object Events {
       .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
-        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
-        date_format(col("last_click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"))
+        fmtUs(col("ts")).as("purchase_ts"),
+        fmtUs(col("last_click_ts")).as("click_ts"))
   }
 
   val eventsAsofSql: String =
@@ -361,8 +368,6 @@ object Events {
           + col("t_purchase").isNotNull.cast("long")).as("stage"))
   }
 
-  private def fmtUs(c: Column): Column =
-    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
   val eventsFunnelSql: String =
     """WITH s1 AS (

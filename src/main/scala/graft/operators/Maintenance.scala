@@ -52,20 +52,30 @@ object Maintenance {
   /** Compact `src` into ceil(bytes/target) files at `dest`; returns the
     * planned file count. The merge is `coalesce`, not `repartition`:
     * coalesce is a NARROW dependency — each output task concatenates
-    * whole input partitions with zero shuffle — and the parquet scan has
-    * already bin-packed the small files into read partitions
-    * (`spark.sql.files.maxPartitionBytes` / `openCostInBytes`), so the
-    * whole rewrite is one shuffle-free pass. `repartition` would be the
-    * tool only if the rewrite also had to re-CLUSTER rows (see the
-    * spill/skew caveat: coalesce preserves whatever row distribution the
-    * scan produced, which is exactly right for pure compaction).
-    * Overwrite-mode write keeps the operation idempotent — a retried
-    * compaction converges to the same state.
+    * whole input partitions with zero shuffle — so the whole rewrite is
+    * one shuffle-free pass. `repartition` would be the tool only if the
+    * rewrite also had to re-CLUSTER rows (coalesce preserves whatever
+    * row distribution the scan produced, which is exactly right for
+    * pure compaction). Since coalesce can only DECREASE the partition
+    * count, the scan's bin-packing is pinned to the compaction target
+    * (`maxPartitionBytes` = targetBytes for this read only): each read
+    * partition then holds at most targetBytes of data, so the scan
+    * yields ≥ ceil(bytes/target) partitions and coalesce lands the
+    * count exactly — under the session default (128 MiB ≫ a small
+    * target) the scan could start BELOW the planned count and the
+    * contract would silently under-deliver. Overwrite-mode write keeps
+    * the operation idempotent — a retried compaction converges to the
+    * same state.
     */
   def compact(spark: SparkSession, src: String, dest: String,
       targetBytes: Long = TargetFileBytes): Int = {
     val n = plannedFiles(dataBytes(spark, src), targetBytes)
-    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dest)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, targetBytes.toString)
+    try spark.read.parquet(src).coalesce(n)
+      .write.mode("overwrite").parquet(dest)
+    finally spark.conf.set(key, before)
     n
   }
 

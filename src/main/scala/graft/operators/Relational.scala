@@ -753,12 +753,13 @@ object Relational {
     * status. The value list is EXPLICIT (`Seq("F","O","P")`) — without
     * it `pivot` first runs a values-discovery job (a full distinct scan
     * of the pivot column) before it can even plan, an extra 100 TB pass
-    * that a fixed enum never needs. With the list supplied, the whole
-    * pivot compiles to one partial-aggregable hash aggregate over
-    * `sum(CASE WHEN status=… THEN price END)` columns — exactly the
-    * FILTER-aggregation the oracle spells out, one shuffle, no Expand.
-    * Absent (nation, status) combinations surface as NULL cells in both
-    * engines.
+    * that a fixed enum never needs. With the list supplied, the pivot
+    * compiles to Spark's two-phase pivot aggregate — partial-aggregable
+    * sum over (n_name, status), then PivotFirst gathering the three
+    * status cells per nation (two exchanges, both partial-aggregated
+    * map-side; see the PLANS.md dump) — with no Expand and no discovery
+    * scan. Absent (nation, status) combinations surface as NULL cells in
+    * both engines, matching the oracle's FILTER-aggregation form.
     */
   def qPivot(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

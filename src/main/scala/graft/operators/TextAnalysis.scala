@@ -433,8 +433,11 @@ object TextAnalysis {
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // explode_outer: avoids the inferred size()>0 scan filter that
+      // would re-evaluate tokenize+shingle per row (see textBigrams)
       .select(col("doc_id"),
-        explode(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+        explode_outer(Text.shingles(Text.tokens(col("text")), 2)).as("bg"))
+      .filter(col("bg").isNotNull)
       .groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")

@@ -212,7 +212,7 @@ object StreamingWindows {
       .agg(
         count(lit(1)).as("n_events"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"),
-        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"))
+        graft.operators.Events.fmtUs(min(col("ts"))).as("sess_start"))
       .select(col("user_id"), col("sess_start"), col("n_events"),
         expr("dur_us div 1000000").as("dur_sec"))
 
@@ -338,8 +338,8 @@ object StreamingWindows {
       }
       .toDF("user_id", "start_us", "n_events", "dur_us")
       .select(col("user_id"),
-        date_format(expr("timestamp_micros(start_us)"),
-          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+        graft.operators.Events.fmtUs(
+          expr("timestamp_micros(start_us)")).as("sess_start"),
         col("n_events"),
         expr("dur_us div 1000000").as("dur_sec"))
     runToMemory(spark, sessions, "append", "stream_sessions_stateful")
