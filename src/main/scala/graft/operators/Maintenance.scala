@@ -63,9 +63,13 @@ object Maintenance {
     * yields ≥ ceil(bytes/target) partitions and coalesce lands the
     * count exactly — under the session default (128 MiB ≫ a small
     * target) the scan could start BELOW the planned count and the
-    * contract would silently under-deliver. Overwrite-mode write keeps
-    * the operation idempotent — a retried compaction converges to the
-    * same state.
+    * contract would silently under-deliver. The exact-count contract
+    * holds for compaction's actual regime — input files at or below the
+    * target; an input file LARGER than the target splits only at parquet
+    * row-group boundaries, so a single-row-group jumbo file bounds how
+    * finely any rewriter can cut (that direction is file SPLITTING, a
+    * different maintenance op). Overwrite-mode write keeps the operation
+    * idempotent — a retried compaction converges to the same state.
     */
   def compact(spark: SparkSession, src: String, dest: String,
       targetBytes: Long = TargetFileBytes): Int = {

@@ -68,6 +68,25 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("compact honors targets finer than the scan's default bin-packing") {
+    // A target far below maxPartitionBytes: without pinning the scan's
+    // bin-packing to the target, the read would open in FEWER partitions
+    // than planned and coalesce (decrease-only) would silently
+    // under-deliver the contract.
+    val spark = TestSpark.spark
+    val dir = TestSpark.Sf0001
+    val scatter = Formats.tmp("maint_scatter", dir)
+    graft.engine.Tables.lineitem(spark, dir)
+      .repartition(64).write.mode("overwrite").parquet(scatter)
+    val target = math.max(1L, Maintenance.dataBytes(spark, scatter) / 7)
+    val dest = Formats.tmp("maint_fine", dir)
+    val planned = Maintenance.compact(spark, scatter, dest, target)
+    assert(planned >= 7, "fixture sanity: target must demand more files than scan partitions")
+    assert(Maintenance.dataFiles(spark, dest) === planned)
+    assert(spark.read.parquet(dest).count() ===
+      graft.engine.Tables.lineitem(spark, dir).count())
+  }
+
   test("plannedFiles is ceil with a floor of one") {
     assert(Maintenance.plannedFiles(0, 100) === 1)
     assert(Maintenance.plannedFiles(1, 100) === 1)
