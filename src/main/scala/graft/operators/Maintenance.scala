@@ -174,9 +174,10 @@ object Maintenance {
     * the FULL applied snapshot — every untouched row survives, every
     * updated row carries the new price, every insert appears once.
     */
-  def maintUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(spark, dir)
-      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+  /** The deterministic CDC delta rule (updates, inserts) derived from a
+    * base slice — ONE definition shared by the batch apply and the
+    * streaming foreachBatch twin so the two can never drift. */
+  private[graft] def upsertDelta(base: DataFrame): (DataFrame, DataFrame) = {
     val updates = base.filter(pmod(col("o_orderkey"), lit(97L)) === 0)
       .withColumn("o_totalprice",
         (col("o_totalprice").cast("decimal(18,2)") + lit(BigDecimal("10.00")))
@@ -187,10 +188,23 @@ object Maintenance {
         col("o_custkey"),
         lit("N").as("o_orderstatus"),
         col("o_totalprice"))
-    base
+    (updates, inserts)
+  }
+
+  /** snapshot' = (snapshot ANTI-JOIN update-keys) ∪ updates ∪ inserts,
+    * with the delta keys broadcast so the snapshot never shuffles. */
+  private[graft] def applyUpsert(snapshot: DataFrame, updates: DataFrame,
+      inserts: DataFrame): DataFrame =
+    snapshot
       .join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
       .unionByName(updates)
       .unionByName(inserts)
+
+  def maintUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val (updates, inserts) = upsertDelta(base)
+    applyUpsert(base, updates, inserts)
   }
 
   val maintUpsertSql: String =

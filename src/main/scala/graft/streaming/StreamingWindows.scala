@@ -403,6 +403,53 @@ object StreamingWindows {
     runToMemory(spark, joined, "append", "stream_stream_join")
   }
 
+  /** Streaming CDC APPLY — `foreachBatch` folding each micro-batch's
+    * change delta into a persistent parquet snapshot, the streaming twin
+    * of [[graft.operators.Maintenance.maintUpsert]] (same delta rule and
+    * merge via the shared helpers, so the two cannot drift). foreachBatch
+    * is the escape hatch for sinks Structured Streaming cannot express
+    * declaratively — here a read-modify-replace snapshot rewrite:
+    * per batch, snapshot' = (snapshot anti-join delta-keys) ∪ updates ∪
+    * inserts, written BESIDE the live snapshot and swapped in by rename,
+    * so a crash mid-write leaves the old snapshot intact (the same
+    * temp→rename commit discipline as the lines DSv2 sink). The orders
+    * table arrives as a single-file stream → one micro-batch, so the
+    * final snapshot is hash-checked against the SAME oracle as the batch
+    * twin; at scale each arriving CDC file is one batch and the apply
+    * cost stays one broadcast anti-join + rewrite per batch.
+    */
+  def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Maintenance
+    val snap = graft.sources.Formats.tmp("stream_upsert_snap", dir)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    Tables.orders(spark, dir).select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(snap)
+    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+      .select(cols.map(col): _*)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (updates, inserts) = Maintenance.upsertDelta(batch)
+        val next = Maintenance.applyUpsert(
+          spark.read.parquet(snap), updates, inserts)
+        val nextPath = new org.apache.hadoop.fs.Path(snap + "_next")
+        val snapPath = new org.apache.hadoop.fs.Path(snap)
+        next.write.mode("overwrite").parquet(nextPath.toString)
+        val fs = snapPath.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.delete(snapPath, true)
+        if (!fs.rename(nextPath, snapPath))
+          throw new java.io.IOException(s"snapshot swap failed: $nextPath")
+        (): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(snap)
+  }
+
   /** STREAM-STATIC enrichment join — the dimension-lookup shape every
     * event pipeline runs (click stream × user table): the event stream
     * joined to a batch customer→nation dimension, then aggregated per
@@ -455,6 +502,7 @@ object StreamingWindows {
     "stream_sessions_stateful" -> (streamSessionsStateful _),
     "stream_dedup" -> (streamDedup _),
     "stream_enrich" -> (streamEnrich _),
+    "stream_upsert" -> (streamUpsert _),
     "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -468,5 +516,6 @@ object StreamingWindows {
     "stream_sessions_stateful" -> graft.operators.Events.eventsSessionsSql,
     "stream_dedup" -> streamDedupSql,
     "stream_enrich" -> streamEnrichSql,
+    "stream_upsert" -> graft.operators.Maintenance.maintUpsertSql,
     "stream_stream_join" -> streamStreamJoinSql)
 }
