@@ -13,17 +13,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
-    * `n`, restoring the prior value even on failure — the shared
-    * conf-window idiom for stages whose shuffle keys are orders of
-    * magnitude smaller than the corpus (stateful streaming key spaces,
-    * label-propagation rounds). */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val before = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, before)
+  /** Run `body` with one SQL conf temporarily overridden, restoring the
+    * prior state (set OR unset) even on failure — the single shared
+    * conf-window idiom (shuffle sizing, scan bin-packing, state-store
+    * providers). */
+  def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
+
+  /** [[withConf]] on `spark.sql.shuffle.partitions` — for stages whose
+    * shuffle keys are orders of magnitude smaller than the corpus
+    * (stateful streaming key spaces, label-propagation rounds). */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConf(spark, "spark.sql.shuffle.partitions", n.toString)(body)
 
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

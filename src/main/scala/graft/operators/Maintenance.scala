@@ -74,12 +74,11 @@ object Maintenance {
   def compact(spark: SparkSession, src: String, dest: String,
       targetBytes: Long = TargetFileBytes): Int = {
     val n = plannedFiles(dataBytes(spark, src), targetBytes)
-    val key = "spark.sql.files.maxPartitionBytes"
-    val before = spark.conf.get(key)
-    spark.conf.set(key, targetBytes.toString)
-    try spark.read.parquet(src).coalesce(n)
-      .write.mode("overwrite").parquet(dest)
-    finally spark.conf.set(key, before)
+    Tables.withConf(spark, "spark.sql.files.maxPartitionBytes",
+        targetBytes.toString) {
+      spark.read.parquet(src).coalesce(n)
+        .write.mode("overwrite").parquet(dest)
+    }
     n
   }
 
@@ -191,14 +190,22 @@ object Maintenance {
     (updates, inserts)
   }
 
-  /** snapshot' = (snapshot ANTI-JOIN update-keys) ∪ updates ∪ inserts,
-    * with the delta keys broadcast so the snapshot never shuffles. */
+  /** snapshot' = (snapshot ANTI-JOIN delta-keys) ∪ updates ∪ inserts,
+    * with the delta keys broadcast so the snapshot never shuffles. The
+    * anti-join strips the keys of BOTH delta halves — update keys because
+    * their rows are replaced, insert keys so re-applying the same delta
+    * is IDEMPOTENT: under at-least-once delivery (a foreachBatch replay
+    * after a committed swap but uncommitted checkpoint) a replayed
+    * insert would otherwise append its row a second time. */
   private[graft] def applyUpsert(snapshot: DataFrame, updates: DataFrame,
-      inserts: DataFrame): DataFrame =
+      inserts: DataFrame): DataFrame = {
+    val deltaKeys = updates.select("o_orderkey")
+      .unionByName(inserts.select("o_orderkey"))
     snapshot
-      .join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .join(broadcast(deltaKeys), Seq("o_orderkey"), "left_anti")
       .unionByName(updates)
       .unionByName(inserts)
+  }
 
   def maintUpsert(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
@@ -219,7 +226,8 @@ object Maintenance {
       |    'N' AS o_orderstatus, o_totalprice
       |  FROM base WHERE o_orderkey % 101 = 0)
       |SELECT * FROM base
-      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd
+      |                         UNION ALL SELECT o_orderkey FROM ins)
       |UNION ALL SELECT * FROM upd
       |UNION ALL SELECT * FROM ins""".stripMargin
 

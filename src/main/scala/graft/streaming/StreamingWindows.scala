@@ -281,20 +281,14 @@ object StreamingWindows {
     */
   def streamUserTotalsTws(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    Tables.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val totals = typedCents(spark, dir)
         .groupByKey(_._1)
         .transformWithState(new RunningTotalsProcessor,
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "n_events", "val_sum")
       runToMemory(spark, totals, "update", "stream_user_totals_tws")
-    } finally before match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
     }
   }
 
@@ -410,38 +404,50 @@ object StreamingWindows {
     * is the escape hatch for sinks Structured Streaming cannot express
     * declaratively — here a read-modify-replace snapshot rewrite:
     * per batch, snapshot' = (snapshot anti-join delta-keys) ∪ updates ∪
-    * inserts, written BESIDE the live snapshot and swapped in by rename,
-    * so a crash mid-write leaves the old snapshot intact (the same
-    * temp→rename commit discipline as the lines DSv2 sink). The orders
-    * table arrives as a single-file stream → one micro-batch, so the
-    * final snapshot is hash-checked against the SAME oracle as the batch
-    * twin; at scale each arriving CDC file is one batch and the apply
-    * cost stays one broadcast anti-join + rewrite per batch.
+    * inserts, written BESIDE the live snapshot and swapped in by a
+    * retire-then-promote rename pair (live→old, next→live, delete old):
+    * at every instant a complete snapshot exists under either the live
+    * or the old name, so a crash mid-swap never loses the table — the
+    * same never-destroy-before-replace discipline as the lines DSv2
+    * sink's temp→rename commit. The orders table arrives as a
+    * single-file stream → one micro-batch, so the final snapshot is
+    * hash-checked against the SAME oracle as the batch twin; at scale
+    * each arriving CDC file is one batch and the apply cost stays one
+    * broadcast anti-join + rewrite per batch (the batch is persisted
+    * across its three appearances in the apply plan — delta-key
+    * broadcast, update leg, insert leg — so each CDC file is scanned
+    * once, not three times).
     */
   def streamUpsert(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Maintenance
     val snap = graft.sources.Formats.tmp("stream_upsert_snap", dir)
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    Tables.orders(spark, dir).select(cols.map(col): _*)
-      .write.mode("overwrite").parquet(snap)
-    val schema = spark.read.parquet(s"$dir/orders.parquet").schema
+    val base = Tables.orders(spark, dir).select(cols.map(col): _*)
+    base.write.mode("overwrite").parquet(snap)
     val stream = spark.readStream
-      .schema(schema)
+      .schema(base.schema)
       .option("pathGlobFilter", "orders.parquet")
       .parquet(dir)
       .select(cols.map(col): _*)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (updates, inserts) = Maintenance.upsertDelta(batch)
-        val next = Maintenance.applyUpsert(
-          spark.read.parquet(snap), updates, inserts)
-        val nextPath = new org.apache.hadoop.fs.Path(snap + "_next")
-        val snapPath = new org.apache.hadoop.fs.Path(snap)
-        next.write.mode("overwrite").parquet(nextPath.toString)
-        val fs = snapPath.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.delete(snapPath, true)
-        if (!fs.rename(nextPath, snapPath))
-          throw new java.io.IOException(s"snapshot swap failed: $nextPath")
+        batch.persist()
+        try {
+          val (updates, inserts) = Maintenance.upsertDelta(batch)
+          val next = Maintenance.applyUpsert(
+            spark.read.parquet(snap), updates, inserts)
+          val nextPath = new org.apache.hadoop.fs.Path(snap + "_next")
+          val snapPath = new org.apache.hadoop.fs.Path(snap)
+          val oldPath = new org.apache.hadoop.fs.Path(snap + "_old")
+          next.write.mode("overwrite").parquet(nextPath.toString)
+          val fs = snapPath.getFileSystem(spark.sessionState.newHadoopConf())
+          fs.delete(oldPath, true) // stale retiree from a prior crash
+          if (!fs.rename(snapPath, oldPath))
+            throw new java.io.IOException(s"snapshot retire failed: $snapPath")
+          if (!fs.rename(nextPath, snapPath))
+            throw new java.io.IOException(s"snapshot swap failed: $nextPath")
+          fs.delete(oldPath, true)
+        } finally batch.unpersist()
         (): Unit
       }
       .trigger(Trigger.AvailableNow())

@@ -75,7 +75,9 @@ class MaintenanceSpec extends AnyFunSuite {
     // under-deliver the contract.
     val spark = TestSpark.spark
     val dir = TestSpark.Sf0001
-    val scatter = Formats.tmp("maint_scatter", dir)
+    // own scratch prefix — must not clobber maintCompact's "maint_scatter"
+    // fixture, which the first test asserts against
+    val scatter = Formats.tmp("maint_fine_scatter", dir)
     graft.engine.Tables.lineitem(spark, dir)
       .repartition(64).write.mode("overwrite").parquet(scatter)
     val target = math.max(1L, Maintenance.dataBytes(spark, scatter) / 7)
