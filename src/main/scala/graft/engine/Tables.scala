@@ -26,6 +26,14 @@ object Tables {
     }
   }
 
+  /** [[withConf]] over several keys at once, innermost-last; each key
+    * restores independently, so overlapping windows stay correct. */
+  def withConfs[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T =
+    kvs.headOption match {
+      case None => body
+      case Some((k, v)) => withConf(spark, k, v)(withConfs(spark, kvs.tail: _*)(body))
+    }
+
   /** [[withConf]] on `spark.sql.shuffle.partitions` — for stages whose
     * shuffle keys are orders of magnitude smaller than the corpus
     * (stateful streaming key spaces, label-propagation rounds). */

@@ -184,6 +184,53 @@ object Relational {
     (ot, lt)
   }
 
+  /** Runtime BLOOM-FILTER join pruning — semi-join reduction at shuffle
+    * scale: Catalyst turns a selective creation-side filter (urgent
+    * orders) into a bloom filter computed at runtime and applies it to
+    * the fact side BEFORE that side's exchange, so lineitem rows the
+    * join would drop never pay shuffle IO. At 100 TB a fact ⋈
+    * filtered-dim join is dominated by shuffling fact rows that cannot
+    * match; `InjectRuntimeFilter` removes that cost with no semantic
+    * change (bloom false positives only pass extra rows to the exact
+    * join). The injection happens at OPTIMIZATION time, not DataFrame
+    * construction, so the conf window must wrap execution — the result
+    * is materialized to scratch inside the window and the read-back is
+    * what the driver hash-checks; [[BloomJoinSpec]] asserts the
+    * `might_contain` filter really lands on the lineitem scan side and
+    * that results are invariant to the rewrite. The window pins the
+    * size thresholds (app-side scan 0, creation side 1 GB, broadcast
+    * off) because the defaults — tuned for ≥10 GB scans — correctly
+    * skip injection at test scale; production keeps the defaults and
+    * gets this plan exactly when it pays off.
+    */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dest = graft.sources.Formats.tmp("bloom_join", dir)
+    Tables.withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB") {
+      bloomJoinPlan(spark, dir).write.mode("overwrite").parquet(dest)
+    }
+    spark.read.parquet(dest)
+  }
+
+  /** The logical query [[qBloomJoin]] materializes: revenue per return
+    * flag over lineitems of urgent orders. */
+  private[graft] def bloomJoinPlan(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), dsum6(revenue).as("rev"))
+
+  val qBloomJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS rev
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
   /** Semi join (EXISTS): customers that placed at least one order. */
   def qJoinSemi(spark: SparkSession, dir: String): DataFrame =
     Tables.customer(spark, dir)
@@ -866,6 +913,7 @@ object Relational {
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_sortmerge" -> (qJoinSortMerge _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_bloom_join" -> (qBloomJoin _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_join_outer" -> (qJoinOuter _),
@@ -907,6 +955,7 @@ object Relational {
     // identical aggregate over the co-located join — bucketing must not
     // change results, only the plan
     "q_bucketed_join" -> qJoinSortMergeSql,
+    "q_bloom_join" -> qBloomJoinSql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
     "q_join_outer" -> qJoinOuterSql,
