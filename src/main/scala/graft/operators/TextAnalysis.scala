@@ -240,6 +240,30 @@ object TextAnalysis {
       |FROM c)
       |SELECT lang, bg, cnt, rk FROM r WHERE rk <= 5""".stripMargin
 
+  // ---- approximate heavy hitters ---------------------------------------------
+
+  /** Approximate HEAVY HITTERS over the token stream — single-pass
+    * frequent items (Misra–Gries counters, ⌈1/support⌉ of them) via
+    * `stat.freqItems`. The exact top-terms query ([[textTopTerms]])
+    * shuffles one row per DISTINCT token; at 100 TB that exchange is the
+    * whole job, while the sketch keeps a constant ~100-counter summary
+    * per partition and merges summaries pairwise — no token ever
+    * shuffles. The contract is one-sided: NO FALSE NEGATIVES (every
+    * token with frequency > support·N survives) but rare false
+    * positives are allowed, which is exactly what vocab/stopword mining
+    * wants as a first pass (an exact count of ~100 candidates is then
+    * cheap). Counter eviction depends on partition merge order, so the
+    * candidate set is not run-deterministic → rows-only gate;
+    * [[HeavyHittersSpec]] pins the guarantee against exact counts.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+      .stat.freqItems(Seq("word"), 0.01)
+      .select(explode(col("word_freqItems")).as("word"))
+      .orderBy("word")
+
   // ---- array function battery ------------------------------------------------
 
   /** Array primitives over token arrays: sort, distinct, slice, flatten,
@@ -472,6 +496,9 @@ object TextAnalysis {
     "text_token_count" -> (textTokenCount _),
     "text_top_terms" -> (textTopTerms _),
     "text_bigrams" -> (textBigrams _),
+    // rows-only: Misra–Gries candidate set is merge-order-dependent;
+    // HeavyHittersSpec pins the no-false-negative guarantee
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "text_tfidf" -> (textTfidf _),
     "text_fingerprint" -> (textFingerprint _),
     "text_array_fns" -> (textArrayFns _))

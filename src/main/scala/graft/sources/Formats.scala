@@ -270,7 +270,47 @@ object Formats {
     s"""SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_md5
       |FROM documents WHERE doc_id < ${BinaryFixtureDocs}""".stripMargin
 
+  /** SCHEMA EVOLUTION across ingest batches — the drift every long-lived
+    * 100 TB dataset accumulates: early files lack a column that later
+    * files carry. Two partition dirs are written with DIFFERENT schemas
+    * (batch=1 without `o_orderpriority`, batch=2 with it), then the root
+    * is read with `mergeSchema=true`: parquet's per-file self-describing
+    * footers let Spark union the schemas, old files surface the new
+    * column as null, and `batch` arrives as a discovered partition
+    * column. count(o_orderpriority) per batch is the evolution proof in
+    * data — 0 for the pre-evolution batch — and the oracle derives the
+    * same split from the original table, so the merge semantics (not
+    * just row counts) are hash-checked. mergeSchema costs a footer read
+    * per file, so production turns it on at evolution boundaries (or
+    * declares the target schema explicitly) rather than on every scan;
+    * the per-batch writes here are each idempotent overwrites.
+    */
+  def fmtSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = tmp("evolve", dir)
+    val orders = Tables.orders(spark, dir)
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$root/batch=1")
+    orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$root/batch=2")
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy("batch", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_evolved"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+  }
+
+  val fmtSchemaEvolutionSql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch,
+      |  o_orderstatus, count(*) AS n,
+      |  count(CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END) AS n_evolved,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_schema_evolution" -> (fmtSchemaEvolution _),
     "fmt_binary" -> (fmtBinary _),
     "fmt_csv_roundtrip" -> (fmtCsvRoundtrip _),
     "fmt_json_roundtrip" -> (fmtJsonRoundtrip _),
@@ -281,6 +321,7 @@ object Formats {
     "fmt_partition_pruning" -> (fmtPartitionPruning _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_schema_evolution" -> fmtSchemaEvolutionSql,
     "fmt_binary" -> fmtBinarySql,
     "fmt_csv_roundtrip" -> fmtCsvRoundtripSql,
     "fmt_json_roundtrip" -> fmtJsonRoundtripSql,

@@ -49,7 +49,7 @@ class WordCountSpec extends AnyFunSuite {
     val rowsOnly = Set("dedup_simhash", "dedup_simhash_pairs",
       "dedup_sketch_sources",
       "ann_lsh_top1", "ann_ivf_top1", "ann_ivf_topk", "q_approx_distinct",
-      "q_approx_percentiles")
+      "q_approx_percentiles", "text_heavy_hitters")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle === rowsOnly)
     // and no oracle without a query
