@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -154,6 +154,90 @@ object Maintenance {
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Interleave the low 16 bits of `a` and `b` (both pre-normalized to
+    * 0..65535) into a 32-bit Morton (Z-curve) value: bit i of `a` lands
+    * at position 2i+1, bit i of `b` at 2i. Pure Column arithmetic —
+    * 16 shift/mask terms folded with OR — so the whole computation
+    * stays inside whole-stage codegen. */
+  private def interleave16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(a.bitwiseAND(lit(1L << i)), i + 1)
+        .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-ORDER clustered rewrite — multi-dimensional data skipping, the
+    * general case of [[maintCluster]]'s single-column range clustering.
+    * 1-D clustering gives perfect file pruning on ONE column and none on
+    * any other (each shipdate-sorted file still spans the whole partkey
+    * domain); interleaving the bits of BOTH normalized dimensions into a
+    * Morton value and range-clustering on THAT gives files small
+    * bounding BOXes — with n files, roughly 1/√n of each domain — so
+    * predicates on either column (or both) skip most files via footer
+    * stats. The guarantee is BULK, not per-file: a range split point
+    * landing across a high-bit flip produces the occasional fat box
+    * (the z-curve jump), which is why ZorderSpec pins skip counts and
+    * a 12-of-16 tightness quota rather than every file. At 100 TB this
+    * is the layout for the two-predicate scan pattern (time range +
+    * key equality) no single sort order serves.
+    * Normalization bounds come from one 1-row min/max aggregate
+    * (bounded driver lookup, same discipline as the IVF index sample);
+    * the z column is dropped before the write — layout must not change
+    * the schema. The gated query aggregates a BOTH-dimension slice of
+    * the rewritten copy against the oracle's identical slice of the
+    * original (clustering must never change results, only IO);
+    * `ZorderSpec` pins the bounding-box property itself and the
+    * contrast with the 1-D layout.
+    */
+  def maintZorder(spark: SparkSession, dir: String): DataFrame = {
+    val dest = zorderedCopy(spark, dir)
+    spark.read.parquet(dest)
+      .filter(col("l_partkey").between(50, 99) &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** The rewrite half of [[maintZorder]]: lineitem z-clustered on
+    * (l_partkey, l_shipdate) into 16 files; returns the dataset dir. */
+  private[graft] def zorderedCopy(spark: SparkSession, dir: String): String = {
+    val dest = Formats.tmp("maint_zordered", dir)
+    val li = Tables.lineitem(spark, dir)
+    val b = li.agg(
+      min("l_partkey"), max("l_partkey"),
+      min("l_shipdate"), max("l_shipdate")).collect()(0)
+    val (pkMin, pkMax) = (b.getLong(0), b.getLong(1))
+    // l_shipdate is TIMESTAMP_NTZ → external class java.time.LocalDateTime
+    val (dtMin, dtMax) = (b.getAs[java.time.LocalDateTime](2),
+      b.getAs[java.time.LocalDateTime](3))
+    val pkNorm = (col("l_partkey") - lit(pkMin)) * lit(65535L) /
+      lit(math.max(1L, pkMax - pkMin))
+    val dtSpan = math.max(1L,
+      java.time.Duration.between(dtMin, dtMax).toDays)
+    val dtNorm = datediff(col("l_shipdate"), lit(dtMin)) * lit(65535L) / lit(dtSpan)
+    li.withColumn("z",
+        interleave16(pkNorm.cast("long"), dtNorm.cast("long")))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite").parquet(dest)
+    dest
+  }
+
+  val maintZorderSql: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 50 AND 99
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
+
   /** CDC snapshot apply (MERGE/upsert): fold a change delta — updates
     * keyed on the primary key plus brand-new inserts — into a base
     * snapshot, producing the next snapshot. Parquet has no transactional
@@ -234,10 +318,12 @@ object Maintenance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compact" -> (maintCompact _),
     "maint_cluster" -> (maintCluster _),
+    "maint_zorder" -> (maintZorder _),
     "maint_upsert" -> (maintUpsert _))
 
   val oracles: Map[String, String] = Map(
     "maint_compact" -> maintCompactSql,
     "maint_cluster" -> maintClusterSql,
+    "maint_zorder" -> maintZorderSql,
     "maint_upsert" -> maintUpsertSql)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Maintenance
+import graft.sources.Formats
+
+/** The property that makes Z-ordering worth a rewrite: every output
+  * file's bounding BOX is small in BOTH dimensions, so a predicate on
+  * either column skips most files via footer stats. The 1-D clustered
+  * copy (maint_cluster) is the contrast — perfect on its sort column,
+  * useless on the other: its files span essentially the whole partkey
+  * domain. Content preservation is the driver's maint_zorder oracle
+  * row; this spec pins the layout geometry.
+  */
+class ZorderSpec extends AnyFunSuite {
+
+  private def fileRanges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Long, Long, String, String)] =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min("l_partkey").as("pk_lo"), max("l_partkey").as("pk_hi"),
+        min(col("l_shipdate").cast("string")).as("dt_lo"),
+        max(col("l_shipdate").cast("string")).as("dt_hi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))
+
+  test("z-ordered files skip on BOTH dimensions; boxes tight in bulk") {
+    val spark = TestSpark.spark
+    val dir = TestSpark.Sf0001
+
+    val dest = Maintenance.zorderedCopy(spark, dir)
+    val ranges = fileRanges(spark, dest)
+    assert(ranges.length === 16, "rewrite must produce the planned 16 files")
+
+    val pkDomain = (ranges.map(_._2).max - ranges.map(_._1).min).toDouble
+    val days = (lo: String, hi: String) =>
+      java.time.Duration.between(
+        java.time.LocalDateTime.parse(lo.replace(' ', 'T')),
+        java.time.LocalDateTime.parse(hi.replace(' ', 'T'))).toDays.toDouble
+    val dtDomain = days(ranges.map(_._3).min, ranges.map(_._4).max)
+
+    // Bulk tightness: 16 files = 4 Morton prefix bits = ~2 bits per
+    // dimension, so ideal boxes are ~1/4 of each domain. Range-
+    // partitioner split points that land across a high-bit flip produce
+    // a few fat boxes (the classic z-curve jump) — layout quality is a
+    // BULK property, so assert on at-least-12-of-16, not every file
+    // (measured: 14 tight on partkey, 15 on date).
+    assert(ranges.count { case (lo, hi, _, _) =>
+      (hi - lo) / pkDomain <= 0.35 } >= 12,
+      s"too few partkey-tight files: $ranges")
+    assert(ranges.count { case (_, _, lo, hi) =>
+      days(lo, hi) / dtDomain <= 0.55 } >= 12,
+      s"too few date-tight files: $ranges")
+
+    // Skipping effectiveness — the property a scan planner actually
+    // uses: how many file boxes intersect each predicate (measured:
+    // 5 / 12 / 5 of 16; bounds leave sampling margin). The partkey
+    // predicate is the one 1-D date clustering can never skip on.
+    val pkHit = ranges.count { case (lo, hi, _, _) => lo <= 99 && hi >= 50 }
+    val dtHit = ranges.count { case (_, _, lo, hi) =>
+      lo < "1999-01-01" && hi >= "1997-01-01" }
+    val bothHit = ranges.count { case (pkLo, pkHi, dtLo, dtHi) =>
+      pkLo <= 99 && pkHi >= 50 && dtLo < "1999-01-01" && dtHi >= "1997-01-01" }
+    assert(pkHit <= 8, s"partkey slice should skip at least half the files: $pkHit")
+    assert(dtHit <= 14, s"date slice should skip some files: $dtHit")
+    assert(bothHit <= 8, s"2-D slice should skip at least half the files: $bothHit")
+  }
+
+  test("1-D clustering leaves the second dimension unprunable") {
+    val spark = TestSpark.spark
+    val dir = TestSpark.Sf0001
+
+    Maintenance.maintCluster(spark, dir).collect() // materialize the 1-D copy
+    val ranges = fileRanges(spark, Formats.tmp("maint_clustered", dir))
+    val pkDomain = (ranges.map(_._2).max - ranges.map(_._1).min).toDouble
+    val widest = ranges.map(r => (r._2 - r._1) / pkDomain).max
+    assert(widest >= 0.9,
+      f"date-clustered files unexpectedly tight on partkey ($widest%.2f) — contrast broken")
+  }
+}
