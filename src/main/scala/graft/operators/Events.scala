@@ -388,7 +388,38 @@ object Events {
       |LEFT JOIN s2 ON s1.user_id = s2.user_id
       |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
 
+  /** Fixed-bin histogram of event values per event type: bin =
+    * min(floor(value/25), 19) — 20 equal-width bins over [0, 500) with
+    * the open tail clamped into the last bin. One hash aggregation on
+    * (event_type, bin) with map-side partial counts; bin count is a
+    * constant, so state per task is bounded regardless of row count —
+    * the histogram shape that scales to 100 TB (contrast an exact
+    * value→count map, whose state grows with the value domain; see
+    * [[graft.operators.Relational.qPercentiles]]'s scale note). The bin
+    * boundary arithmetic is floor of a double/25 division — exact for
+    * both engines on identical operands (no transcendental). Empty bins
+    * are absent, not zero-filled: at scale the dense fill is a
+    * generator-join the consumer adds when plotting, not a shuffle this
+    * operator should pay.
+    */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        least(floor(col("value") / lit(25.0)), lit(19.0)).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bin"),
+        (col("bin") * 25.0).as("bin_lo"), col("n"))
+
+  val eventsHistogramSql: String =
+    """SELECT event_type,
+      |  CAST(least(floor(value / 25.0), 19.0) AS BIGINT) AS bin,
+      |  CAST(CAST(least(floor(value / 25.0), 19.0) AS BIGINT) * 25 AS DOUBLE) AS bin_lo,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_histogram" -> (eventsHistogram _),
     "events_resample" -> (eventsResample _),
     "events_funnel" -> (eventsFunnel _),
     "events_json_kv" -> (eventsJsonKv _),
@@ -403,6 +434,7 @@ object Events {
     "events_daily_active" -> (eventsDailyActive _))
 
   val oracles: Map[String, String] = Map(
+    "events_histogram" -> eventsHistogramSql,
     "events_resample" -> eventsResampleSql,
     "events_funnel" -> eventsFunnelSql,
     "events_json_kv" -> eventsJsonKvSql,

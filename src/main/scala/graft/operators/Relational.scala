@@ -876,6 +876,39 @@ object Relational {
         percentile_approx(col("l_quantity"), lit(0.75), lit(10000)).as("p75"),
         count(lit(1)).as("n"))
 
+  /** Distribution-rank window functions: per-nation quartile bucket
+    * (`ntile`), `percent_rank` and `cume_dist` over customer balances.
+    * Partitioned by nation — the scalable window shape (each nation's
+    * frame sorts within its own shuffle partition). A GLOBAL ntile
+    * (`Window.orderBy` with no partition) would collapse the whole
+    * relation into one partition — the single-partition window
+    * scale-killer this engine never ships; global binning at 100 TB is
+    * approx-percentile boundaries + a width_bucket-style CASE instead
+    * (see [[qApproxPercentiles]]). percent_rank/cume_dist are exact
+    * rational ratios of row counts — the integer operands are identical
+    * on both engines, so the double divisions are bit-identical (no
+    * transcendental, no rounding discipline needed). Unique-key tiebreak
+    * on custkey keeps ntile assignment deterministic.
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
+  val qNtileSql: String =
+    """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey, c_acctbal,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
+
   /** Pure-SQL interface: every table registered as a view, the query
     * written as SQL text — the "a reference user could switch and keep
     * their SQL" demonstration. Same Catalyst plan as the DataFrame
@@ -941,6 +974,7 @@ object Relational {
     "q_string_fns" -> (qStringFns _),
     "q_date_fns" -> (qDateFns _),
     "q_math_fns" -> (qMathFns _),
+    "q_ntile" -> (qNtile _),
     "q_pivot" -> (qPivot _),
     "q_percentiles" -> (qPercentiles _),
     "q_approx_percentiles" -> (qApproxPercentiles _))
@@ -984,6 +1018,7 @@ object Relational {
     "q_date_fns" -> qDateFnsSql,
     "q_math_fns" -> qMathFnsSql,
     "q_pivot" -> qPivotSql,
+    "q_ntile" -> qNtileSql,
     "q_percentiles" -> qPercentilesSql)
     // q_approx_percentiles: GK-sketch values are engine-specific →
     // rows-only; ApproxPercentileSpec bounds them against q_percentiles.

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.{CountIn, Text}
+import graft.functions.Exact.dsum
 
 /** Text-analysis operators for a training-data pipeline: quality scoring,
   * language-ID heuristic, token counting (whitespace + BPE-ish regex),
@@ -485,7 +486,122 @@ object TextAnalysis {
       |  max(c) * $RepetitionDen >= sum(c) AS repetitive
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** Contiguous stable document IDs 0..n−1 in doc_id order — the
+    * renumbering step a training pipeline runs after filtering/dedup so
+    * shard offsets and sample indices stay dense. The naive formulation,
+    * `row_number()` over a GLOBAL `Window.orderBy`, collapses the whole
+    * relation into ONE partition — the canonical single-partition window
+    * scale-killer. The distributed design: a range-partitioned
+    * partition-local sort (Spark's ordinary 2-phase distributed sort —
+    * sampled boundaries, no global funnel), then `zipWithIndex`, which
+    * runs one lightweight count-per-partition job and assigns each
+    * partition a starting offset, so every executor numbers its rows
+    * independently. That is the partition-offset pattern; the RDD hop is
+    * the documented last-resort rung, earned here because no Catalyst
+    * operator exposes partition offsets (`monotonically_increasing_id`
+    * is non-contiguous by design). Cost at 100 TB: one range shuffle of
+    * the (narrow) id column + one count job — vs the naive plan's
+    * everything-through-one-task.
+    */
+  def docStableIds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // explicit partition count (vs letting AQE pick): a user-specified
+    // repartition is not AQE-coalesced, so the numbering provably runs
+    // over multiple partitions even on tiny inputs — which is what makes
+    // the partition-offset composition testable; the count itself is the
+    // session's shuffle-partition knob, the same dial every other
+    // exchange obeys
+    val parts = spark.sessionState.conf.numShufflePartitions
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .rdd.map(_.getLong(0))
+      .zipWithIndex()
+      .toDF("doc_id", "stable_id")
+  }
+
+  val docStableIdsSql: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS stable_id
+      |FROM documents""".stripMargin
+
+  /** BM25 parameters — Robertson/Sparck Jones defaults; idf is the
+    * Lucene `ln(1 + (N−df+0.5)/(df+0.5))` form, positive for any df. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Terms: Seq[String] = Seq("hash", "join", "vector")
+
+  /** BM25 relevance of every matching document against a fixed query
+    * term set — the retrieval-scoring shape (data curation by relevance,
+    * RAG corpus ranking). Plan: the exploded-token relation feeds THREE
+    * partial aggregations — per-doc length (all tokens), per-(doc,term)
+    * tf and per-term df (both FILTERED to the 3 query terms BEFORE the
+    * exchange, so the tf/df shuffles carry only matching tokens); avgdl
+    * and df-by-term are 1-row/3-row broadcasts. Like [[textTfidf]], the
+    * one transcendental (`ln` in idf) is fenced by rounding the final
+    * score in the DECIMAL domain (6 dp) on both engines; the ratio
+    * arithmetic before it is identical-operand double math, bit-equal
+    * across engines. Returns every doc containing ≥1 query term —
+    * no rank cutoff, so no boundary-tie exposure at all.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val matched = toks.filter(col("word").isin(Bm25Terms: _*))
+    val tf = matched.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = matched.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n"))
+    val avgdl = dl.agg((dsum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val scored = tf
+      .join(broadcast(dfreq), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(avgdl))
+      .select(col("doc_id"), col("word"),
+        (log(lit(1.0) + (col("n").cast("double") - col("df").cast("double") + lit(0.5))
+            / (col("df").cast("double") + lit(0.5)))
+          * (col("tf").cast("double") * lit(Bm25K1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(Bm25K1) * (lit(1.0 - Bm25B)
+              + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
+          .cast("decimal(18,6)").as("s"))
+    // each per-term score is rounded to DECIMAL(18,6) BEFORE the sum, so
+    // the final aggregate is exact decimal addition — order-independent,
+    // immune to FP summation-order divergence between engines
+    scored.groupBy("doc_id")
+      .agg(sum(col("s")).cast("double").as("bm25"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  val textBm25Sql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${Text.TokensOracleSql}) AS word FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |m AS (SELECT * FROM tok WHERE word IN ('hash', 'join', 'vector')),
+      |tf AS (SELECT doc_id, word, count(*) AS tf FROM m GROUP BY 1, 2),
+      |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM m GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |ad AS (SELECT CAST(sum(CAST(dl AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      |s AS (SELECT tf.doc_id, tf.word,
+      |        CAST(ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |                 / (CAST(df.df AS DOUBLE) + 0.5))
+      |        * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |        / (CAST(tf.tf AS DOUBLE)
+      |           + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / ad.avgdl)) AS DECIMAL(18,6)) AS s
+      |      FROM tf JOIN df ON tf.word = df.word
+      |      JOIN dl ON tf.doc_id = dl.doc_id
+      |      CROSS JOIN n CROSS JOIN ad)
+      |SELECT doc_id,
+      |  CAST(sum(s) AS DOUBLE) AS bm25,
+      |  count(*) AS n_terms
+      |FROM s GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_stable_ids" -> (docStableIds _),
+    "text_bm25" -> (textBm25 _),
     "doc_sample_split" -> (docSampleSplit _),
     "text_repetition" -> (textRepetition _),
     "doc_sample_stratified" -> (docSampleStratified _),
@@ -504,6 +620,8 @@ object TextAnalysis {
     "text_array_fns" -> (textArrayFns _))
 
   val oracles: Map[String, String] = Map(
+    "doc_stable_ids" -> docStableIdsSql,
+    "text_bm25" -> textBm25Sql,
     "doc_sample_split" -> docSampleSplitSql,
     "text_repetition" -> textRepetitionSql,
     "doc_sample_stratified" -> docSampleStratifiedSql,

@@ -68,6 +68,23 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(grandTotal === detailSum)
   }
 
+  test("ids: stable ids are a contiguous 0..n-1 bijection in doc_id order") {
+    val ta = graft.operators.TextAnalysis
+    val rows = ta.docStableIds(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = graft.engine.Tables.documents(spark, dir).count()
+    assert(rows.length === n.toInt)
+    assert(rows.map(_._2).sorted.toSeq === (0L until n).toSeq,
+      "stable_id must cover 0..n-1 exactly once")
+    // order-preserving: sorting by doc_id yields ascending stable_id
+    val byDoc = rows.sortBy(_._1).map(_._2)
+    assert(byDoc.toSeq === byDoc.sorted.toSeq)
+    // the scale property: the numbering runs over MULTIPLE range
+    // partitions (zipWithIndex preserves them) — a single-partition
+    // global-window formulation would collapse this to 1
+    assert(ta.docStableIds(spark, dir).rdd.getNumPartitions > 1)
+  }
+
   test("similarity: LSH top-1 neighbours share a (table, bucket)") {
     val buckets = Similarity.lshBuckets(spark, dir)
       .collect()
