@@ -44,6 +44,16 @@ object Bench {
     // JOIN itself. Recorded in BASELINE.md.
     try graft.operators.Relational.ensureBucketedTables(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    // Warm the WRITE path too: the first parquet write in a JVM pays
+    // several seconds of one-time codec/committer class-loading + JIT,
+    // which otherwise lands on whichever writing query runs first
+    // alphabetically (measured: fmt_binary 4.7s cold vs 0.2s warm,
+    // maint_zorder 10.6s vs 2.3s — BASELINE.md §c). A 3-row scratch
+    // write absorbs it outside the timed region.
+    try {
+      val scratch = graft.sources.Formats.tmp("bench_write_warmup", sfDir)
+      spark.range(3).write.mode("overwrite").parquet(scratch)
+    } catch { case e: Throwable => System.err.println(s"[bench] write warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) => runOne(n, f) }
     val qs = results

@@ -526,6 +526,60 @@ object TextAnalysis {
       |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS stable_id
       |FROM documents""".stripMargin
 
+  /** Token budget per packed shard. */
+  val PackBudget = 4096L
+
+  /** Sequence packing: assign documents (in stable doc_id order) to
+    * fixed-token-budget shards — the pre-tokenization packing step of a
+    * training pipeline (fill each 4096-token shard with consecutive
+    * docs; a doc straddling the boundary opens the next shard). The
+    * shard id is `floor(exclusive-prefix-sum(n_tokens) / budget)` — a
+    * GLOBAL running total, which as a `sum over (ORDER BY …)` window is
+    * the same single-partition scale-killer [[docStableIds]] documents.
+    * The distributed design is a two-phase prefix sum over ONE shuffle:
+    * range-partition + locally sort by doc_id, take `.rdd` ONCE (both
+    * jobs below then share the same shuffle output — the sampled range
+    * boundaries are fixed in that plan instance, so the jobs see
+    * identical partitioning), phase 1 collects one partial sum PER
+    * PARTITION (bounded: ≤ numShufflePartitions rows), phase 2
+    * broadcasts the exclusive partition offsets and each task computes
+    * its local running total on top of its offset. Cost at 100 TB: one
+    * narrow shuffle + one tiny count-style job — every task works
+    * independently in both phases.
+    */
+  def docPackShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val perPart = base
+      .mapPartitionsWithIndex { (i, it) =>
+        Iterator.single(i -> it.map(_._2).sum)
+      }
+      .collect().sortBy(_._1).map(_._2) // bounded: one row per partition
+    val offsets = perPart.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    base.mapPartitionsWithIndex { (i, it) =>
+        var cum = bc.value(i)
+        it.map { case (id, n) =>
+          val before = cum; cum += n
+          (id, n, before / PackBudget)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "shard")
+  }
+
+  val docPackShardsSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, CAST(len($TokSql) AS BIGINT) AS n_tokens FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS shard
+      |FROM tok""".stripMargin
+
   /** BM25 parameters — Robertson/Sparck Jones defaults; idf is the
     * Lucene `ln(1 + (N−df+0.5)/(df+0.5))` form, positive for any df. */
   val Bm25K1 = 1.2
@@ -601,6 +655,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_stable_ids" -> (docStableIds _),
+    "doc_pack_shards" -> (docPackShards _),
     "text_bm25" -> (textBm25 _),
     "doc_sample_split" -> (docSampleSplit _),
     "text_repetition" -> (textRepetition _),
@@ -621,6 +676,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "doc_stable_ids" -> docStableIdsSql,
+    "doc_pack_shards" -> docPackShardsSql,
     "text_bm25" -> textBm25Sql,
     "doc_sample_split" -> docSampleSplitSql,
     "text_repetition" -> textRepetitionSql,

@@ -85,6 +85,22 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(ta.docStableIds(spark, dir).rdd.getNumPartitions > 1)
   }
 
+  test("ids: pack shards are nondecreasing and open exactly at budget crossings") {
+    val ta = graft.operators.TextAnalysis
+    val rows = ta.docPackShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.head._3 === 0L)
+    // shard ids never decrease in doc order, and each equals the
+    // sequential exclusive prefix sum over the budget — i.e. the
+    // distributed two-phase prefix sum matches the sequential spec
+    var cum = 0L
+    rows.foreach { case (_, n, shard) =>
+      assert(shard === cum / ta.PackBudget)
+      cum += n
+    }
+  }
+
   test("similarity: LSH top-1 neighbours share a (table, bucket)") {
     val buckets = Similarity.lshBuckets(spark, dir)
       .collect()
