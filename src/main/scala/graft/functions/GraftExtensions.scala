@@ -38,6 +38,10 @@ object GraftFunctions {
         exprs(3).eval().asInstanceOf[Int])),
     fn("graft_tokens", classOf[Tokenize],
       exprs => Tokenize(exprs.head)),
+    fn("nfc_normalize", classOf[NfcNormalize],
+      exprs => NfcNormalize(exprs.head)),
+    fn("strip_accents", classOf[StripAccents],
+      exprs => StripAccents(exprs.head)),
     fn("graft_shingles", classOf[Shingles],
       exprs => Shingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
 

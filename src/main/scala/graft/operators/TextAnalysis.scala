@@ -653,7 +653,106 @@ object TextAnalysis {
       |  count(*) AS n_terms
       |FROM s GROUP BY doc_id""".stripMargin
 
+  // ---- Unicode normalization ----------------------------------------------
+
+  /** Unicode normalization over the corpus via the native codegen'd
+    * [[graft.functions.NfcNormalize]] / [[graft.functions.StripAccents]]
+    * expressions, oracle-checked against DuckDB's functions of the same
+    * name. The source corpus is pure ASCII (so normalization alone would
+    * be an identity — no evidence), so the query first MANUFACTURES
+    * non-trivial Unicode deterministically in both engines: `translate`
+    * plants precomposed accents (`a→á, e→é, o→ö, u→û`) and `replace`
+    * plants decomposed combining sequences (`a` → `a`+U+0300). The
+    * outputs then pin real behavior: `n_dec` > `n_nfc` proves NFC
+    * composed the combining pairs; `nfc_md5`/`strip_md5` hash the exact
+    * normalized bytes cross-engine; `strip_roundtrip` proves
+    * strip∘accent = identity. One codegen'd scan, no shuffle; at 100 TB
+    * this is the pre-tokenization cleanup pass and the ASCII fast path
+    * in [[graft.functions.TextNorm]] makes it one length comparison per
+    * (mostly-ASCII) row.
+    */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    CountIn.register(spark)
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("text"),
+        replace(col("text"), lit("a"), lit("à")).as("dec"),
+        translate(col("text"), "aeou", "áéöû").as("acc"))
+      .select(
+        col("doc_id"),
+        length(col("dec")).cast("long").as("n_dec"),
+        length(call_function("nfc_normalize", col("dec"))).cast("long").as("n_nfc"),
+        md5(call_function("nfc_normalize", col("dec"))).as("nfc_md5"),
+        md5(call_function("strip_accents", col("acc"))).as("strip_md5"),
+        (call_function("strip_accents", col("acc")) === col("text"))
+          .as("strip_roundtrip"))
+  }
+
+  val textNormalizeSql: String =
+    """WITH t AS (SELECT doc_id, text,
+      |  replace(text, 'a', 'a' || chr(768)) AS dec,
+      |  translate(text, 'aeou', 'áéöû') AS acc FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(dec) AS BIGINT) AS n_dec,
+      |  CAST(length(nfc_normalize(dec)) AS BIGINT) AS n_nfc,
+      |  md5(nfc_normalize(dec)) AS nfc_md5,
+      |  md5(strip_accents(acc)) AS strip_md5,
+      |  strip_accents(acc) = text AS strip_roundtrip
+      |FROM t""".stripMargin
+
+  // ---- vocabulary coverage -------------------------------------------------
+
+  /** Fixed vocabulary budget — the tokenizer-building shape: keep the
+    * top-K token types by global frequency. K is a constant, which IS
+    * the scale argument below: the vocab is broadcastable by
+    * construction at any corpus size. */
+  val VocabK = 25
+
+  /** Per-document out-of-vocabulary rate against a corpus-derived
+    * top-[[VocabK]] vocabulary (ties broken by word, so the set is
+    * deterministic cross-engine). The tokenizer-coverage question every
+    * training pipeline asks: how much of each document does a fixed
+    * vocab fail to cover? Plan: one partial-agg shuffle builds the
+    * 31-type count table, `TakeOrderedAndProject` keeps K rows, and the
+    * exploded token stream LEFT-joins that K-row table as a BROADCAST —
+    * the big relation never shuffles on the join key; the only other
+    * exchange is the per-doc partial-agg rollup. Two scans of the token
+    * stream (count-building and coverage) — same two-scan trade
+    * [[textTfidf]] documents: reusing one exchange would force the wider
+    * relation through a foreign partitioning.
+    */
+  def textVocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(VocabK)
+      .select(col("w"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_ratio"))
+  }
+
+  val textVocabOovSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest($TokSql) AS w FROM documents),
+      |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+      |vocab AS (SELECT w FROM cnt ORDER BY c DESC, w ASC LIMIT $VocabK),
+      |j AS (SELECT t.doc_id,
+      |        CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      |      FROM tok t LEFT JOIN vocab v ON t.w = v.w)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_ratio
+      |FROM j GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> (textNormalize _),
+    "text_vocab_oov" -> (textVocabOov _),
     "doc_stable_ids" -> (docStableIds _),
     "doc_pack_shards" -> (docPackShards _),
     "text_bm25" -> (textBm25 _),
@@ -675,6 +774,8 @@ object TextAnalysis {
     "text_array_fns" -> (textArrayFns _))
 
   val oracles: Map[String, String] = Map(
+    "text_normalize" -> textNormalizeSql,
+    "text_vocab_oov" -> textVocabOovSql,
     "doc_stable_ids" -> docStableIdsSql,
     "doc_pack_shards" -> docPackShardsSql,
     "text_bm25" -> textBm25Sql,
