@@ -315,15 +315,117 @@ object Maintenance {
       |UNION ALL SELECT * FROM upd
       |UNION ALL SELECT * FROM ins""".stripMargin
 
+  // ---- SCD Type-2 dimension merge -----------------------------------------
+
+  /** Validity dates for the SCD2 fixture: the snapshot opens at
+    * [[Scd2From]]; the change batch takes effect at [[Scd2Eff]]. */
+  val Scd2From = "2024-01-01"
+  val Scd2Eff = "2024-06-01"
+
+  /** The current customer dimension lifted to SCD2 shape: one OPEN
+    * version per key (valid_from = [[Scd2From]], valid_to = null,
+    * is_current = true). */
+  private[graft] def scd2Current(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"),
+        to_date(lit(Scd2From)).as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+
+  /** Deterministic incoming attribute batch: keys ≡0 mod 53 move to a
+    * synthetic segment (a REAL change — the synthetic name never equals
+    * a TPC-H segment), keys ≡0 mod 59 (and not mod 53) re-send their
+    * EXISTING segment — the no-op class that change detection must NOT
+    * version. Disjoint by construction, so the batch is unique per key. */
+  private[graft] def scd2Batch(dim: DataFrame): DataFrame =
+    dim.filter(pmod(col("c_custkey"), lit(53L)) === 0)
+      .select(col("c_custkey"),
+        concat(lit("SEGMENT_"), pmod(col("c_custkey"), lit(5L)).cast("string"))
+          .as("new_seg"))
+      .unionByName(
+        dim.filter(pmod(col("c_custkey"), lit(59L)) === 0 &&
+            pmod(col("c_custkey"), lit(53L)) =!= 0)
+          .select(col("c_custkey"), col("c_mktsegment").as("new_seg")))
+
+  /** SCD Type-2 apply: rows whose tracked attribute really changed get
+    * their open version CLOSED (valid_to = `eff`, is_current = false)
+    * and a new open version appended; no-op batch rows and untouched
+    * keys pass through byte-identical. Scale shape: the batch is the
+    * small side everywhere — change detection is `open-versions JOIN
+    * broadcast(batch)` filtered to genuine diffs, and the pass-through
+    * is an anti-join against the BROADCAST changed-key set — so the
+    * 100 TB dimension is never shuffled, only scanned and unioned.
+    * Detection compares against OPEN versions only (`is_current`), which
+    * is what makes re-applying the same batch a no-op: the new open
+    * version already carries the batch value, so the second diff set is
+    * empty (`Scd2Spec` pins this idempotence, plus one-open-version-
+    * per-key and interval continuity).
+    */
+  private[graft] def applyScd2(current: DataFrame, batch: DataFrame,
+      eff: String): DataFrame = {
+    val open = current.filter(col("is_current"))
+    val changed = open.join(broadcast(batch), Seq("c_custkey"))
+      .filter(col("new_seg") =!= col("c_mktsegment"))
+    val closed = changed.select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("c_mktsegment"),
+      col("valid_from"), to_date(lit(eff)).as("valid_to"),
+      lit(false).as("is_current"))
+    val opened = changed.select(
+      col("c_custkey"), col("c_name"), col("c_nationkey"),
+      col("new_seg").as("c_mktsegment"),
+      to_date(lit(eff)).as("valid_from"),
+      lit(null).cast("date").as("valid_to"),
+      lit(true).as("is_current"))
+    current
+      .join(broadcast(changed.select("c_custkey")), Seq("c_custkey"), "left_anti")
+      .unionByName(closed)
+      .unionByName(opened)
+  }
+
+  def maintScd2(spark: SparkSession, dir: String): DataFrame = {
+    val current = scd2Current(spark, dir)
+    applyScd2(current, scd2Batch(Tables.customer(spark, dir)), Scd2Eff)
+  }
+
+  val maintScd2Sql: String =
+    s"""WITH cur AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+      |    DATE '$Scd2From' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+      |    TRUE AS is_current
+      |  FROM customer),
+      |batch AS (
+      |  SELECT c_custkey, 'SEGMENT_' || CAST(c_custkey % 5 AS VARCHAR) AS new_seg
+      |  FROM customer WHERE c_custkey % 53 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment FROM customer
+      |  WHERE c_custkey % 59 = 0 AND c_custkey % 53 != 0),
+      |chg AS (
+      |  SELECT c.*, b.new_seg FROM cur c
+      |  JOIN batch b ON c.c_custkey = b.c_custkey
+      |  WHERE b.new_seg <> c.c_mktsegment)
+      |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+      |  valid_from, valid_to, is_current
+      |FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+      |  valid_from, DATE '$Scd2Eff', FALSE FROM chg
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, new_seg,
+      |  DATE '$Scd2Eff', NULL, TRUE FROM chg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compact" -> (maintCompact _),
     "maint_cluster" -> (maintCluster _),
     "maint_zorder" -> (maintZorder _),
-    "maint_upsert" -> (maintUpsert _))
+    "maint_upsert" -> (maintUpsert _),
+    "maint_scd2" -> (maintScd2 _))
 
   val oracles: Map[String, String] = Map(
     "maint_compact" -> maintCompactSql,
     "maint_cluster" -> maintClusterSql,
     "maint_zorder" -> maintZorderSql,
-    "maint_upsert" -> maintUpsertSql)
+    "maint_upsert" -> maintUpsertSql,
+    "maint_scd2" -> maintScd2Sql)
 }
