@@ -309,7 +309,37 @@ object Formats {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** File-provenance lineage through the hidden `_metadata` column: the
+    * corpus is re-laid-out partitioned by `lang` (Hive-style
+    * `lang=…/part-…` directories), then re-read and aggregated by the
+    * language RECOVERED FROM EACH ROW'S FILE PATH — not from any data
+    * column — so what the oracle hash-checks is that every row is
+    * attributed to exactly the right physical file. This is the
+    * forensic/reprocessing primitive at 100 TB ("which input files fed
+    * this partition?"): `_metadata` is populated from the scan's own
+    * file split (zero extra IO, no join against a manifest), and the
+    * partitioned layout is the same one partition pruning runs on.
+    */
+  def fmtFileLineage(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("documents_bylang", dir)
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    spark.read.parquet(path)
+      .select(col("n_chars"),
+        regexp_extract(col("_metadata.file_path"), "lang=([^/]+)/", 1)
+          .as("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val fmtFileLineageSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_file_lineage" -> (fmtFileLineage _),
     "fmt_schema_evolution" -> (fmtSchemaEvolution _),
     "fmt_binary" -> (fmtBinary _),
     "fmt_csv_roundtrip" -> (fmtCsvRoundtrip _),
@@ -321,6 +351,7 @@ object Formats {
     "fmt_partition_pruning" -> (fmtPartitionPruning _))
 
   val oracles: Map[String, String] = Map(
+    "fmt_file_lineage" -> fmtFileLineageSql,
     "fmt_schema_evolution" -> fmtSchemaEvolutionSql,
     "fmt_binary" -> fmtBinarySql,
     "fmt_csv_roundtrip" -> fmtCsvRoundtripSql,
