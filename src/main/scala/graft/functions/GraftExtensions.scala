@@ -74,5 +74,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    // interval-lookup join: rewrite fires preCBO (after column pruning,
+    // before join planning); the strategy plans the node it introduces
+    ext.injectPreCBORule(s => graft.plans.RewriteRangeLookup(s))
+    ext.injectPlannerStrategy(_ => graft.plans.RangeLookupStrategy)
   }
 }

@@ -444,6 +444,37 @@ object Relational {
       |  ON l_quantity >= lo AND l_quantity < hi
       |GROUP BY band""".stripMargin
 
+  /** Dense band join: 2100 width-50 price buckets — the shape where
+    * Spark's stock plan (BroadcastNestedLoopJoin, 2100 comparisons per
+    * probe row) stops being viable and the engine's interval-lookup
+    * operator ([[graft.plans.RangeLookupJoinExec]], ~11-step binary
+    * search per row) takes over via the injected preCBO rewrite +
+    * strategy. Same [lo, hi) semantics and oracle shape as
+    * [[qRangeJoin]]; at 100 TB this is histogram bucketing / IP-range /
+    * tariff-table lookup, and the probe side streams with its
+    * partitioning intact — the rewrite can never add a shuffle.
+    */
+  def qRangeJoinDense(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(2100).select(
+      (col("id") * lit(50.0)).as("lo"),
+      (col("id") * lit(50.0) + lit(50.0)).as("hi"),
+      col("id").as("band"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price_sum"))
+  }
+
+  val qRangeJoinDenseSql: String =
+    """SELECT band, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM lineitem
+      |JOIN (SELECT range AS band, range * 50.0 AS lo, range * 50.0 + 50.0 AS hi
+      |      FROM range(0, 2100)) b
+      |  ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band""".stripMargin
+
   /** TPC-H Q3-style: three-way join (customer ⋈ orders ⋈ lineitem) with
     * selective filters on both ends, aggregation, and top-10 by revenue —
     * the canonical multi-operator composition. Filters push to the scans,
@@ -957,6 +988,7 @@ object Relational {
     "q_exists_subquery" -> (qExistsSubquery _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_range_join" -> (qRangeJoin _),
+    "q_range_join_dense" -> (qRangeJoinDense _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_stats_agg" -> (qStatsAgg _),
@@ -1000,6 +1032,7 @@ object Relational {
     "q_exists_subquery" -> qExistsSubquerySql,
     "q_scalar_subquery" -> qScalarSubquerySql,
     "q_range_join" -> qRangeJoinSql,
+    "q_range_join_dense" -> qRangeJoinDenseSql,
     "q_tpch_q3" -> qTpchQ3Sql,
     "q_tpch_q5" -> qTpchQ5Sql,
     "q_stats_agg" -> qStatsAggSql,

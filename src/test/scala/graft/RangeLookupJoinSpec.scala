@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.RangeLookup
+
+/** The interval-lookup join ([[graft.plans.RangeLookupJoinExec]]) must be
+  * a drop-in replacement for the BroadcastNestedLoopJoin plan it
+  * rewrites: same rows, same multiplicities, on hostile fixtures —
+  * overlapping intervals, duplicate intervals, null bounds, empty build
+  * side, exact-boundary probes. The kill switch must restore the stock
+  * plan. (The production path is exercised end-to-end by the
+  * `q_range_join` / `q_range_join_dense` oracle rows, which run through
+  * extension-injected sessions.)
+  */
+class RangeLookupJoinSpec extends AnyFunSuite {
+
+  import TestSpark.spark
+  import spark.implicits._
+
+  RangeLookup.install(spark)
+
+  private def intervals: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Option[Double], Option[Double], Long)] =
+      Seq.tabulate(300) { i =>
+        val lo = rnd.nextInt(1000).toDouble
+        (Some(lo), Some(lo + 1 + rnd.nextInt(50)), i.toLong)
+      } ++ Seq(
+        (None, Some(10.0), 9001L),          // null lo: matches nothing
+        (Some(10.0), None, 9002L),          // null hi: matches nothing
+        (Some(100.0), Some(150.0), 9003L),  // duplicate of a likely band
+        (Some(100.0), Some(150.0), 9004L))  // exact duplicate interval
+    rows.toDF("lo", "hi", "interval_id")
+  }
+
+  private def probes: DataFrame =
+    spark.range(2000).select(
+      (col("id") % 1001).cast("double").as("v"), col("id").as("pid"))
+
+  private def bandJoin(): DataFrame =
+    probes.join(broadcast(intervals),
+      col("v") >= col("lo") && col("v") < col("hi"))
+
+  private def executedPlanString(df: DataFrame): String = {
+    df.collect() // AQE finalizes the plan on execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("rewrite fires on the hinted band-join shape") {
+    assert(executedPlanString(bandJoin()).contains("RangeLookupJoin"))
+  }
+
+  test("identical rows and multiplicities vs the nested-loop plan") {
+    val fast = bandJoin()
+    assert(executedPlanString(fast).contains("RangeLookupJoin"))
+    spark.conf.set("spark.graft.rangeLookupJoin.enabled", "false")
+    val slow = try {
+      val df = bandJoin()
+      assert(!executedPlanString(df).contains("RangeLookupJoin"))
+      df
+    } finally spark.conf.set("spark.graft.rangeLookupJoin.enabled", "true")
+    assert(fast.count() === slow.count())
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    // the fixture must actually exercise overlap: some probe value hits
+    // several intervals, so the leftward walk emits more than one row
+    val maxHits = fast.groupBy("pid").count().agg(max("count")).first().getLong(0)
+    assert(maxHits > 1, "fixture should contain overlapping intervals")
+  }
+
+  test("inclusive-lower, exclusive-upper boundary semantics") {
+    val one = Seq((Some(10.0), Some(20.0), 1L)).toDF("lo", "hi", "interval_id")
+    val pts = Seq(9.999, 10.0, 19.999, 20.0).toDF("v")
+    val hit = pts.join(broadcast(one),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(executedPlanString(hit).contains("RangeLookupJoin"))
+    assert(hit.select("v").as[Double].collect().sorted === Array(10.0, 19.999))
+  }
+
+  test("empty and all-null build side yields no rows") {
+    // Catalyst may constant-fold an all-null local build side to an
+    // empty scan before the rewrite ever sees it — either way the
+    // contract is zero output rows, so assert only semantics here; the
+    // null-bound DROP inside the exec is covered by the mixed fixture
+    // above (interval ids 9001/9002 never appear in the output).
+    val nulls = Seq[(Option[Double], Option[Double], Long)](
+      (None, None, 1L), (None, Some(5.0), 2L)).toDF("lo", "hi", "interval_id")
+    val out = probes.join(broadcast(nulls),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(out.count() === 0L)
+    val fromMixed = bandJoin().filter(col("interval_id") >= 9001L &&
+      col("interval_id") <= 9002L)
+    assert(fromMixed.count() === 0L,
+      "null-bound intervals must never match through the exec path")
+  }
+
+  test("non-matching shapes are left to Spark") {
+    // exclusive lower bound: not the [lo, hi) contract — must NOT rewrite
+    val df = probes.join(broadcast(intervals),
+      col("v") > col("lo") && col("v") < col("hi"))
+    assert(!executedPlanString(df).contains("RangeLookupJoin"))
+  }
+}
