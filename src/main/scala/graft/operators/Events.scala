@@ -418,7 +418,45 @@ object Events {
       |  count(*) AS n
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** COHORT RETENTION matrix: users grouped by first-active day, counted
+    * on each later active day as an offset from the cohort day — the
+    * table behind every retention curve. Three aggregations, each with
+    * map-side partial state: (1) the event scan collapses to distinct
+    * (user, day) pairs — the only pass over the big table, partially
+    * aggregated before its single exchange; (2) per-user first day is an
+    * agg over those user-days (user-cardinality output, dimension-sized
+    * → broadcast); (3) the user-day table joins its user's cohort day by
+    * broadcast — no second shuffle of the big side — and aggregates on
+    * (cohort_day, offset). `count(*)`, not `count(DISTINCT user_id)`, in
+    * the final agg: rows are already distinct per (user, day) by
+    * construction, so the expensive distinct state is free. At 100 TB
+    * the cohort table outgrows a broadcast only when the USER count
+    * does; the fallback is a shuffled join on user_id — still one
+    * shuffle of user-days, never of raw events. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val cohorts = userDays.groupBy("user_id")
+      .agg(min(col("day")).as("cohort_day"))
+    userDays.join(broadcast(cohorts), Seq("user_id"))
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("offset_days").cast("long").as("offset_days"), col("users"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT) AS offset_days,
+      |  count(*) AS users
+      |FROM ud JOIN c ON ud.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (eventsRetention _),
     "events_histogram" -> (eventsHistogram _),
     "events_resample" -> (eventsResample _),
     "events_funnel" -> (eventsFunnel _),
@@ -434,6 +472,7 @@ object Events {
     "events_daily_active" -> (eventsDailyActive _))
 
   val oracles: Map[String, String] = Map(
+    "events_retention" -> eventsRetentionSql,
     "events_histogram" -> eventsHistogramSql,
     "events_resample" -> eventsResampleSql,
     "events_funnel" -> eventsFunnelSql,

@@ -750,7 +750,91 @@ object TextAnalysis {
       |  CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_ratio
       |FROM j GROUP BY doc_id""".stripMargin
 
+  /** SOURCE MIXTURE WEIGHTS — temperature-flattened sampling shares per
+    * source, the knob that decides how much of each corpus a training
+    * run sees: natural share = tokens_s / Σtokens, α-share ∝
+    * tokens_s^α (α = 0.5 here, i.e. sqrt — upweights small sources),
+    * oversample factor = α-share / natural share. One pass over
+    * documents partially aggregates exact token counts to source
+    * cardinality (dimension-sized — everything after is driver-trivial
+    * but stays declarative). Cross-engine exactness: token counts are
+    * exact BIGINTs; sqrt is IEEE-754 correctly rounded (identical on
+    * both engines, unlike ln/exp); each sqrt is pinned to the decimal
+    * domain BEFORE the order-sensitive Σ, so the denominator is an
+    * exact decimal sum; the final shares are IEEE double divisions of
+    * identical operands. The only residual risk is a sqrt landing
+    * within 1 ulp of a 6-dp half boundary (the documented ~1e-10
+    * coincidence class, see [[textTfidf]]). */
+  def docMixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("tokens"))
+      .withColumn("alpha_w", sqrt(col("tokens").cast("double")).cast("decimal(18,6)"))
+    val totals = perSource.agg(
+      sum(col("tokens")).as("tot_tokens"),
+      sum(col("alpha_w")).as("tot_alpha"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        (col("tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("natural_share"),
+        (col("alpha_w").cast("double") / col("tot_alpha").cast("double"))
+          .as("alpha_share"),
+        ((col("alpha_w").cast("double") / col("tot_alpha").cast("double")) /
+          (col("tokens").cast("double") / col("tot_tokens").cast("double")))
+          .as("oversample"))
+  }
+
+  val docMixtureWeightsSql: String =
+    s"""WITH s AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len($TokSql)) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT source, n_docs, tokens,
+      |        CAST(sqrt(CAST(tokens AS DOUBLE)) AS DECIMAL(18,6)) AS alpha_w
+      |      FROM s),
+      |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tot_tokens,
+      |             sum(alpha_w) AS tot_alpha FROM w)
+      |SELECT source, n_docs, tokens,
+      |  CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS natural_share,
+      |  CAST(alpha_w AS DOUBLE) / CAST(tot_alpha AS DOUBLE) AS alpha_share,
+      |  (CAST(alpha_w AS DOUBLE) / CAST(tot_alpha AS DOUBLE))
+      |    / (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS oversample
+      |FROM w CROSS JOIN t""".stripMargin
+
+  /** INVERTED INDEX build — term → document-frequency + sorted posting
+    * list, the retrieval structure behind BM25 serving and
+    * decontamination probes. Explode once, collapse to distinct
+    * (word, doc_id) postings (map-side partial distinct before the one
+    * shuffle on word), then per term aggregate df and the numerically
+    * sorted posting list. The list is emitted as a comma-joined STRING:
+    * cross-engine array hashing is representation-dependent, a joined
+    * string is byte-comparable. Postings are sorted numerically BEFORE
+    * the string cast (lexicographic '10'<'2' would diverge between
+    * engines' native list orderings). At 100 TB a single term's posting
+    * list can exceed a task — the production layout shards the list by
+    * `pmod(hash(doc_id), B)` into (word, shard) rows, same plan shape,
+    * bounded state; the un-sharded form here is what the oracle can
+    * express. */
+  def textInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(Text.tokens(col("text"))).as("word"), col("doc_id"))
+      .distinct()
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"),
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+
+  val textInvertedIndexSql: String =
+    s"""WITH tok AS (
+      |  SELECT DISTINCT unnest($TokSql) AS word, doc_id FROM documents)
+      |SELECT word, count(*) AS df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM tok GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_mixture_weights" -> (docMixtureWeights _),
+    "text_inverted_index" -> (textInvertedIndex _),
     "text_normalize" -> (textNormalize _),
     "text_vocab_oov" -> (textVocabOov _),
     "doc_stable_ids" -> (docStableIds _),
@@ -774,6 +858,8 @@ object TextAnalysis {
     "text_array_fns" -> (textArrayFns _))
 
   val oracles: Map[String, String] = Map(
+    "doc_mixture_weights" -> docMixtureWeightsSql,
+    "text_inverted_index" -> textInvertedIndexSql,
     "text_normalize" -> textNormalizeSql,
     "text_vocab_oov" -> textVocabOovSql,
     "doc_stable_ids" -> docStableIdsSql,

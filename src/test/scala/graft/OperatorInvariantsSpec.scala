@@ -101,6 +101,50 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("events: retention cohorts conserve users and never grow") {
+    val rows = Events.eventsRetention(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every cohort has an offset-0 row (first-active day is active),
+    // and no later offset can exceed the cohort's size
+    val day0 = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      assert(day0.contains(cohort), s"cohort $cohort missing offset 0")
+      rs.foreach(t => assert(t._3 <= day0(cohort)))
+      rs.foreach(t => assert(t._2 >= 0L))
+    }
+    // offset-0 totals = distinct users overall (each user in exactly one cohort)
+    val totalUsers = graft.engine.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(day0.values.sum === totalUsers)
+  }
+
+  test("text: mixture weights are a probability simplex that flattens sources") {
+    val rows = graft.operators.TextAnalysis.docMixtureWeights(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9)
+    // sqrt temperature: the smallest source is upweighted, the largest down
+    val bySize = rows.sortBy(_._2)
+    assert(bySize.head._5 >= 1.0 - 1e-12)
+    assert(bySize.last._5 <= 1.0 + 1e-12)
+    // α-shares are order-preserving but flatter than natural shares
+    val ratioSmallLarge = bySize.head._4 / bySize.last._4
+    val naturalRatio = bySize.head._3 / bySize.last._3
+    assert(ratioSmallLarge >= naturalRatio)
+  }
+
+  test("text: inverted index postings agree with df and cover every token") {
+    val rows = graft.operators.TextAnalysis.textInvertedIndex(spark, dir).collect()
+    rows.foreach { r =>
+      val postings = r.getString(2).split(",")
+      assert(postings.length.toLong === r.getLong(1))
+      // numerically sorted, unique
+      val ids = postings.map(_.toLong)
+      assert(ids.toSeq === ids.toSeq.sorted)
+      assert(ids.distinct.length === ids.length)
+    }
+  }
+
   test("similarity: LSH top-1 neighbours share a (table, bucket)") {
     val buckets = Similarity.lshBuckets(spark, dir)
       .collect()
