@@ -36,7 +36,10 @@ object PlanDump {
     "q_bloom_join" -> "runtime bloom filter: might_contain(bloom_filter_agg subquery over urgent orders) prunes the lineitem side BEFORE its exchange",
     "text_bm25" -> "BM25: tf/df aggregations filtered to the query terms BEFORE their exchanges, df/avgdl/N broadcast, decimal-domain per-term rounding then exact decimal sum",
     "q_ntile" -> "distribution-rank windows partitioned by nation: ONE shuffle on the partition key, per-partition sort — no global single-partition window",
-    "q_range_join_dense" -> "2100-band interval join: preCBO rewrite + RangeLookupJoinExec (binary search over broadcast sorted intervals) replaces the O(n*m) BroadcastNestedLoopJoin")
+    "q_range_join_dense" -> "2100-band interval join: preCBO rewrite + RangeLookupJoinExec (binary search over broadcast sorted intervals) replaces the O(n*m) BroadcastNestedLoopJoin",
+    "events_retention" -> "cohort retention: events collapse to distinct user-days (partial agg before the one big exchange), cohort firsts BROADCAST back, final agg distinct-free",
+    "text_inverted_index" -> "inverted index: ONE exchange — collect_set is the partial aggregate (map-side set union = per-partition distinct), df = set size; no separate distinct pass",
+    "events_outliers" -> "3-sigma outliers: exact decimal Σx/Σx² partially aggregated to event-type cardinality, stats BROADCAST back over the second scan — deterministic thresholds at any partition order")
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

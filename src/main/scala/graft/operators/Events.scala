@@ -446,6 +446,97 @@ object Events {
         col("offset_days").cast("long").as("offset_days"), col("users"))
   }
 
+  /** TRANSITION MATRIX — next-event Markov counts per user journey:
+    * how often does a view lead to a click, a click to a purchase? One
+    * shuffle on user_id for the per-user ordered `lead` window (the
+    * same exchange shape every per-user window op here shares), then a
+    * dimension-cardinality aggregation on (from, to) pairs with
+    * map-side partials. Terminal events (no successor) count under
+    * to='<end>' so each user's row count is conserved — Σ transitions =
+    * Σ events. The share is an IEEE double division of exact counts,
+    * deterministic cross-engine. event_id breaks equal-timestamp ties,
+    * same contract as [[eventsLeadLag]]. */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val withNext = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        coalesce(lead(col("event_type"), 1).over(w), lit("<end>")).as("to_type"))
+    val counts = withNext.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum(col("n")).as("from_n"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("from_n").cast("double")).as("share"))
+  }
+
+  val eventsTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT event_type AS from_type,
+      |    coalesce(lead(event_type) OVER (PARTITION BY user_id
+      |                                    ORDER BY ts, event_id),
+      |             '<end>') AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM t GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS from_n FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(f.from_n AS DOUBLE) AS share
+      |FROM c JOIN f ON c.from_type = f.from_type""".stripMargin
+
+  /** OUTLIER DETECTION — 3σ rule per event type, the data-quality gate
+    * that catches corrupted values before they poison a training set.
+    * Numerically disciplined for distributed execution: Σx and Σx² are
+    * EXACT decimal sums (values carry ≤2 decimals, squares ≤4), so the
+    * per-type mean/variance are IEEE doubles computed from identical
+    * operands on every engine and every partition order — the naive
+    * double-sum version would hash-diverge run-to-run at 100 TB, where
+    * aggregation order is nondeterministic. Variance via E[x²]−E[x]²
+    * on exact sums (the one-pass form; Welford is for streaming
+    * accumulators, not needed when the sums are exact), σ via
+    * IEEE-correctly-rounded sqrt. Per-type stats are
+    * dimension-cardinality → broadcast back; the fact table is scanned
+    * twice (once partially aggregated for stats, once for flagging) —
+    * the unavoidable shape for global statistics, with pass 1's
+    * exchange carrying only event-type cardinality rows. */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,2)")).as("s1"),
+      sum((col("value").cast("decimal(18,2)") *
+        col("value").cast("decimal(18,2)")).cast("decimal(28,4)")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt(col("s2").cast("double") / col("n").cast("double") -
+          (col("s1").cast("double") / col("n").cast("double")) *
+          (col("s1").cast("double") / col("n").cast("double"))).as("sigma"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("value") > col("mean") + lit(3.0) * col("sigma") ||
+        col("value") < col("mean") - lit(3.0) * col("sigma"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        ((col("value") - col("mean")) / col("sigma")).as("z"))
+  }
+
+  val eventsOutliersSql: String =
+    """WITH s AS (
+      |  SELECT event_type, count(*) AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS s1,
+      |    sum(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+      |             AS DECIMAL(28,4))) AS s2
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT event_type,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sigma
+      |  FROM s)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  (e.value - m.mean) / m.sigma AS z
+      |FROM events e JOIN m ON e.event_type = m.event_type
+      |WHERE e.value > m.mean + 3.0 * m.sigma
+      |   OR e.value < m.mean - 3.0 * m.sigma""".stripMargin
+
   val eventsRetentionSql: String =
     """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
       |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
@@ -457,6 +548,8 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> (eventsRetention _),
+    "events_transitions" -> (eventsTransitions _),
+    "events_outliers" -> (eventsOutliers _),
     "events_histogram" -> (eventsHistogram _),
     "events_resample" -> (eventsResample _),
     "events_funnel" -> (eventsFunnel _),
@@ -473,6 +566,8 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_retention" -> eventsRetentionSql,
+    "events_transitions" -> eventsTransitionsSql,
+    "events_outliers" -> eventsOutliersSql,
     "events_histogram" -> eventsHistogramSql,
     "events_resample" -> eventsResampleSql,
     "events_funnel" -> eventsFunnelSql,

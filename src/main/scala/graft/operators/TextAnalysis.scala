@@ -807,23 +807,26 @@ object TextAnalysis {
     * decontamination probes. Explode once, collapse to distinct
     * (word, doc_id) postings (map-side partial distinct before the one
     * shuffle on word), then per term aggregate df and the numerically
-    * sorted posting list. The list is emitted as a comma-joined STRING:
-    * cross-engine array hashing is representation-dependent, a joined
-    * string is byte-comparable. Postings are sorted numerically BEFORE
-    * the string cast (lexicographic '10'<'2' would diverge between
-    * engines' native list orderings). At 100 TB a single term's posting
-    * list can exceed a task — the production layout shards the list by
+    * sorted posting list. ONE exchange: `collect_set` is the partial
+    * aggregate (its map-side set union IS the per-partition distinct),
+    * so df = set size and a separate distinct-then-count pass — a
+    * second shuffle — never happens. The list is emitted as a
+    * comma-joined STRING: cross-engine array hashing is
+    * representation-dependent, a joined string is byte-comparable.
+    * Postings are sorted numerically BEFORE the string cast
+    * (lexicographic '10'<'2' would diverge between engines' native
+    * list orderings). At 100 TB a single term's posting list can
+    * exceed a task — the production layout shards the list by
     * `pmod(hash(doc_id), B)` into (word, shard) rows, same plan shape,
     * bounded state; the un-sharded form here is what the oracle can
     * express. */
   def textInvertedIndex(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(Text.tokens(col("text"))).as("word"), col("doc_id"))
-      .distinct()
       .groupBy("word")
-      .agg(count(lit(1)).as("df"),
-        array_join(transform(array_sort(collect_set(col("doc_id"))),
-          _.cast("string")), ",").as("postings"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
+      .select(col("word"), size(col("ids")).cast("long").as("df"),
+        array_join(transform(col("ids"), _.cast("string")), ",").as("postings"))
 
   val textInvertedIndexSql: String =
     s"""WITH tok AS (

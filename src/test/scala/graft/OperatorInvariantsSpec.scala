@@ -118,6 +118,27 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(day0.values.sum === totalUsers)
   }
 
+  test("events: transitions conserve events and rows' shares sum to 1") {
+    val ev = graft.engine.Tables.events(spark, dir)
+    val rows = Events.eventsTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._3).sum === ev.count())
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-9)
+    }
+    // every user journey terminates exactly once
+    val ends = rows.filter(_._2 == "<end>").map(_._3).sum
+    assert(ends === ev.select("user_id").distinct().count())
+  }
+
+  test("events: every flagged outlier is beyond 3 sigma, and few rows flag") {
+    val ev = graft.engine.Tables.events(spark, dir)
+    val flagged = Events.eventsOutliers(spark, dir).collect()
+    flagged.foreach(r => assert(math.abs(r.getDouble(3)) > 3.0))
+    // Chebyshev: at most 1/9 of any distribution is beyond 3 sigma
+    assert(flagged.length <= ev.count() / 9)
+  }
+
   test("text: mixture weights are a probability simplex that flattens sources") {
     val rows = graft.operators.TextAnalysis.docMixtureWeights(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
