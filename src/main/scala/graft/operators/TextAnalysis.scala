@@ -802,6 +802,48 @@ object TextAnalysis {
       |    / (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS oversample
       |FROM w CROSS JOIN t""".stripMargin
 
+  /** EPOCH RESAMPLE — materialize the temperature-weighted corpus that
+    * [[docMixtureWeights]] prescribes: each doc appears
+    * `floor(oversample)` times, plus one more with probability
+    * `frac(oversample)`. The fractional coin is the same deterministic
+    * md5-threshold machinery as [[docSampleSplit]] (stateless,
+    * shuffle-free, rerun-stable), with the probability QUANTIZED to
+    * 1/256 granularity so the threshold is a 2-hex-digit prefix —
+    * lexicographic compare, no cross-engine hex-to-int conversion. The
+    * salt (`:resample`) decorrelates the coin from the split/strat
+    * hashes. Copies come from `explode(sequence(...))` — generated, not
+    * read, so the scan stays one pass and NOTHING shuffles: weights are
+    * source-cardinality and broadcast. Σ copies ≈ N·α-share/natural
+    * share per source, i.e. the resampled corpus realizes the mixture. */
+  def docResample(spark: SparkSession, dir: String): DataFrame = {
+    val weights = docMixtureWeights(spark, dir).select("source", "oversample")
+    val base = floor(col("oversample")).cast("long")
+    val q = floor((col("oversample") - floor(col("oversample"))) * lit(256.0))
+      .cast("int")
+    val thr = lpad(lower(hex(q)), 2, "0")
+    val coin = (md5(concat(col("doc_id").cast("string"), lit(":resample"))) < thr)
+      .cast("long")
+    Tables.documents(spark, dir)
+      .join(broadcast(weights), Seq("source"))
+      .select(col("doc_id"), col("source"), (base + coin).as("n_copies"))
+      .filter(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"))
+  }
+
+  val docResampleSql: String =
+    s"""WITH w AS ($docMixtureWeightsSql),
+      |c AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(floor(w.oversample) AS BIGINT) +
+      |    CASE WHEN md5(CAST(d.doc_id AS VARCHAR) || ':resample') <
+      |              lpad(lower(hex(CAST(floor((w.oversample - floor(w.oversample))
+      |                                        * 256.0) AS INT))), 2, '0')
+      |         THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN w ON d.source = w.source)
+      |SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+      |FROM c WHERE n_copies >= 1""".stripMargin
+
   /** INVERTED INDEX build — term → document-frequency + sorted posting
     * list, the retrieval structure behind BM25 serving and
     * decontamination probes. Explode once, collapse to distinct
@@ -837,6 +879,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_mixture_weights" -> (docMixtureWeights _),
+    "doc_resample" -> (docResample _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_normalize" -> (textNormalize _),
     "text_vocab_oov" -> (textVocabOov _),
@@ -862,6 +905,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "doc_mixture_weights" -> docMixtureWeightsSql,
+    "doc_resample" -> docResampleSql,
     "text_inverted_index" -> textInvertedIndexSql,
     "text_normalize" -> textNormalizeSql,
     "text_vocab_oov" -> textVocabOovSql,

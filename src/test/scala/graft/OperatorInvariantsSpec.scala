@@ -154,6 +154,23 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(ratioSmallLarge >= naturalRatio)
   }
 
+  test("text: resample copies realize the mixture weights per doc") {
+    val weights = graft.operators.TextAnalysis.docMixtureWeights(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    val rows = graft.operators.TextAnalysis.docResample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // (doc, copy) unique, copy indices contiguous from 1
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+    // every doc's copy count is floor or ceil of its source's oversample
+    byDoc.foreach { case (_, rs) =>
+      val f = weights(rs.head._2)
+      assert(rs.length == math.floor(f).toLong || rs.length == math.ceil(f).toLong)
+    }
+  }
+
   test("text: inverted index postings agree with df and cover every token") {
     val rows = graft.operators.TextAnalysis.textInvertedIndex(spark, dir).collect()
     rows.foreach { r =>
