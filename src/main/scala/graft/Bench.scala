@@ -49,10 +49,20 @@ object Bench {
     // which otherwise lands on whichever writing query runs first
     // alphabetically (measured: fmt_binary 4.7s cold vs 0.2s warm,
     // maint_zorder 10.6s vs 2.3s — BASELINE.md §c). A 3-row scratch
-    // write absorbs it outside the timed region.
+    // write is NOT enough — the vectorized parquet encoders, the
+    // RangePartitioner sampling job, and the sort loops only JIT at
+    // real row counts and on the real column types (a cold zorder
+    // still paid ~13s over warm with the tiny warmup). Push a ~20k-row
+    // slice of lineitem through the same range-partition + sort +
+    // write + read-back shape the maintenance rewrites use, untimed.
     try {
       val scratch = graft.sources.Formats.tmp("bench_write_warmup", sfDir)
-      spark.range(3).write.mode("overwrite").parquet(scratch)
+      graft.engine.Tables.lineitem(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("l_orderkey") % 30 === 0)
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(scratch)
+      spark.read.parquet(scratch).write.mode("overwrite").format("noop").save()
     } catch { case e: Throwable => System.err.println(s"[bench] write warmup failed: ${e.getMessage}") }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, f) => runOne(n, f) }
