@@ -177,18 +177,29 @@ object Dedup {
           .select(col("node"), col("node").as("label"))
           .persist()
         try {
-          var changed = 1L
-          while (changed > 0) {
+          // Convergence witness: per-node labels are MONOTONE
+          // non-increasing under min-propagation, so Σlabel strictly
+          // decreases iff any label changed — one narrow aggregation
+          // over the cached label table replaces the join + count job
+          // the naive `changed` check costs every round (at billions of
+          // labels that join is a full extra co-partitioned shuffle per
+          // round; the witness is a partial-agg scan). Decimal sum:
+          // overflow-proof for 64-bit ids at any node count.
+          def labelSum(df: DataFrame): java.math.BigDecimal =
+            df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+              .first().getDecimal(0)
+          var prevSum = labelSum(labels)
+          var converged = false
+          while (!converged) {
             val viaNbr = edges
               .join(labels, edges("doc_b") === labels("node"))
               .select(edges("doc_a").as("node"), col("label"))
             val next = labels.union(viaNbr)
               .groupBy("node").agg(min("label").as("label"))
               .persist()
-            changed = next.alias("n")
-              .join(labels.alias("o"), col("n.node") === col("o.node"))
-              .filter(col("n.label") =!= col("o.label"))
-              .count()
+            val s = labelSum(next)
+            converged = s.compareTo(prevSum) == 0
+            prevSum = s
             labels.unpersist()
             labels = next
           }
