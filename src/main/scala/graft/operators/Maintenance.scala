@@ -415,7 +415,69 @@ object Maintenance {
       |SELECT c_custkey, c_name, c_nationkey, new_seg,
       |  DATE '$Scd2Eff', NULL, TRUE FROM chg""".stripMargin
 
+  /** DATA-QUALITY AUDIT — the constraint gate a pipeline runs before
+    * publishing a snapshot: domain checks (non-positive/null measures)
+    * and referential integrity (orphan foreign keys), one summary row
+    * per rule with violation and checked counts. Each rule is a single
+    * conditional aggregation over its fact table — violations are
+    * counted with `count-if`, never materialized or collected.
+    * Referential checks join the fact against the BROADCAST distinct
+    * key set of the dimension side (orders' custkeys against customer,
+    * lineitem's orderkeys against orders): existence flag from a left
+    * join + null probe, partially aggregated before the count — the
+    * fact table never shuffles. At 100 TB the lineitem→orders check's
+    * key side outgrows a broadcast; the same plan with a shuffled
+    * left-semi flag join is the fallback, still one exchange of keys,
+    * never of rows. The final result is a union of one-row aggregates
+    * — driver-trivial, oracle-exact. */
+  def maintDqAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val events = Tables.events(spark, dir)
+    def rule(name: String, df: DataFrame, bad: Column): DataFrame =
+      df.agg(sum(bad.cast("long")).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+        .select(lit(name).as("rule"), col("n_violations"), col("n_checked"))
+    val r1 = rule("lineitem_quantity_positive", li,
+      col("l_quantity").isNull || col("l_quantity") <= 0)
+    val r2 = rule("events_user_id_present", events, col("user_id").isNull)
+    val r3 = rule("events_value_in_domain", events,
+      col("value").isNull || col("value") < 0)
+    val custKeys = customer.select(col("c_custkey").as("k")).distinct()
+    val r4 = rule("orders_custkey_resolves",
+      orders.join(broadcast(custKeys), col("o_custkey") === col("k"), "left"),
+      col("k").isNull)
+    val orderKeys = orders.select(col("o_orderkey").as("k")).distinct()
+    val r5 = rule("lineitem_orderkey_resolves",
+      li.join(broadcast(orderKeys), col("l_orderkey") === col("k"), "left"),
+      col("k").isNull)
+    r1.union(r2).union(r3).union(r4).union(r5)
+  }
+
+  val maintDqAuditSql: String =
+    """SELECT 'lineitem_quantity_positive' AS rule,
+      |  CAST(count(*) FILTER (l_quantity IS NULL OR l_quantity <= 0) AS BIGINT)
+      |    AS n_violations,
+      |  count(*) AS n_checked FROM lineitem
+      |UNION ALL
+      |SELECT 'events_user_id_present',
+      |  CAST(count(*) FILTER (user_id IS NULL) AS BIGINT), count(*) FROM events
+      |UNION ALL
+      |SELECT 'events_value_in_domain',
+      |  CAST(count(*) FILTER (value IS NULL OR value < 0) AS BIGINT),
+      |  count(*) FROM events
+      |UNION ALL
+      |SELECT 'orders_custkey_resolves',
+      |  CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT), count(*)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_resolves',
+      |  CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT), count(*)
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "maint_dq_audit" -> (maintDqAudit _),
     "maint_compact" -> (maintCompact _),
     "maint_cluster" -> (maintCluster _),
     "maint_zorder" -> (maintZorder _),
@@ -423,6 +485,7 @@ object Maintenance {
     "maint_scd2" -> (maintScd2 _))
 
   val oracles: Map[String, String] = Map(
+    "maint_dq_audit" -> maintDqAuditSql,
     "maint_compact" -> maintCompactSql,
     "maint_cluster" -> maintClusterSql,
     "maint_zorder" -> maintZorderSql,

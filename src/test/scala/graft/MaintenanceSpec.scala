@@ -12,6 +12,25 @@ import graft.sources.Formats
   */
 class MaintenanceSpec extends AnyFunSuite {
 
+  test("dq audit checks every row once and bounds violations") {
+    val spark = TestSpark.spark
+    val dir = TestSpark.Sf0001
+    val rows = Maintenance.maintDqAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1).distinct.length === 5)
+    rows.foreach { case (rule, bad, checked) =>
+      assert(bad >= 0L && bad <= checked, rule)
+    }
+    val checkedBy = rows.map(t => t._1 -> t._3).toMap
+    assert(checkedBy("lineitem_quantity_positive") ===
+      graft.engine.Tables.lineitem(spark, dir).count())
+    assert(checkedBy("orders_custkey_resolves") ===
+      graft.engine.Tables.orders(spark, dir).count())
+    // TPC-H-ish generator keeps referential integrity: no orphans
+    assert(rows.find(_._1 == "orders_custkey_resolves").get._2 === 0L)
+    assert(rows.find(_._1 == "lineitem_orderkey_resolves").get._2 === 0L)
+  }
+
   test("compaction plans ceil(bytes/target) files and preserves rows") {
     val spark = TestSpark.spark
     val dir = TestSpark.Sf0001
