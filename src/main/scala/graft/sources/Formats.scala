@@ -47,6 +47,48 @@ object Formats {
         sum(col("s_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
   }
 
+  /** DYNAMIC PARTITION OVERWRITE — the incremental-backfill write
+    * pattern: a daily pipeline recomputes ONE day and overwrites only
+    * that partition, leaving every other day's files untouched. Static
+    * overwrite mode would truncate the whole table first (at 100 TB,
+    * re-writing a year to fix a day); `partitionOverwriteMode=dynamic`
+    * scopes the overwrite to exactly the partitions present in the
+    * incoming frame. The query seeds events partitioned by day, then
+    * backfills day 2024-01-05 with doubled values, then aggregates the
+    * re-read table; the oracle applies the same day-scoped
+    * transformation to the ORIGINAL table, so both the overwrite's
+    * surgical scope (other days byte-identical) and its content are
+    * hash-checked. The seed write is day-partitioned exactly as a real
+    * ingest would be, so the backfill touches one directory. */
+  def fmtDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = tmp("events_dynpart", dir)
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    val backfill = ev.filter(col("day") === "2024-01-05")
+      .withColumn("value", col("value") * 2.0)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try backfill.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(path)
+      // partition-type inference reads the day dirs back as DATE;
+      // re-render to the written string form for the oracle compare
+      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
+  }
+
+  val fmtDynamicOverwriteSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-05'
+      |                     THEN value * 2.0 ELSE value END
+      |                AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Malformed-input ingest — the robustness path a crawl pipeline needs
     * before anything else reads the data: ~10% of JSON lines are
     * DETERMINISTICALLY corrupted (doc_id % 10 == 3, truncated mid-object)
@@ -348,7 +390,8 @@ object Formats {
     "fmt_orc_roundtrip" -> (fmtOrcRoundtrip _),
     "fmt_xml_roundtrip" -> (fmtXmlRoundtrip _),
     "fmt_jdbc_roundtrip" -> (fmtJdbcRoundtrip _),
-    "fmt_partition_pruning" -> (fmtPartitionPruning _))
+    "fmt_partition_pruning" -> (fmtPartitionPruning _),
+    "fmt_dynamic_overwrite" -> (fmtDynamicOverwrite _))
 
   val oracles: Map[String, String] = Map(
     "fmt_file_lineage" -> fmtFileLineageSql,
@@ -360,5 +403,6 @@ object Formats {
     "fmt_orc_roundtrip" -> fmtOrcRoundtripSql,
     "fmt_xml_roundtrip" -> fmtXmlRoundtripSql,
     "fmt_jdbc_roundtrip" -> fmtJdbcRoundtripSql,
-    "fmt_partition_pruning" -> fmtPartitionPruningSql)
+    "fmt_partition_pruning" -> fmtPartitionPruningSql,
+    "fmt_dynamic_overwrite" -> fmtDynamicOverwriteSql)
 }
