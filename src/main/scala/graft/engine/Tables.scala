@@ -68,7 +68,14 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Register every table as a temp view so `spark.sql` works too. */
+  /** Register every table as a temp view so `spark.sql` works too.
+    * `events` must route through its typed accessor — a raw `load`
+    * registers the INT64 TIMESTAMP(NANOS) parquet that Spark's reader
+    * rejects at scan time, so any SQL touching the view would throw
+    * [PARQUET_TYPE_ILLEGAL]. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n => load(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

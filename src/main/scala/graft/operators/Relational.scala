@@ -261,6 +261,53 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |GROUP BY n_name""".stripMargin
 
+  /** NULL-AWARE anti join — `NOT IN (subquery)` under three-valued
+    * logic, the semantics trap that silently drops rows in hand-rolled
+    * rewrites: a probe row whose key is NULL can never satisfy NOT IN
+    * (comparison is UNKNOWN), and one NULL in the subquery empties the
+    * whole result. Spark plans this as a dedicated physical operator
+    * (BroadcastHashJoin with `isNullAwareAntiJoin=true` — single-column
+    * null-aware anti join) rather than a plain LeftAnti, because the
+    * null checks must ride the hash lookup. The corpus has no null `k`,
+    * so probe-side NULLs are INJECTED deterministically (event_id % 7
+    * = 3) and the identical CASE runs in both engines — the 3VL
+    * exclusion is data-visible and hash-checked, not vacuous. The
+    * blocked set is narrowed by a predicate on a DIFFERENT column
+    * (value ≥ 490 — error k spans the full 0–99 domain, so an
+    * unfiltered set blocks everything and the result is vacuous) but
+    * never by `k IS NOT NULL`, so the planner cannot strengthen the
+    * plan to a non-null plain anti join. */
+  def qJoinAntiNullaware(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """WITH probe AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 3 THEN CAST(NULL AS BIGINT)
+        |         ELSE CAST(get_json_object(props, '$.k') AS BIGINT) END AS k
+        |  FROM events),
+        |blocked AS (
+        |  SELECT CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+        |  FROM events WHERE event_type = 'error' AND value >= 490.0)
+        |SELECT event_type, count(*) AS n
+        |FROM probe
+        |WHERE k NOT IN (SELECT k FROM blocked)
+        |GROUP BY event_type""".stripMargin)
+  }
+
+  val qJoinAntiNullawareSql: String =
+    """WITH probe AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 7 = 3 THEN CAST(NULL AS BIGINT)
+      |         ELSE CAST(props->>'k' AS BIGINT) END AS k
+      |  FROM events),
+      |blocked AS (
+      |  SELECT CAST(props->>'k' AS BIGINT) AS k
+      |  FROM events WHERE event_type = 'error' AND value >= 490.0)
+      |SELECT event_type, count(*) AS n
+      |FROM probe
+      |WHERE k NOT IN (SELECT k FROM blocked)
+      |GROUP BY event_type""".stripMargin
+
   /** Left-outer join with null-side aggregation: EVERY customer with its
     * order count and spend — zero/0.0 for customers that never ordered
     * (the rows an inner join silently drops). count(o_orderkey) ignores
@@ -980,6 +1027,7 @@ object Relational {
     "q_bloom_join" -> (qBloomJoin _),
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
+    "q_join_anti_nullaware" -> (qJoinAntiNullaware _),
     "q_join_outer" -> (qJoinOuter _),
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -1024,6 +1072,7 @@ object Relational {
     "q_bloom_join" -> qBloomJoinSql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
+    "q_join_anti_nullaware" -> qJoinAntiNullawareSql,
     "q_join_outer" -> qJoinOuterSql,
     "q_join_full_outer" -> qJoinFullOuterSql,
     "q_grouping_sets" -> qGroupingSetsSql,
