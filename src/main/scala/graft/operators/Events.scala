@@ -446,6 +446,39 @@ object Events {
         col("offset_days").cast("long").as("offset_days"), col("users"))
   }
 
+  /** TIME-RANGE WINDOW FRAME — per-user rolling 1-hour counters ending
+    * at each event (`RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND
+    * CURRENT ROW`): the feature-engineering shape behind velocity /
+    * abuse signals ("how many events did this user fire in the last
+    * hour?"). RANGE frames bound by a time interval differ from ROWS
+    * frames in exactly the way that matters here — equal-timestamp
+    * events share one frame, and the frame width is wall-clock, not a
+    * row count. One shuffle on user_id, per-partition ordered scan; the
+    * frame is evaluated with a sliding two-pointer over the sorted
+    * partition, never a per-row rescan. Count and decimal sum only —
+    * hash-exact. Expressed through spark.sql over the registered views
+    * (the SQL INTERVAL frame literal), which also exercises the
+    * ns-timestamp-safe events view registration. */
+  def eventsWindowTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
+        |""".stripMargin)
+  }
+
+  val eventsWindowTimeRangeSql: String =
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)""".stripMargin
+
   /** TRANSITION MATRIX — next-event Markov counts per user journey:
     * how often does a view lead to a click, a click to a purchase? One
     * shuffle on user_id for the per-user ordered `lead` window (the
@@ -549,6 +582,7 @@ object Events {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> (eventsRetention _),
     "events_transitions" -> (eventsTransitions _),
+    "events_window_time_range" -> (eventsWindowTimeRange _),
     "events_outliers" -> (eventsOutliers _),
     "events_histogram" -> (eventsHistogram _),
     "events_resample" -> (eventsResample _),
@@ -567,6 +601,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "events_retention" -> eventsRetentionSql,
     "events_transitions" -> eventsTransitionsSql,
+    "events_window_time_range" -> eventsWindowTimeRangeSql,
     "events_outliers" -> eventsOutliersSql,
     "events_histogram" -> eventsHistogramSql,
     "events_resample" -> eventsResampleSql,
