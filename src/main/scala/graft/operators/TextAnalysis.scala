@@ -802,6 +802,37 @@ object TextAnalysis {
       |    / (CAST(tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE)) AS oversample
       |FROM w CROSS JOIN t""".stripMargin
 
+  /** EXACT-K PER-GROUP SAMPLE — exactly `PerSourceK` docs from every
+    * source, selected deterministically as the k smallest salted md5
+    * hashes (uniform ⇒ a uniform random sample, but stable across
+    * reruns, engines, and corpus growth of OTHER sources — the
+    * balanced-eval-subset builder). Hash-rank, not `TABLESAMPLE`:
+    * sampling operators are nondeterministic by design and can't be
+    * oracle-checked. The rank plans as Spark's WindowGroupLimit — each
+    * map task keeps only its local top-k per source BEFORE the
+    * exchange, so the shuffle carries O(sources × k), not the corpus
+    * (the same bounded-state argument as every top-k here). The salt
+    * (`:persrc`) decorrelates from the split/strat/resample coins. */
+  val PerSourceK = 5
+
+  def docSamplePerSource(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":persrc")))
+    val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PerSourceK)
+      .select(col("source"), col("doc_id"), col("rk").cast("long").as("rk"))
+  }
+
+  val docSamplePerSourceSql: String =
+    s"""SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR) || ':persrc'),
+      |                                doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= $PerSourceK""".stripMargin
+
   /** EPOCH RESAMPLE — materialize the temperature-weighted corpus that
     * [[docMixtureWeights]] prescribes: each doc appears
     * `floor(oversample)` times, plus one more with probability
@@ -880,6 +911,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_mixture_weights" -> (docMixtureWeights _),
     "doc_resample" -> (docResample _),
+    "doc_sample_per_source" -> (docSamplePerSource _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_normalize" -> (textNormalize _),
     "text_vocab_oov" -> (textVocabOov _),
@@ -906,6 +938,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "doc_mixture_weights" -> docMixtureWeightsSql,
     "doc_resample" -> docResampleSql,
+    "doc_sample_per_source" -> docSamplePerSourceSql,
     "text_inverted_index" -> textInvertedIndexSql,
     "text_normalize" -> textNormalizeSql,
     "text_vocab_oov" -> textVocabOovSql,
