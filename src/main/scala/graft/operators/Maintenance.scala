@@ -415,6 +415,47 @@ object Maintenance {
       |SELECT c_custkey, c_name, c_nationkey, new_seg,
       |  DATE '$Scd2Eff', NULL, TRUE FROM chg""".stripMargin
 
+  /** INCREMENTAL AGGREGATION — the daily-rollup maintenance pattern:
+    * yesterday's stored aggregate plus today's delta, merged by
+    * RE-AGGREGATING the partial states (sums and counts are
+    * decomposable: merge = sum of partials), instead of rescanning all
+    * of history. The query materializes the "yesterday" snapshot
+    * (events before the cutoff day, aggregated and written to parquet —
+    * at scale this is the table that persists between runs), aggregates
+    * only the cutoff-day-onward delta from the raw table, and merges by
+    * a union + one re-aggregation over event-type cardinality rows. The
+    * history scan happens ONCE at snapshot build; every subsequent run
+    * reads the snapshot (event-type-cardinality rows) + the delta
+    * partition — the oracle recomputes from scratch, so the merge's
+    * equivalence to a full recompute is what gets hash-checked. Only
+    * decomposable aggregates ride this path (sum/count/min/max —
+    * averages are carried as sum+count and finished at read); decimal
+    * domain keeps the merge order-independent. */
+  def maintIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val CutoffDay = "2024-01-25"
+    val ev = Tables.events(spark, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val snapPath = Formats.tmp("maint_incr_snapshot", dir)
+    ev.filter(col("day") < CutoffDay)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("val_sum"))
+      .write.mode("overwrite").parquet(snapPath)
+    val delta = ev.filter(col("day") >= CutoffDay)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("val_sum"))
+    spark.read.parquet(snapPath).union(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(col("val_sum")).cast("double").as("val_sum"))
+  }
+
+  val maintIncrementalAggSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+      |FROM events GROUP BY 1""".stripMargin
+
   /** DATA-QUALITY AUDIT — the constraint gate a pipeline runs before
     * publishing a snapshot: domain checks (non-positive/null measures)
     * and referential integrity (orphan foreign keys), one summary row
@@ -478,6 +519,7 @@ object Maintenance {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_dq_audit" -> (maintDqAudit _),
+    "maint_incremental_agg" -> (maintIncrementalAgg _),
     "maint_compact" -> (maintCompact _),
     "maint_cluster" -> (maintCluster _),
     "maint_zorder" -> (maintZorder _),
@@ -486,6 +528,7 @@ object Maintenance {
 
   val oracles: Map[String, String] = Map(
     "maint_dq_audit" -> maintDqAuditSql,
+    "maint_incremental_agg" -> maintIncrementalAggSql,
     "maint_compact" -> maintCompactSql,
     "maint_cluster" -> maintClusterSql,
     "maint_zorder" -> maintZorderSql,
