@@ -220,6 +220,40 @@ object Events {
       |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
 
+  /** FORWARD as-of: for each purchase, the EARLIEST click at-or-after
+    * it by the same user — the attribution direction [[eventsAsof]]'s
+    * backward form can't express ("did a click follow this purchase?").
+    * Same union-tag machinery, time-reversed: process per-user events
+    * in DESCENDING ts (clicks before purchases at equal ts so "at-or-
+    * after" includes ties) and carry the running `last` non-null click
+    * timestamp — one shuffle on user_id, no range join. The oracle is
+    * a correlated min-subquery, deliberately a different algorithm from
+    * the window form so the semantics, not the plan, are what match. */
+  def eventsAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val tagged = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_type").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("next_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        fmtUs(col("ts")).as("purchase_ts"),
+        fmtUs(col("next_click_ts")).as("click_ts"))
+  }
+
+  val eventsAsofForwardSql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  strftime((SELECT min(c.ts) FROM events c
+      |            WHERE c.event_type = 'click'
+      |              AND c.user_id = p.user_id
+      |              AND c.ts >= p.ts), '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM events p WHERE p.event_type = 'purchase'""".stripMargin
+
   // ---- map functions -------------------------------------------------------
 
   /** JSON → MapType + map functions (map_keys, element_at, map_contains_key):
@@ -594,6 +628,7 @@ object Events {
     "events_lead_lag" -> (eventsLeadLag _),
     "events_sessions" -> (eventsSessions _),
     "events_asof" -> (eventsAsof _),
+    "events_asof_forward" -> (eventsAsofForward _),
     "events_map_fns" -> (eventsMapFns _),
     "events_pivot" -> (eventsPivot _),
     "events_daily_active" -> (eventsDailyActive _))
@@ -613,6 +648,7 @@ object Events {
     "events_lead_lag" -> eventsLeadLagSql,
     "events_sessions" -> eventsSessionsSql,
     "events_asof" -> eventsAsofSql,
+    "events_asof_forward" -> eventsAsofForwardSql,
     "events_map_fns" -> eventsMapFnsSql,
     "events_pivot" -> eventsPivotSql,
     "events_daily_active" -> eventsDailyActiveSql)

@@ -118,6 +118,13 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(day0.values.sum === totalUsers)
   }
 
+  test("events: forward as-of click is never before the purchase") {
+    Events.eventsAsofForward(spark, dir).collect().foreach { r =>
+      val purchase = r.getString(2)
+      Option(r.getString(3)).foreach(click => assert(click >= purchase))
+    }
+  }
+
   test("events: transitions conserve events and rows' shares sum to 1") {
     val ev = graft.engine.Tables.events(spark, dir)
     val rows = Events.eventsTransitions(spark, dir).collect()
