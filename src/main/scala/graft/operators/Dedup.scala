@@ -185,9 +185,13 @@ object Dedup {
           // labels that join is a full extra co-partitioned shuffle per
           // round; the witness is a partial-agg scan). Decimal sum:
           // overflow-proof for 64-bit ids at any node count.
+          // sum over an EMPTY label table (a corpus with no near-dup
+          // pair) is SQL NULL — map it to zero so the loop converges
+          // immediately instead of NPE-ing on compareTo
           def labelSum(df: DataFrame): java.math.BigDecimal =
-            df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
-              .first().getDecimal(0)
+            Option(df.agg(sum(col("label").cast("decimal(38,0)")).as("s"))
+              .first().getDecimal(0))
+              .getOrElse(java.math.BigDecimal.ZERO)
           var prevSum = labelSum(labels)
           var converged = false
           while (!converged) {

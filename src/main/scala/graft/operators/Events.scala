@@ -495,14 +495,9 @@ object Events {
     * ns-timestamp-safe events view registration. */
   def eventsWindowTimeRange(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
-    spark.sql(
-      """SELECT event_id, user_id,
-        |  count(*) OVER w AS n_1h,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS val_1h
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-        |             RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW)
-        |""".stripMargin)
+    // the oracle text IS dialect-neutral SQL — run the identical string
+    // in both engines so the pair can never desynchronize
+    spark.sql(eventsWindowTimeRangeSql)
   }
 
   val eventsWindowTimeRangeSql: String =
@@ -574,9 +569,14 @@ object Events {
         col("value").cast("decimal(18,2)")).cast("decimal(28,4)")).as("s2"))
       .select(col("event_type"),
         (col("s1").cast("double") / col("n").cast("double")).as("mean"),
-        sqrt(col("s2").cast("double") / col("n").cast("double") -
+        // E[x²]−E[x]² can round to a tiny NEGATIVE double for
+        // (near-)constant values; Spark's sqrt would yield NaN but
+        // DuckDB's raises — clamp at 0 in BOTH engines so the
+        // divergence class can't exist
+        sqrt(greatest(col("s2").cast("double") / col("n").cast("double") -
           (col("s1").cast("double") / col("n").cast("double")) *
-          (col("s1").cast("double") / col("n").cast("double"))).as("sigma"))
+          (col("s1").cast("double") / col("n").cast("double")), lit(0.0)))
+          .as("sigma"))
     ev.join(broadcast(stats), Seq("event_type"))
       .filter(col("value") > col("mean") + lit(3.0) * col("sigma") ||
         col("value") < col("mean") - lit(3.0) * col("sigma"))
@@ -594,9 +594,9 @@ object Events {
       |m AS (
       |  SELECT event_type,
       |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-      |    sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
       |         - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-      |           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sigma
+      |           * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sigma
       |  FROM s)
       |SELECT e.event_id, e.event_type, e.value,
       |  (e.value - m.mean) / m.sigma AS z

@@ -67,12 +67,8 @@ object Formats {
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     val backfill = ev.filter(col("day") === "2024-01-05")
       .withColumn("value", col("value") * 2.0)
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try backfill.write.mode("overwrite").partitionBy("day").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    Tables.withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      backfill.write.mode("overwrite").partitionBy("day").parquet(path)
     }
     spark.read.parquet(path)
       // partition-type inference reads the day dirs back as DATE;

@@ -35,14 +35,10 @@ class DynamicOverwriteSpec extends AnyFunSuite {
     val before = listing(root)
     assert(before.keys.exists(_.contains("day=2024-01-05")), "target day must exist")
 
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try ev.filter(col("day") === "2024-01-05")
-      .withColumn("value", col("value") * 2.0)
-      .write.mode("overwrite").partitionBy("day").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    Tables.withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      ev.filter(col("day") === "2024-01-05")
+        .withColumn("value", col("value") * 2.0)
+        .write.mode("overwrite").partitionBy("day").parquet(path)
     }
     val after = listing(root)
 
