@@ -241,6 +241,65 @@ object TextAnalysis {
       |FROM c)
       |SELECT lang, bg, cnt, rk FROM r WHERE rk <= 5""".stripMargin
 
+  /** STATISTICAL LM QUALITY SCORE — per-document average bigram
+    * log-probability under an add-one-smoothed model fit on the corpus
+    * itself: the KenLM-style perplexity proxy that separates fluent
+    * text from gibberish without an external model. Two aggregations
+    * build the model — bigram-type counts c₁₂ and their first-word
+    * marginals c₁ (derived FROM c₁₂, so the conditional is consistent
+    * by construction) — plus a 1-row vocabulary count, broadcast. Each
+    * bigram TYPE's ln((c₁₂+1)/(c₁+V)) is computed once, pinned to the
+    * decimal domain (the tfidf ln-ulp discipline), and joined back to
+    * the per-doc bigram instances; the per-doc score is then an exact
+    * decimal sum divided by the bigram count — order-independent. Pair
+    * extraction is the zip-of-slices projection (no shuffle, no
+    * window); scoring shuffles bigram instances once on the pair key.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Text.tokens(col("text"))
+    val n = size(toks)
+    val pairs = arrays_zip(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))))
+    val docPairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"),
+        col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
+    val c12 = docPairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = docPairs.agg(countDistinct(col("w2")).as("v"))
+    val lp = c12.join(c1, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          .cast("decimal(18,6)").as("lp"))
+    docPairs.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1)).cast("double")).as("avg_lp"))
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, $TokSql AS w FROM documents),
+      |dp AS (
+      |  SELECT doc_id, p[1] AS w1, p[2] AS w2
+      |  FROM (SELECT doc_id,
+      |          unnest(CASE WHEN len(w) >= 2
+      |                      THEN list_zip(w[1:len(w)-1], w[2:len(w)])
+      |                      ELSE [] END) AS p
+      |        FROM tok)),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM dp GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w2) AS v FROM dp),
+      |lp AS (
+      |  SELECT c12.w1, c12.w2,
+      |    CAST(ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE))
+      |         AS DECIMAL(18,6)) AS lp
+      |  FROM c12 JOIN c1 ON c12.w1 = c1.w1 CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_lp
+      |FROM dp JOIN lp ON dp.w1 = lp.w1 AND dp.w2 = lp.w2
+      |GROUP BY doc_id""".stripMargin
+
   // ---- approximate heavy hitters ---------------------------------------------
 
   /** Approximate HEAVY HITTERS over the token stream — single-pass
@@ -912,6 +971,7 @@ object TextAnalysis {
     "doc_mixture_weights" -> (docMixtureWeights _),
     "doc_resample" -> (docResample _),
     "doc_sample_per_source" -> (docSamplePerSource _),
+    "text_lm_score" -> (textLmScore _),
     "text_inverted_index" -> (textInvertedIndex _),
     "text_normalize" -> (textNormalize _),
     "text_vocab_oov" -> (textVocabOov _),
@@ -939,6 +999,7 @@ object TextAnalysis {
     "doc_mixture_weights" -> docMixtureWeightsSql,
     "doc_resample" -> docResampleSql,
     "doc_sample_per_source" -> docSamplePerSourceSql,
+    "text_lm_score" -> textLmScoreSql,
     "text_inverted_index" -> textInvertedIndexSql,
     "text_normalize" -> textNormalizeSql,
     "text_vocab_oov" -> textVocabOovSql,

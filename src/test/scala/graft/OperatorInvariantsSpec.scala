@@ -178,6 +178,17 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("text: lm score is a negative log-prob over exactly n_tokens-1 bigrams") {
+    val nTokens = graft.operators.TextAnalysis.textTokenCount(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.operators.TextAnalysis.textLmScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === nTokens(r.getLong(0)) - 1)
+      assert(r.getDouble(2) < 0.0) // smoothed probabilities are < 1
+    }
+  }
+
   test("text: inverted index postings agree with df and cover every token") {
     val rows = graft.operators.TextAnalysis.textInvertedIndex(spark, dir).collect()
     rows.foreach { r =>
