@@ -415,6 +415,42 @@ object Maintenance {
       |SELECT c_custkey, c_name, c_nationkey, new_seg,
       |  DATE '$Scd2Eff', NULL, TRUE FROM chg""".stripMargin
 
+  /** MERGE-ON-READ ROW DELETES — the lakehouse delete-vector pattern:
+    * parquet cannot delete in place, so deletes land as a TOMBSTONE
+    * key set beside the immutable base, and readers apply them as an
+    * anti-join until a compaction materializes the survivors
+    * (copy-on-write). The tombstone side is delete-cardinality —
+    * BROADCAST into the anti-join, so the 100 TB base never shuffles
+    * to serve a merge-on-read scan (same delta-shape argument as
+    * [[maintUpsert]]). This query builds a deterministic tombstone set
+    * (every 37th order), writes it as the delete file, applies it
+    * merge-on-read, and aggregates the surviving rows; the oracle
+    * applies the same rule arithmetically, so the read path's
+    * exclusion is what gets hash-checked. Compaction (rewriting base
+    * minus tombstones, then dropping the delete file) is the
+    * [[maintCompact]] rewrite applied to this anti-join — same
+    * machinery, scheduled when the tombstone ratio crosses a
+    * threshold. */
+  def maintDeleteVector(spark: SparkSession, dir: String): DataFrame = {
+    val delPath = Formats.tmp("maint_del_tombstones", dir)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"))
+      .write.mode("overwrite").parquet(delPath)
+    val tombstones = spark.read.parquet(delPath)
+    Tables.orders(spark, dir)
+      .join(broadcast(tombstones), Seq("o_orderkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("price_sum"))
+  }
+
+  val maintDeleteVectorSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+      |FROM orders WHERE o_orderkey % 37 <> 0
+      |GROUP BY 1""".stripMargin
+
   /** INCREMENTAL AGGREGATION — the daily-rollup maintenance pattern:
     * yesterday's stored aggregate plus today's delta, merged by
     * RE-AGGREGATING the partial states (sums and counts are
@@ -520,6 +556,7 @@ object Maintenance {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_dq_audit" -> (maintDqAudit _),
     "maint_incremental_agg" -> (maintIncrementalAgg _),
+    "maint_delete_vector" -> (maintDeleteVector _),
     "maint_compact" -> (maintCompact _),
     "maint_cluster" -> (maintCluster _),
     "maint_zorder" -> (maintZorder _),
@@ -529,6 +566,7 @@ object Maintenance {
   val oracles: Map[String, String] = Map(
     "maint_dq_audit" -> maintDqAuditSql,
     "maint_incremental_agg" -> maintIncrementalAggSql,
+    "maint_delete_vector" -> maintDeleteVectorSql,
     "maint_compact" -> maintCompactSql,
     "maint_cluster" -> maintClusterSql,
     "maint_zorder" -> maintZorderSql,
