@@ -30,6 +30,53 @@ class RunningTotalsProcessor
   }
 }
 
+/** Streaming cohort state machine for `transformWithState`: per user,
+  * the first-seen day plus a bitmap of seen day-offsets (the corpus
+  * spans ≤ 64 days, so a Long bitmap is exact state; a production
+  * deployment over years uses a MapState keyed by day — same machine).
+  * Emits each (cohort_day, offset) pair exactly ONCE, on first
+  * sighting — the streaming dedup that lets a downstream count equal
+  * the batch retention matrix. Single-batch emission semantics as the
+  * other stateful queries here (doc at streamUserTotals); across
+  * batches the bitmap suppresses re-emission, and an earlier-day
+  * arrival after the cohort was established (out-of-order beyond the
+  * first batch) would re-base the cohort — the live deployment
+  * finalizes cohorts with an event-time timer past the watermark
+  * before emitting, which this harness's oversized-watermark contract
+  * makes unnecessary.
+  */
+class RetentionProcessor
+    extends StatefulProcessor[Long, (Long, Int), (Int, Int)] {
+
+  @transient private var seen: ValueState[(Int, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[(Int, Long)]("seen",
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Int)],
+      timers: TimerValues): Iterator[(Int, Int)] = {
+    val days = rows.map(_._2).toArray
+    val (storedFirst, storedBits) = Option(seen.get()).getOrElse((Int.MaxValue, 0L))
+    val first = math.min(storedFirst, days.min)
+    // re-base the bitmap if an earlier day arrived in this batch
+    val based = if (storedFirst == Int.MaxValue || first == storedFirst) storedBits
+      else storedBits << (storedFirst - first)
+    var bits = based
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    java.util.Arrays.sort(days)
+    days.foreach { d =>
+      val off = d - first
+      if (off < 64 && (bits & (1L << off)) == 0L) {
+        bits |= 1L << off
+        out += ((first, off))
+      }
+    }
+    seen.update((first, bits))
+    out.iterator
+  }
+}
+
 /** Structured Streaming capability demo with an oracle-checkable result:
   * the events table re-read as a FILE STREAM (`readStream.parquet`) →
   * watermark → tumbling-window aggregation → memory sink, run to
@@ -497,7 +544,42 @@ object StreamingWindows {
       |  ON c.user_id = p.user_id
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** Streaming twin of Events.eventsRetention through
+    * `transformWithState` ([[RetentionProcessor]]): the processor is
+    * the per-user cohort state machine — first-seen day + seen-day
+    * bitmap, emitting each (cohort, offset) pair exactly once — and
+    * the retention matrix is then a BATCH count over the emitted
+    * stream's memory table (a chained streaming aggregation after an
+    * arbitrary-state operator needs event-time plumbing this
+    * verification harness doesn't require; the stateful dedup IS the
+    * streaming content here). Same RocksDB provider contract as the
+    * totals twin; checked against the batch retention oracle, so the
+    * state machine's emission set is what gets hash-verified. */
+  def streamRetentionTws(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.withConf(spark, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val typed = eventStream(spark, dir)
+        .selectExpr("user_id",
+          "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS INT) AS d")
+        .as[(Long, Int)]
+      val pairs = typed.groupByKey(_._1)
+        .transformWithState(new RetentionProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("cohort", "offset_days")
+      runToMemory(spark, pairs, "append", "stream_retention_tws")
+        .groupBy("cohort", "offset_days")
+        .agg(count(lit(1)).as("users"))
+        .select(
+          date_format(date_add(lit("1970-01-01").cast("date"), col("cohort")),
+            "yyyy-MM-dd").as("cohort_day"),
+          col("offset_days").cast("long").as("offset_days"),
+          col("users"))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_retention_tws" -> (streamRetentionTws _),
     "stream_hourly" -> (streamHourly _),
     "stream_hourly_append" -> (streamHourlyAppend _),
     "stream_sliding" -> (streamSliding _),
@@ -512,6 +594,7 @@ object StreamingWindows {
     "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_retention_tws" -> graft.operators.Events.eventsRetentionSql,
     "stream_hourly" -> graft.operators.Events.eventsHourlySql,
     "stream_hourly_append" -> streamHourlyAppendSql,
     "stream_sliding" -> graft.operators.Events.eventsSlidingSql,
