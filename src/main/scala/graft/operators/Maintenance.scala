@@ -415,6 +415,70 @@ object Maintenance {
       |SELECT c_custkey, c_name, c_nationkey, new_seg,
       |  DATE '$Scd2Eff', NULL, TRUE FROM chg""".stripMargin
 
+  /** COLUMN PROFILE — ANALYZE-style statistics collection in ONE scan:
+    * per column, null count, exact distinct count, and min/max, emitted
+    * long-form (one row per column) for the stats catalog a
+    * cost-based optimizer or data contract reads. All stats for all
+    * profiled columns come from a single aggregation over the table —
+    * at 100 TB the scan is the cost, so collecting each column with a
+    * separate pass (the naive ANALYZE loop) multiplies it; the
+    * multi-DISTINCT aggregate plans through Catalyst's Expand (one
+    * shuffle carrying k× distinct-tagged rows), the standard trade for
+    * exact NDVs — approximate profiles swap in HLL sketches
+    * ([[graft.functions.Extensibility]]) with no shape change. Numeric
+    * min/max ride DOUBLE columns (exact for keys < 2^53 and 2-decimal
+    * money), string min/max ride VARCHAR — fixed long-form schema, no
+    * cross-engine rendering of numbers as text. */
+  def maintProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val agg = o.agg(
+      count(lit(1)).as("n"),
+      sum(col("o_orderkey").isNull.cast("long")).as("nn_key"),
+      countDistinct(col("o_orderkey")).as("nd_key"),
+      min(col("o_orderkey")).cast("double").as("min_key"),
+      max(col("o_orderkey")).cast("double").as("max_key"),
+      sum(col("o_custkey").isNull.cast("long")).as("nn_cust"),
+      countDistinct(col("o_custkey")).as("nd_cust"),
+      min(col("o_custkey")).cast("double").as("min_cust"),
+      max(col("o_custkey")).cast("double").as("max_cust"),
+      sum(col("o_totalprice").isNull.cast("long")).as("nn_price"),
+      countDistinct(col("o_totalprice")).as("nd_price"),
+      min(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("min_price"),
+      max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("max_price"),
+      sum(col("o_orderstatus").isNull.cast("long")).as("nn_status"),
+      countDistinct(col("o_orderstatus")).as("nd_status"),
+      min(col("o_orderstatus")).as("min_status"),
+      max(col("o_orderstatus")).as("max_status"))
+    agg.selectExpr(
+      """stack(4,
+        |  'o_orderkey',   nn_key,    nd_key,    min_key,   max_key,   CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_custkey',    nn_cust,   nd_cust,   min_cust,  max_cust,  CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_totalprice', nn_price,  nd_price,  min_price, max_price, CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'o_orderstatus',nn_status, nd_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_status, max_status)
+        |AS (col, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+  }
+
+  val maintProfileSql: String =
+    """SELECT 'o_orderkey' AS col, CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+      |  count(DISTINCT o_orderkey) AS n_distinct,
+      |  CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
+      |  count(DISTINCT o_custkey),
+      |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
+      |  NULL, NULL FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+      |  count(DISTINCT o_totalprice),
+      |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+      |  NULL, NULL FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+      |  count(DISTINCT o_orderstatus),
+      |  NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM orders""".stripMargin
+
   /** MERGE-ON-READ ROW DELETES — the lakehouse delete-vector pattern:
     * parquet cannot delete in place, so deletes land as a TOMBSTONE
     * key set beside the immutable base, and readers apply them as an
@@ -557,6 +621,7 @@ object Maintenance {
     "maint_dq_audit" -> (maintDqAudit _),
     "maint_incremental_agg" -> (maintIncrementalAgg _),
     "maint_delete_vector" -> (maintDeleteVector _),
+    "maint_profile" -> (maintProfile _),
     "maint_compact" -> (maintCompact _),
     "maint_cluster" -> (maintCluster _),
     "maint_zorder" -> (maintZorder _),
@@ -567,6 +632,7 @@ object Maintenance {
     "maint_dq_audit" -> maintDqAuditSql,
     "maint_incremental_agg" -> maintIncrementalAggSql,
     "maint_delete_vector" -> maintDeleteVectorSql,
+    "maint_profile" -> maintProfileSql,
     "maint_compact" -> maintCompactSql,
     "maint_cluster" -> maintClusterSql,
     "maint_zorder" -> maintZorderSql,
