@@ -428,7 +428,12 @@ object Maintenance {
     * ([[graft.functions.Extensibility]]) with no shape change. Numeric
     * min/max ride DOUBLE columns (exact for keys < 2^53 and 2-decimal
     * money), string min/max ride VARCHAR — fixed long-form schema, no
-    * cross-engine rendering of numbers as text. */
+    * cross-engine rendering of numbers as text. Plan note: the string
+    * min/max buffers are not fixed-width, so Spark falls back from
+    * HashAggregate to SortAggregate for the whole aggregate — the
+    * measured cost is the sort of the k×-expanded rows, the price of
+    * exact mixed-type stats in one pass (numeric-only profiles hash;
+    * at 100 TB the scan still dominates either way). */
   def maintProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val agg = o.agg(
