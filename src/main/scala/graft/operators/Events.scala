@@ -452,6 +452,44 @@ object Events {
       |  count(*) AS n
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** ROLLING 7-DAY ACTIVE USERS (WAU) — the canonical rolling-DISTINCT
+    * problem: distinct is not decomposable over sliding windows, so a
+    * per-day window can't reuse neighbors' state. The exact scalable
+    * form is CONTRIBUTION REPLICATION: collapse events to distinct
+    * user-days once (the only full-table pass, partially aggregated),
+    * then each user-day contributes to the 7 report days it falls in —
+    * a ×7 generated fan-out of the small user-day table, NOT of raw
+    * events — and the final agg counts distinct users per report day.
+    * Report days are restricted to days that exist in the data (join
+    * with the observed-day dimension), matching the oracle's grid. At
+    * extreme scale the sketch path replaces countDistinct with
+    * mergeable HLL per day ([[graft.functions.Extensibility]]) — same
+    * shape, no replication needed since HLL unions slide. */
+  def eventsWau(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val observedDays = userDays.select(col("day").as("report_day")).distinct()
+    userDays
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("report_day"))
+      .join(broadcast(observedDays), Seq("report_day"))
+      .groupBy("report_day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+      .select(date_format(col("report_day"), "yyyy-MM-dd").as("report_day"),
+        col("wau"))
+  }
+
+  val eventsWauSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |days AS (SELECT DISTINCT day AS report_day FROM ud)
+      |SELECT strftime(d.report_day, '%Y-%m-%d') AS report_day,
+      |  count(DISTINCT u.user_id) AS wau
+      |FROM days d JOIN ud u
+      |  ON u.day BETWEEN d.report_day - 6 AND d.report_day
+      |GROUP BY 1""".stripMargin
+
   /** COHORT RETENTION matrix: users grouped by first-active day, counted
     * on each later active day as an offset from the cohort day — the
     * table behind every retention curve. Three aggregations, each with
@@ -615,6 +653,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> (eventsRetention _),
+    "events_wau" -> (eventsWau _),
     "events_transitions" -> (eventsTransitions _),
     "events_window_time_range" -> (eventsWindowTimeRange _),
     "events_outliers" -> (eventsOutliers _),
@@ -635,6 +674,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "events_retention" -> eventsRetentionSql,
+    "events_wau" -> eventsWauSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_window_time_range" -> eventsWindowTimeRangeSql,
     "events_outliers" -> eventsOutliersSql,
