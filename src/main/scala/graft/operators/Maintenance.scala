@@ -437,7 +437,6 @@ object Maintenance {
   def maintProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val agg = o.agg(
-      count(lit(1)).as("n"),
       sum(col("o_orderkey").isNull.cast("long")).as("nn_key"),
       countDistinct(col("o_orderkey")).as("nd_key"),
       min(col("o_orderkey")).cast("double").as("min_key"),
@@ -514,10 +513,14 @@ object Maintenance {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("price_sum"))
   }
 
+  /** Oracle mirrors left_anti's NULL semantics explicitly: a NULL key
+    * never matches a tombstone, so NULL-key rows SURVIVE the
+    * merge-on-read scan — without the IS NULL arm the SQL `%` predicate
+    * is three-valued NULL and silently drops them. */
   val maintDeleteVectorSql: String =
     """SELECT o_orderstatus, count(*) AS n,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
-      |FROM orders WHERE o_orderkey % 37 <> 0
+      |FROM orders WHERE o_orderkey IS NULL OR o_orderkey % 37 <> 0
       |GROUP BY 1""".stripMargin
 
   /** INCREMENTAL AGGREGATION — the daily-rollup maintenance pattern:

@@ -36,14 +36,17 @@ class RunningTotalsProcessor
   * deployment over years uses a MapState keyed by day — same machine).
   * Emits each (cohort_day, offset) pair exactly ONCE, on first
   * sighting — the streaming dedup that lets a downstream count equal
-  * the batch retention matrix. Single-batch emission semantics as the
-  * other stateful queries here (doc at streamUserTotals); across
-  * batches the bitmap suppresses re-emission, and an earlier-day
-  * arrival after the cohort was established (out-of-order beyond the
-  * first batch) would re-base the cohort — the live deployment
-  * finalizes cohorts with an event-time timer past the watermark
-  * before emitting, which this harness's oversized-watermark contract
-  * makes unnecessary.
+  * the batch retention matrix. The cohort is FIXED by the first batch
+  * that shows the user: append-mode emissions cannot be retracted, so
+  * an earlier-day arrival in a LATER batch is dropped rather than
+  * re-based (a re-base would leave already-emitted rows under the
+  * wrong cohort — silently wrong output, strictly worse than the
+  * documented drop). A live deployment makes this case impossible by
+  * finalizing each user's cohort with an event-time timer past the
+  * watermark BEFORE emitting anything; this harness's single-batch
+  * AvailableNow contract (doc at streamUserTotals) does the same job,
+  * so the drop branch is unreachable here and exists as the explicit
+  * statement of the contract.
   */
 class RetentionProcessor
     extends StatefulProcessor[Long, (Long, Int), (Int, Int)] {
@@ -56,18 +59,19 @@ class RetentionProcessor
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Int)],
       timers: TimerValues): Iterator[(Int, Int)] = {
-    val days = rows.map(_._2).toArray
+    // one pass, O(distinct days) memory — never a per-event array/sort:
+    // only <= 64 distinct day values matter regardless of event count
+    val days = scala.collection.mutable.SortedSet.empty[Int]
+    rows.foreach(r => days += r._2)
     val (storedFirst, storedBits) = Option(seen.get()).getOrElse((Int.MaxValue, 0L))
-    val first = math.min(storedFirst, days.min)
-    // re-base the bitmap if an earlier day arrived in this batch
-    val based = if (storedFirst == Int.MaxValue || first == storedFirst) storedBits
-      else storedBits << (storedFirst - first)
-    var bits = based
+    val first = if (storedFirst == Int.MaxValue) days.head else storedFirst
+    var bits = storedBits
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-    java.util.Arrays.sort(days)
     days.foreach { d =>
       val off = d - first
-      if (off < 64 && (bits & (1L << off)) == 0L) {
+      // off < 0: earlier-day arrival after the cohort was fixed —
+      // dropped per the class contract (unreachable under AvailableNow)
+      if (off >= 0 && off < 64 && (bits & (1L << off)) == 0L) {
         bits |= 1L << off
         out += ((first, off))
       }
