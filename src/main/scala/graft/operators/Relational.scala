@@ -992,6 +992,53 @@ object Relational {
     * their SQL" demonstration. Same Catalyst plan as the DataFrame
     * equivalent; the oracle is literally the same SQL modulo dialect.
     */
+  /** TYPED COGROUP — per-key custom logic over BOTH sides of a
+    * relationship at once (`KeyValueGroupedDataset.cogroup`), the API
+    * rung for reconciliation jobs where a group's output needs the two
+    * collections together and doesn't reduce to join+agg expressions
+    * (here it does — deliberately, so the same oracle pins the typed
+    * path's semantics; the declarative twin is what production would
+    * ship). Each order's header total is reconciled against the exact
+    * cents sum of its line items; money rides integer cents inside the
+    * typed function, so the arithmetic is exact and order-independent.
+    * Physical shape = both sides shuffle on the key — identical
+    * exchanges to the equivalent join, nothing extra. Orders with no
+    * lines emit naturally from the empty right collection; orphan
+    * lines (empty left) emit nothing, mirroring the oracle's LEFT
+    * JOIN. */
+  def qCogroupReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+      .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS LONG) AS cents")
+      .as[(Long, Long)]
+    val l = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey", "CAST(round(l_extendedprice * 100) AS LONG) AS cents")
+      .as[(Long, Long)]
+    o.groupByKey(_._1).cogroup(l.groupByKey(_._1)) { (k, os, ls) =>
+      val header = os.toList
+      if (header.isEmpty) Iterator.empty
+      else {
+        var n = 0L
+        var s = 0L
+        ls.foreach { r => n += 1L; s += r._2 }
+        val oc = header.head._2
+        Iterator.single((k, n, s, oc, oc - s))
+      }
+    }.toDF("orderkey", "n_lines", "line_cents", "order_cents", "diff_cents")
+  }
+
+  val qCogroupReconcileSql: String =
+    """SELECT o.o_orderkey AS orderkey,
+      |  count(l.l_orderkey) AS n_lines,
+      |  CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+      |       AS BIGINT) AS line_cents,
+      |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+      |  CAST(round(o.o_totalprice * 100) AS BIGINT)
+      |    - CAST(coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)), 0)
+      |           AS BIGINT) AS diff_cents
+      |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderkey, o.o_totalprice""".stripMargin
+
   def qSqlInterface(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
     spark.sql(
@@ -1028,6 +1075,7 @@ object Relational {
     "q_join_semi" -> (qJoinSemi _),
     "q_join_anti" -> (qJoinAnti _),
     "q_join_anti_nullaware" -> (qJoinAntiNullaware _),
+    "q_cogroup_reconcile" -> (qCogroupReconcile _),
     "q_join_outer" -> (qJoinOuter _),
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -1073,6 +1121,7 @@ object Relational {
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
     "q_join_anti_nullaware" -> qJoinAntiNullawareSql,
+    "q_cogroup_reconcile" -> qCogroupReconcileSql,
     "q_join_outer" -> qJoinOuterSql,
     "q_join_full_outer" -> qJoinFullOuterSql,
     "q_grouping_sets" -> qGroupingSetsSql,
