@@ -992,6 +992,38 @@ object Relational {
     * their SQL" demonstration. Same Catalyst plan as the DataFrame
     * equivalent; the oracle is literally the same SQL modulo dialect.
     */
+  /** GROUPING FLAGS — `grouping()` over ROLLUP: the only way a consumer
+    * can tell a subtotal row's NULL from a real NULL in the data (the
+    * classic reporting-layer trap; [[qRollup]] shows the hierarchy,
+    * this query shows the disambiguation). The grouping id is computed
+    * EXPLICITLY as 2·grouping(r)+grouping(n) in both engines rather
+    * than via `grouping_id(...)`, whose bit order is an engine
+    * convention the oracle contract shouldn't depend on. Same Expand
+    * plan as every grouping-sets query — one scan fans out per set
+    * before one exchange. */
+  def qGroupingId(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT r_name, n_name,
+        |  CAST(2 * grouping(r_name) + grouping(n_name) AS BIGINT) AS gid,
+        |  count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+  }
+
+  val qGroupingIdSql: String =
+    """SELECT r_name, n_name,
+      |  CAST(2 * grouping(r_name) + grouping(n_name) AS BIGINT) AS gid,
+      |  count(*) AS n_cust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+
   /** TYPED COGROUP — per-key custom logic over BOTH sides of a
     * relationship at once (`KeyValueGroupedDataset.cogroup`), the API
     * rung for reconciliation jobs where a group's output needs the two
@@ -1076,6 +1108,7 @@ object Relational {
     "q_join_anti" -> (qJoinAnti _),
     "q_join_anti_nullaware" -> (qJoinAntiNullaware _),
     "q_cogroup_reconcile" -> (qCogroupReconcile _),
+    "q_grouping_id" -> (qGroupingId _),
     "q_join_outer" -> (qJoinOuter _),
     "q_join_full_outer" -> (qJoinFullOuter _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -1122,6 +1155,7 @@ object Relational {
     "q_join_anti" -> qJoinAntiSql,
     "q_join_anti_nullaware" -> qJoinAntiNullawareSql,
     "q_cogroup_reconcile" -> qCogroupReconcileSql,
+    "q_grouping_id" -> qGroupingIdSql,
     "q_join_outer" -> qJoinOuterSql,
     "q_join_full_outer" -> qJoinFullOuterSql,
     "q_grouping_sets" -> qGroupingSetsSql,
