@@ -215,9 +215,17 @@ object Maintenance {
       b.getAs[java.time.LocalDateTime](3))
     val pkNorm = (col("l_partkey") - lit(pkMin)) * lit(65535L) /
       lit(math.max(1L, pkMax - pkMin))
+    // Span must use the SAME day arithmetic as the per-row datediff
+    // (calendar-day boundaries): Duration.toDays truncates partial
+    // days, so with time-of-day on the endpoints the ratio could
+    // exceed 65535 and interleave16 would wrap it mod 2^16 — late
+    // dates silently clustering with the earliest files. Belt and
+    // braces: derive the span from epoch-day difference AND clamp.
     val dtSpan = math.max(1L,
-      java.time.Duration.between(dtMin, dtMax).toDays)
-    val dtNorm = datediff(col("l_shipdate"), lit(dtMin)) * lit(65535L) / lit(dtSpan)
+      dtMax.toLocalDate.toEpochDay - dtMin.toLocalDate.toEpochDay)
+    val dtNorm = least(
+      datediff(col("l_shipdate"), lit(dtMin)) * lit(65535L) / lit(dtSpan),
+      lit(65535L))
     li.withColumn("z",
         interleave16(pkNorm.cast("long"), dtNorm.cast("long")))
       .repartitionByRange(16, col("z"))

@@ -516,7 +516,12 @@ object Similarity {
             val idB = Array.fill(k)(Long.MaxValue)
             var used = 0
             ms.foreach { case (mid, mqe, mnsq) =>
-              if (mid != qid) {
+              // nsq == 0 (a vector that quantized to all zeros) makes the
+              // cosine 0/0 = NaN; every comparison against NaN is false,
+              // so a NaN entry would be admitted while the buffer fills
+              // and could never be displaced — skip zero-norm vectors on
+              // either side (cosine is undefined for them)
+              if (mid != qid && mnsq > 0L && qnsq > 0L) {
                 var dot = 0L
                 var i = 0
                 val n = math.min(qqe.length, mqe.length)

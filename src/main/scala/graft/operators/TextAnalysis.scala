@@ -262,7 +262,11 @@ object TextAnalysis {
       slice(toks, lit(1), greatest(n - 1, lit(0))),
       slice(toks, lit(2), greatest(n - 1, lit(0))))
     val docPairs = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(pairs).as("p"))
+      // explode_outer + isNotNull: plain explode gets an inferred
+      // size()>0 filter that recomputes the whole zip-of-slices (and
+      // the tokenizer under it) per row
+      .select(col("doc_id"), explode_outer(pairs).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("doc_id"),
         col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
     val c12 = docPairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -781,8 +785,11 @@ object TextAnalysis {
     * relation through a foreign partitioning.
     */
   def textVocabOov(spark: SparkSession, dir: String): DataFrame = {
+    // explode_outer: avoids the inferred size()>0 scan filter that
+    // re-evaluates the tokenizer per row (the sibling operators' rule)
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+      .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w").asc)
       .limit(VocabK)
@@ -954,7 +961,10 @@ object TextAnalysis {
     * express. */
   def textInvertedIndex(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(Text.tokens(col("text"))).as("word"), col("doc_id"))
+      // explode_outer + isNotNull: the plain-explode form gets an
+      // inferred size()>0 filter that re-runs the tokenizer per row
+      .select(explode_outer(Text.tokens(col("text"))).as("word"), col("doc_id"))
+      .filter(col("word").isNotNull)
       .groupBy("word")
       .agg(array_sort(collect_set(col("doc_id"))).as("ids"))
       .select(col("word"), size(col("ids")).cast("long").as("df"),
