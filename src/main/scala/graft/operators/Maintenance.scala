@@ -605,9 +605,14 @@ object Maintenance {
     val r4 = rule("orders_custkey_resolves",
       orders.join(broadcast(custKeys), col("o_custkey") === col("k"), "left"),
       col("k").isNull)
+    // No broadcast hint here: the distinct o_orderkey set grows linearly
+    // with the fact table (the largest "dimension" in the repo), so at
+    // cluster scale a forced broadcast would blow the driver long before
+    // the true dimension broadcasts above. AQE picks broadcast vs shuffle
+    // from the measured size, which is the right call at every SF.
     val orderKeys = orders.select(col("o_orderkey").as("k")).distinct()
     val r5 = rule("lineitem_orderkey_resolves",
-      li.join(broadcast(orderKeys), col("l_orderkey") === col("k"), "left"),
+      li.join(orderKeys, col("l_orderkey") === col("k"), "left"),
       col("k").isNull)
     r1.union(r2).union(r3).union(r4).union(r5)
   }

@@ -25,7 +25,13 @@ import graft.functions.Text
   */
 object WordCount {
 
-  val M = 4
+  /** Output bucket count — the reference's user-visible reduce
+    * parallelism (reference: config.yaml:9 `num_reducers`). Configurable
+    * via `-Dgraft.buckets`; defaults to the reference's shipped value 4.
+    * Read once at class init so the query, its oracle SQL, and the sink
+    * can never disagree within a run.
+    */
+  val M: Int = sys.props.getOrElse("graft.buckets", "4").toInt
 
   /** word → count over a text column.
     *
@@ -49,8 +55,11 @@ object WordCount {
     * (reference: src/worker.py:76).
     */
   def wordcountBucketed(spark: SparkSession, dir: String): DataFrame =
+    wordcountBucketedM(spark, dir, M)
+
+  def wordcountBucketedM(spark: SparkSession, dir: String, m: Int): DataFrame =
     wordcount(spark, dir).select(
-      Text.bucket(col("word"), M).as("bucket"),
+      Text.bucket(col("word"), m).as("bucket"),
       col("word"), col("cnt"))
 
   /** Reference-parity bucketed text sink: exactly M part-files where
@@ -67,20 +76,20 @@ object WordCount {
     * exactly; the input here is the already-aggregated (word, cnt)
     * relation, so the RDD hop is off the hot path.
     */
-  def writeBucketedText(counted: DataFrame, outDir: String): Unit = {
+  def writeBucketedText(counted: DataFrame, outDir: String, m: Int = M): Unit = {
     val spark = counted.sparkSession
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
 
-    class BucketPartitioner(m: Int) extends org.apache.spark.Partitioner {
-      def numPartitions: Int = m
+    class BucketPartitioner(buckets: Int) extends org.apache.spark.Partitioner {
+      def numPartitions: Int = buckets
       def getPartition(key: Any): Int =
-        math.floorMod(key.asInstanceOf[String].codePointAt(0), m)
+        math.floorMod(key.asInstanceOf[String].codePointAt(0), buckets)
     }
     counted.select(col("word"), col("cnt")).rdd
       .map(r => (r.getString(0), r.getLong(1)))
-      .repartitionAndSortWithinPartitions(new BucketPartitioner(M))
+      .repartitionAndSortWithinPartitions(new BucketPartitioner(m))
       .map { case (w, c) => s"$w $c" }
       .saveAsTextFile(outDir)
   }

@@ -71,7 +71,12 @@ class RetentionProcessor
       val off = d - first
       // off < 0: earlier-day arrival after the cohort was fixed —
       // dropped per the class contract (unreachable under AvailableNow)
-      if (off >= 0 && off < 64 && (bits & (1L << off)) == 0L) {
+      if (off >= 64)
+        throw new IllegalStateException(
+          s"retention day offset $off exceeds the 64-day Long-bitmap cap " +
+            s"(user $key, first day $first, event day $d); widen the state " +
+            "to a MapState keyed by offset before processing longer spans")
+      if (off >= 0 && (bits & (1L << off)) == 0L) {
         bits |= 1L << off
         out += ((first, off))
       }

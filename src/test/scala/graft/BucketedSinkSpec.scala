@@ -14,33 +14,36 @@ import graft.operators.WordCount
   */
 class BucketedSinkSpec extends AnyFunSuite {
 
-  test("bucketed sink writes M sorted part files partitioned by codepoint") {
-    val out = Files.createTempDirectory("graft_sink_").toString
-    val counted = WordCount.wordcountText(TestSpark.spark, TestSpark.corpusDir)
-    WordCount.writeBucketedText(counted, out)
+  // M=4 is the reference's shipped config (config.yaml:9); M=8 proves the
+  // bucket-sink contract generalizes to any -Dgraft.buckets value.
+  for (m <- Seq(4, 8))
+    test(s"bucketed sink writes $m sorted part files partitioned by codepoint") {
+      val out = Files.createTempDirectory("graft_sink_").toString
+      val counted = WordCount.wordcountText(TestSpark.spark, TestSpark.corpusDir)
+      WordCount.writeBucketedText(counted, out, m)
 
-    val parts = Files.list(Paths.get(out)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
-    assert(parts.size === WordCount.M)
+      val parts = Files.list(Paths.get(out)).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+      assert(parts.size === m)
 
-    val seen = scala.collection.mutable.Map[String, Long]()
-    parts.zipWithIndex.foreach { case (p, idx) =>
-      val lines = Files.readAllLines(p).asScala.toSeq
-      val words = lines.map(_.split(" ")(0))
-      // per-file sort ascending (binary order = codepoint order for BMP)
-      assert(words === words.sorted, s"file $p not sorted")
-      // file index IS the bucket id (reference: out-<bucket>)
-      words.foreach { w =>
-        assert(w.codePointAt(0) % WordCount.M === idx,
-          s"word $w in wrong file $p")
+      val seen = scala.collection.mutable.Map[String, Long]()
+      parts.zipWithIndex.foreach { case (p, idx) =>
+        val lines = Files.readAllLines(p).asScala.toSeq
+        val words = lines.map(_.split(" ")(0))
+        // per-file sort ascending (binary order = codepoint order for BMP)
+        assert(words === words.sorted, s"file $p not sorted")
+        // file index IS the bucket id (reference: out-<bucket>)
+        words.foreach { w =>
+          assert(w.codePointAt(0) % m === idx,
+            s"word $w in wrong file $p")
+        }
+        lines.foreach { l =>
+          val Array(w, c) = l.split(" ")
+          seen(w) = c.toLong
+        }
       }
-      lines.foreach { l =>
-        val Array(w, c) = l.split(" ")
-        seen(w) = c.toLong
-      }
+      // union of the M files reproduces the full counted relation
+      val expected = counted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(seen.toMap === expected)
     }
-    // union of the M files reproduces the full counted relation
-    val expected = counted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(seen.toMap === expected)
-  }
 }

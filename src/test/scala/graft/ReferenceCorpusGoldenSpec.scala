@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.WordCount
+
+/** End-to-end golden parity run over the ACTUAL reference corpus — the
+  * 8 Project Gutenberg books at /root/reference/files/inputs (3,301,104
+  * bytes), the only input the reference engine was ever shipped with
+  * (reference: driver.py:93, the files/inputs directory).
+  *
+  * The golden numbers below were computed by an INDEPENDENT Python
+  * implementation of the documented tokenizer spec (Text.scala:9-19 —
+  * ASCII-whitespace split, ASCII-punctuation strip, lowercase, drop
+  * empties; the corpus is pure ASCII so Python/Java/DuckDB semantics
+  * coincide exactly) and are checked in as a fixture. They also
+  * reproduce BASELINE.md's measured M=4 distinct-word bucket skew
+  * (6534/5207/4868/7504), tying this spec to the reference's own run.
+  *
+  * Pins, per VERDICT r4 item 1: M=4 file count, bucket b holds exactly
+  * the words with codepoint(w[0]) % 4 == b (reference: src/worker.py:76),
+  * per-file ascending sort (src/worker.py:134-137), Σcnt = corpus token
+  * count, and the top-10 word frequencies byte-for-byte.
+  */
+class ReferenceCorpusGoldenSpec extends AnyFunSuite {
+
+  private val CorpusDir = "/root/reference/files/inputs"
+
+  private val GoldenTotalTokens = 608306L
+  private val GoldenDistinctWords = 24113L
+  private val GoldenTop10 = Seq(
+    "the" -> 32418L, "and" -> 24366L, "to" -> 16085L, "of" -> 13744L,
+    "a" -> 13502L, "i" -> 13380L, "he" -> 9221L, "it" -> 9010L,
+    "in" -> 8756L, "was" -> 8628L)
+  // bucket -> (distinct words, Σ count) at the reference's M=4
+  private val GoldenBuckets = Seq(
+    0 -> (6534L, 189994L), 1 -> (5207L, 175341L),
+    2 -> (4868L, 79497L), 3 -> (7504L, 163474L))
+
+  test("wordcountText over the reference corpus matches the golden fixture") {
+    assume(Files.isDirectory(Paths.get(CorpusDir)), "reference corpus present")
+    val counted = WordCount.wordcountText(TestSpark.spark, CorpusDir).cache()
+    try {
+      val rows = counted.collect().map(r => r.getString(0) -> r.getLong(1))
+      assert(rows.map(_._2).sum === GoldenTotalTokens)
+      assert(rows.length.toLong === GoldenDistinctWords)
+      // ties in count are broken by word so the expectation is total
+      val top10 = rows.sortBy { case (w, c) => (-c, w) }.take(10).toSeq
+      assert(top10 === GoldenTop10)
+    } finally counted.unpersist()
+  }
+
+  test("bucketed sink over the reference corpus matches the golden fixture") {
+    assume(Files.isDirectory(Paths.get(CorpusDir)), "reference corpus present")
+    val out = Files.createTempDirectory("graft_refgolden_").toString
+    val counted = WordCount.wordcountText(TestSpark.spark, CorpusDir)
+    WordCount.writeBucketedText(counted, out, m = 4)
+
+    val parts = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .toSeq.sortBy(_.toString)
+    assert(parts.size === 4)
+
+    var totalTokens = 0L
+    parts.zipWithIndex.foreach { case (p, idx) =>
+      val lines = Files.readAllLines(p).asScala.toSeq
+      val words = lines.map(_.split(" ")(0))
+      assert(words === words.sorted, s"file $p not sorted ascending")
+      words.foreach(w => assert(w.codePointAt(0) % 4 === idx,
+        s"word $w in wrong bucket file $p"))
+      val counts = lines.map(_.split(" ")(1).toLong)
+      val (goldenDistinct, goldenSum) = GoldenBuckets(idx)._2
+      assert(words.length.toLong === goldenDistinct, s"bucket $idx distinct")
+      assert(counts.sum === goldenSum, s"bucket $idx count sum")
+      totalTokens += counts.sum
+    }
+    assert(totalTokens === GoldenTotalTokens)
+  }
+}
