@@ -38,6 +38,8 @@ object GraftFunctions {
         exprs(3).eval().asInstanceOf[Int])),
     fn("graft_tokens", classOf[Tokenize],
       exprs => Tokenize(exprs.head)),
+    fn("graft_tokens_ptb", classOf[TokenizePtb],
+      exprs => TokenizePtb(exprs.head)),
     fn("nfc_normalize", classOf[NfcNormalize],
       exprs => NfcNormalize(exprs.head)),
     fn("strip_accents", classOf[StripAccents],

@@ -60,6 +60,18 @@ object Text {
     call_function("graft_tokens", c)
   }
 
+  /** Reference-compat (Penn Treebank) tokenizer — the fidelity shim for
+    * byte-parity with the reference's NLTK pipeline (contraction splits,
+    * MacIntyre specials; contract on [[TokenizePtb]]). The engine spec
+    * [[tokens]] stays the default: it is one primitive scan per row
+    * where this pays the ~18-pass PTB regex chain.
+    */
+  def tokensPtb(c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    call_function("graft_tokens_ptb", c)
+  }
+
   /** The declarative HOF formulation of the SAME tokenizer spec — kept
     * as the reference twin [[Tokenize]] is pinned bit-identical to
     * (NativeExprPropSpec random-input property + corpus golden counts). */

@@ -1,0 +1,173 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Penn-Treebank-compatible tokenizer core — the COMPAT SHIM beside the
+  * engine tokenizer [[TokenizeFn]] (SURVEY.md §7 hard-part 1).
+  *
+  * The reference tokenizes with NLTK `word_tokenize` per input line and
+  * then strips/lowers/filters (reference: src/worker.py:37-53), so its
+  * user-visible output differs from the engine spec on contractions
+  * (`don't` → `do` + `n't`), clitics (`he'll` → `he` + `'ll` → `ll`
+  * after the punctuation strip), the MacIntyre special words
+  * (`cannot` → `can not`, `gonna` → `gon na`, ...), double dashes and
+  * mid-token brackets. This expression reproduces that contract with a
+  * fully DETERMINISTIC rule set: the classic PTB `tokenizer.sed` regex
+  * chain (as published in NLTK's `TreebankWordTokenizer`) applied per
+  * LINE — exactly the granularity the reference uses, since it feeds
+  * `word_tokenize` one file line at a time.
+  *
+  * The one NLTK ingredient deliberately not reproduced is the Punkt
+  * sentence model (model-dependent, not a written spec). Punkt only
+  * changes where the sentence-final-period rule fires, and a final
+  * period is stripped by the reference's `strip(string.punctuation)`
+  * post-pass whether or not it was split into its own token — so after
+  * the strip/lower/filter the sentence-boundary choice is
+  * output-invariant; the divergence is confined to abbreviation corner
+  * cases the 8-book corpus golden run pins (PtbTokenizerSpec).
+  *
+  * Character classes (`\s`, `\S`, `\b`) are ASCII here; the contract is
+  * defined for ASCII text — the only kind the reference was ever run on
+  * (its shipped corpus is pure ASCII).
+  *
+  * Order of operations per line (the published PTB chain):
+  * starting quotes → colon/comma/ellipsis/symbol/final-period/
+  * question-exclamation/close-quote → brackets → `--` → pad → ending
+  * quotes + clitics → MacIntyre contractions → whitespace split; then
+  * the reference post-pass: strip edge ASCII punctuation, drop empties,
+  * lowercase.
+  */
+object TokenizePtbFn {
+
+  private def rule(p: String, r: String): (Pattern, String) = (Pattern.compile(p), r)
+  private def rulei(p: String): Pattern = Pattern.compile(p, Pattern.CASE_INSENSITIVE)
+
+  /** The sed-chain, in published order. */
+  private val Chain: Array[(Pattern, String)] = Array(
+    // starting quotes
+    rule("^\"", "``"),
+    rule("(``)", " $1 "),
+    rule("([ \\(\\[{<])(\"|'{2})", "$1 `` "),
+    // punctuation
+    rule("([:,])([^\\d])", " $1 $2"),
+    rule("([:,])$", " $1 "),
+    rule("\\.\\.\\.", " ... "),
+    rule("[;@#$%&]", " $0 "),
+    rule("([^.])(\\.)([\\]\\)}>\"']*)\\s*$", "$1 $2$3 "),
+    rule("[?!]", " $0 "),
+    rule("([^'])' ", "$1 ' "),
+    // parens/brackets, double dash
+    rule("[\\]\\[\\(\\)\\{\\}<>]", " $0 "),
+    rule("--", " -- "))
+
+  private val Ending: Array[(Pattern, String)] = Array(
+    rule("\"", " '' "),
+    rule("(\\S)('')", "$1 $2 "),
+    rule("([^' ])('[sS]|'[mM]|'[dD]|') ", "$1 $2 "),
+    rule("([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", "$1 $2 "))
+
+  /** MacIntyre contraction specials (CONTRACTIONS2/3), case-insensitive. */
+  private val Contractions: Array[Pattern] = Array(
+    rulei("\\b(can)(not)\\b"), rulei("\\b(d)('ye)\\b"),
+    rulei("\\b(gim)(me)\\b"), rulei("\\b(gon)(na)\\b"),
+    rulei("\\b(got)(ta)\\b"), rulei("\\b(lem)(me)\\b"),
+    rulei("\\b(more)('n)\\b"), rulei("\\b(wan)(na)(?= )"),
+    rulei(" ('t)(is)\\b"), rulei(" ('t)(was)\\b"))
+
+  private def isPunct(c: Char): Boolean =
+    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+
+  /** One line through the PTB chain → raw PTB tokens. */
+  private def ptbLine(line: String, out: java.util.ArrayList[AnyRef]): Unit = {
+    var t = line
+    var i = 0
+    while (i < Chain.length) {
+      t = Chain(i)._1.matcher(t).replaceAll(Chain(i)._2); i += 1
+    }
+    t = " " + t + " "
+    i = 0
+    while (i < Ending.length) {
+      t = Ending(i)._1.matcher(t).replaceAll(Ending(i)._2); i += 1
+    }
+    i = 0
+    while (i < Contractions.length) {
+      t = Contractions(i).matcher(t).replaceAll(" $1 $2 "); i += 1
+    }
+    // whitespace split + reference post-pass (strip/filter/lower)
+    val n = t.length
+    var p = 0
+    while (p < n) {
+      while (p < n && Character.isWhitespace(t.charAt(p))) p += 1
+      var q = p
+      while (q < n && !Character.isWhitespace(t.charAt(q))) q += 1
+      if (q > p) {
+        var a = p
+        var b = q
+        while (a < b && isPunct(t.charAt(a))) a += 1
+        while (b > a && isPunct(t.charAt(b - 1))) b -= 1
+        if (b > a) out.add(UTF8String.fromString(t.substring(a, b)).toLowerCase)
+      }
+      p = q
+    }
+  }
+
+  /** Whole input → tokens; the input is processed per LINE (split on
+    * `\n`, trailing `\r` dropped) because that is the unit the reference
+    * hands to `word_tokenize` — the `$`-anchored rules must see line
+    * ends, not document end.
+    */
+  def compute(s: UTF8String): ArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    val str = s.toString
+    var start = 0
+    val n = str.length
+    while (start <= n) {
+      var nl = str.indexOf('\n', start)
+      if (nl < 0) nl = n
+      var end = nl
+      if (end > start && str.charAt(end - 1) == '\r') end -= 1
+      if (end > start) ptbLine(str.substring(start, end), out)
+      start = nl + 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `graft_tokens_ptb(text)`: the reference-compat tokenizer contract
+  * (PTB chain + strip/lower/filter, [[TokenizePtbFn]]) as one native
+  * expression — same static-call codegen pattern as [[Tokenize]], so a
+  * projection using it stays inside WholeStageCodegen. This is the
+  * fidelity shim for users diffing against a real reference run; the
+  * engine spec (`graft_tokens`) remains the default everywhere else —
+  * one primitive scan per row vs this chain's ~18 regex passes.
+  */
+case class TokenizePtb(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_tokens_ptb expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenizePtbFn.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenizePtbFn.compute($c);")
+
+  override def prettyName: String = "graft_tokens_ptb"
+
+  override protected def withNewChildInternal(newChild: Expression): TokenizePtb =
+    copy(child = newChild)
+}

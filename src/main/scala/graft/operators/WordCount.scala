@@ -94,6 +94,32 @@ object WordCount {
       .saveAsTextFile(outDir)
   }
 
+  /** Word count under the reference-compat PTB tokenizer contract
+    * ([[graft.functions.TokenizePtb]]) — what the reference's NLTK
+    * pipeline would print for the same corpus (`don't` → `do` + `n't`,
+    * `cannot` → `can` + `not`, ...). Rows-only in the oracle gate (the
+    * 18-pass PTB chain has no DuckDB twin); pinned instead by
+    * PtbTokenizerSpec's golden corpus run — 619685 tokens / 21364
+    * distinct over the reference's own 8-book corpus — and canonical
+    * per-sentence examples.
+    */
+  def wordcountPtb(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode_outer(Text.tokensPtb(col("text"))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** PTB word count straight off `*.txt` files — the full reference
+    * contract end-to-end (line-oriented scan + PTB tokenize + count).
+    */
+  def wordcountTextPtb(spark: SparkSession, inputDir: String): DataFrame =
+    spark.read.option("pathGlobFilter", "*.txt").text(inputDir)
+      .select(explode_outer(Text.tokensPtb(col("value"))).as("word"))
+      .filter(col("word").isNotNull)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Word count straight off `*.txt` files (the reference's input format:
     * driver.py:93 filters on the extension; pathGlobFilter reproduces the
     * format predicate). Used by tests against reference-shaped corpora.
@@ -141,7 +167,8 @@ object WordCount {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> (wordcount _),
     "wordcount_bucketed" -> (wordcountBucketed _),
-    "wordcount_salted" -> (wordcountSalted _))
+    "wordcount_salted" -> (wordcountSalted _),
+    "wordcount_ptb" -> (wordcountPtb _))
 
   val oracles: Map[String, String] = Map(
     "wordcount" -> wordcountSql,

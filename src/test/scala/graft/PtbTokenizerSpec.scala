@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Text
+import graft.operators.WordCount
+
+/** Pins the reference-compat PTB tokenizer (`graft_tokens_ptb`) two
+  * ways:
+  *
+  *  1. canonical sentences covering every rule family — contraction
+  *     clitics, MacIntyre specials, double dash, brackets, ellipsis,
+  *     internal periods, possessives — against expectations computed by
+  *     the INDEPENDENT Python twin of the same written spec
+  *     (tools/ptb_golden.py);
+  *  2. a golden corpus run over the reference's own 8 Gutenberg books
+  *     (the only input the reference engine ever processed): total
+  *     tokens, distinct vocabulary, and the top-10 frequencies, all
+  *     from the same Python twin.
+  *
+  * The deltas vs the engine tokenizer's golden numbers (608306/24113,
+  * ReferenceCorpusGoldenSpec) are themselves meaningful: PTB splits
+  * push the token count UP (+11379 clitic/special splits) and fold the
+  * vocabulary DOWN (-2749: `don't`-style forms merge into `do`/`n't`).
+  */
+class PtbTokenizerSpec extends AnyFunSuite {
+
+  private def toks(text: String): Seq[String] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq(text).toDF("text")
+      .select(Text.tokensPtb(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+  }
+
+  test("contractions and clitics split per the PTB chain") {
+    assert(toks("Don't say \"cannot\" -- he'll regret it.") ===
+      Seq("do", "n't", "say", "can", "not", "he", "ll", "regret", "it"))
+    assert(toks("She's gonna win, isn't she?") ===
+      Seq("she", "s", "gon", "na", "win", "is", "n't", "she"))
+  }
+
+  test("internal periods, brackets, ellipsis, hyphens") {
+    assert(toks("The U.S.A.'s top-rated (really!) engine... runs fast.") ===
+      Seq("the", "u.s.a", "s", "top-rated", "really", "engine", "runs", "fast"))
+  }
+
+  test("MacIntyre specials and leading-apostrophe forms") {
+    assert(toks("'Tis more'n I'd hoped; you're right.") ===
+      Seq("t", "is", "more", "n", "i", "d", "hoped", "you", "re", "right"))
+  }
+
+  test("multi-line input tokenizes per line (CRLF tolerated)") {
+    // the $-anchored final-period rule must fire at EACH line end
+    assert(toks("First line.\r\nsecond line.") ===
+      Seq("first", "line", "second", "line"))
+  }
+
+  test("PTB golden corpus run over the reference's 8 books") {
+    assume(Files.isDirectory(Paths.get("/root/reference/files/inputs")))
+    val counted =
+      WordCount.wordcountTextPtb(TestSpark.spark, "/root/reference/files/inputs")
+        .cache()
+    try {
+      val rows = counted.collect().map { case Row(w: String, c: Long) => w -> c }
+      assert(rows.map(_._2).sum === 619685L)
+      assert(rows.length === 21364)
+      val top10 = rows.sortBy { case (w, c) => (-c, w) }.take(10).toSeq
+      assert(top10 === Seq(
+        "the" -> 32534L, "and" -> 24626L, "to" -> 16110L, "i" -> 14262L,
+        "of" -> 13750L, "a" -> 13607L, "it" -> 9577L, "he" -> 9539L,
+        "in" -> 8783L, "was" -> 8703L))
+    } finally counted.unpersist()
+  }
+}
