@@ -39,6 +39,29 @@ object SparkEntry {
       Extensibility.queries ++
       StreamingWindows.queries
 
+  /** The queries that deliberately have NO DuckDB oracle — each is a
+    * hash-family / sketch / tokenizer-spec op whose exact output depends on
+    * an algorithm DuckDB cannot replay (murmur seeds, HLL++/GK/Misra–Gries
+    * sketches, k-means init, the PTB sed chain), so the driver records a
+    * rows-only check and a dedicated ScalaTest spec hard-bounds each one.
+    *
+    * SINGLE SOURCE OF TRUTH: WordCountSpec asserts
+    * `queries.keySet -- oracleSql.keySet === rowsOnly`, so registering a
+    * query without an oracle fails exactly one clearly-named assertion
+    * until it is either given SQL or documented here.
+    */
+  val rowsOnly: Set[String] = Set(
+    "dedup_simhash",        // SimhashSpec: bit-flip bound vs brute force
+    "dedup_simhash_pairs",  // SimhashPairsSpec: pigeonhole-exact banding
+    "dedup_sketch_sources", // sketch union — ApproxDistinctSpec twin
+    "ann_lsh_top1",         // AnnRecallSpec: recall@1 >= 0.9
+    "ann_ivf_top1",         // AnnRecallSpec: recall@1 >= 0.9
+    "ann_ivf_topk",         // AnnRecallSpec: batch recall@10 >= 0.9
+    "q_approx_distinct",    // ApproxDistinctSpec: HLL++ error bound
+    "q_approx_percentiles", // GK sketch — ApproxDistinctSpec bound
+    "text_heavy_hitters",   // Misra–Gries — superset+bound spec
+    "wordcount_ptb")        // PtbTokenizerSpec golden (619685/21364)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

@@ -119,10 +119,13 @@ object TokenizePtbFn {
     }
   }
 
-  /** Whole input → tokens; the input is processed per LINE (split on
-    * `\n`, trailing `\r` dropped) because that is the unit the reference
-    * hands to `word_tokenize` — the `$`-anchored rules must see line
-    * ends, not document end.
+  /** Whole input → tokens; the input is processed per LINE because that
+    * is the unit the reference hands to `word_tokenize` — the
+    * `$`-anchored rules must see line ends, not document end. Line
+    * terminators follow universal-newline semantics (`\n`, `\r\n`, or a
+    * lone `\r`), matching how the reference's Python `open()` reads the
+    * file — so old-Mac `\r` separators and stray CRs split lines the
+    * same way in both implementations.
     */
   def compute(s: UTF8String): ArrayData = {
     val out = new java.util.ArrayList[AnyRef]()
@@ -130,12 +133,13 @@ object TokenizePtbFn {
     var start = 0
     val n = str.length
     while (start <= n) {
-      var nl = str.indexOf('\n', start)
-      if (nl < 0) nl = n
-      var end = nl
-      if (end > start && str.charAt(end - 1) == '\r') end -= 1
-      if (end > start) ptbLine(str.substring(start, end), out)
-      start = nl + 1
+      var i = start
+      while (i < n && str.charAt(i) != '\n' && str.charAt(i) != '\r') i += 1
+      if (i > start) ptbLine(str.substring(start, i), out)
+      start =
+        if (i >= n) n + 1
+        else if (str.charAt(i) == '\r' && i + 1 < n && str.charAt(i + 1) == '\n') i + 2
+        else i + 1
     }
     new GenericArrayData(out.toArray)
   }

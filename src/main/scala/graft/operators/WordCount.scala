@@ -31,7 +31,12 @@ object WordCount {
     * Read once at class init so the query, its oracle SQL, and the sink
     * can never disagree within a run.
     */
-  val M: Int = sys.props.getOrElse("graft.buckets", "4").toInt
+  val M: Int = {
+    val raw = sys.props.getOrElse("graft.buckets", "4")
+    raw.toIntOption.filter(_ >= 1).getOrElse(
+      throw new IllegalArgumentException(
+        s"-Dgraft.buckets must be a positive integer, got '$raw'"))
+  }
 
   /** word → count over a text column.
     *

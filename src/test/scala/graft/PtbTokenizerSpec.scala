@@ -60,6 +60,31 @@ class PtbTokenizerSpec extends AnyFunSuite {
       Seq("first", "line", "second", "line"))
   }
 
+  test("universal newlines: lone CR and stray CRs terminate lines") {
+    // Python's open() translates \r, \r\n, and \n to line ends — the
+    // Scala expression must split identically or the $-anchored rules
+    // fire on different units (ADVICE r5).
+    assert(toks("First line.\rsecond line.\r\nthird.") ===
+      Seq("first", "line", "second", "line", "third"))
+    assert(toks("abc\r\r\ndef") === Seq("abc", "def"))
+  }
+
+  test("abbreviation corners: Punkt boundary choice is output-invariant") {
+    // Real NLTK word_tokenize runs Punkt sentence-splitting first, so
+    // the $-anchored final-period rule fires at SENTENCE ends ("...the
+    // U.S.A. | Then he left.") where this per-line shim sees mid-line
+    // periods. The strip/lower/filter post-pass collapses both paths to
+    // the same output: a trailing period is stripped whether or not the
+    // rule split it off first. These sentences pin that equivalence for
+    // the abbreviation rule family (expectations from tools/ptb_golden.py).
+    assert(toks("Mr. Holmes said the U.S.A. Then he left.") ===
+      Seq("mr", "holmes", "said", "the", "u.s.a", "then", "he", "left"))
+    assert(toks("He arrived at 3 p.m. Then we ate.") ===
+      Seq("he", "arrived", "at", "3", "p.m", "then", "we", "ate"))
+    assert(toks("See fig. 4 for details, etc. is an abbreviation.") ===
+      Seq("see", "fig", "4", "for", "details", "etc", "is", "an", "abbreviation"))
+  }
+
   test("PTB golden corpus run over the reference's 8 books") {
     assume(Files.isDirectory(Paths.get("/root/reference/files/inputs")))
     val counted =

@@ -46,12 +46,12 @@ class WordCountSpec extends AnyFunSuite {
   }
 
   test("every query has either an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("dedup_simhash", "dedup_simhash_pairs",
-      "dedup_sketch_sources",
-      "ann_lsh_top1", "ann_ivf_top1", "ann_ivf_topk", "q_approx_distinct",
-      "q_approx_percentiles", "text_heavy_hitters")
+    // Single source of truth lives in SparkEntry.rowsOnly — registering a
+    // query without an oracle must update that one set (with a reason).
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === rowsOnly)
+    assert(noOracle === SparkEntry.rowsOnly,
+      "queries without oracles must exactly match SparkEntry.rowsOnly " +
+        "(document new rows-only queries there, beside the registry)")
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

@@ -75,5 +75,14 @@ if __name__ == '__main__':
     for s in ["Don't say \"cannot\" -- he'll regret it.",
               "She's gonna win, isn't she?",
               "The U.S.A.'s top-rated (really!) engine... runs fast.",
-              "'Tis more'n I'd hoped; you're right."]:
+              "'Tis more'n I'd hoped; you're right.",
+              # Abbreviation corners: where NLTK's Punkt sentence model
+              # would place (or suppress) a boundary mid-line.  The
+              # strip/lower/filter post-pass makes the outputs identical
+              # either way -- "U.S.A." yields u.s.a whether or not the
+              # $-anchored final-period rule fires (strip removes a
+              # trailing period just as the rule would split it off).
+              "Mr. Holmes said the U.S.A. Then he left.",
+              "He arrived at 3 p.m. Then we ate.",
+              "See fig. 4 for details, etc. is an abbreviation."]:
         print(repr(s), '->', separate_words(s))
