@@ -111,7 +111,7 @@ object StreamingWindows {
     * to its key cardinality, and the choice cannot change results, only
     * parallelism. */
   private def runToMemory(spark: SparkSession, df: DataFrame,
-      mode: String, prefix: String): DataFrame = {
+      mode: String, prefix: String, watermarkFlush: Boolean = false): DataFrame = {
     // Sweep THIS query's earlier memory-sink tables before registering a
     // new one: the nanoTime-suffixed names otherwise accumulate temp
     // views (and their cached rows) without bound over a long session.
@@ -123,14 +123,26 @@ object StreamingWindows {
       .filter(t => t.isTemporary && own.pattern.matcher(t.name).matches())
       .foreach(t => spark.catalog.dropTempView(t.name))
     val tableName = s"${prefix}_${System.nanoTime()}"
-    Tables.withShufflePartitions(spark, 8) {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(tableName)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    // Terminal no-data micro-batch: only the append-mode eviction
+    // contracts (hourly_append, sessions_append) EMIT on the final
+    // watermark advance — they pass watermarkFlush=true. Every other
+    // query here emits in-batch (complete/update modes re-output per
+    // data batch; dedup, inner stream-stream join, fMGWS/TWS with
+    // NoTimeout/TimeMode.None emit as rows arrive), so the extra empty
+    // batch only re-runs the incremental plan and re-commits every
+    // state store for zero output rows — skipped. A production query
+    // with timers or held-back output keeps the default (true).
+    Tables.withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled",
+        watermarkFlush.toString) {
+      Tables.withShufflePartitions(spark, 8) {
+        val q = df.writeStream
+          .format("memory")
+          .queryName(tableName)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     }
     spark.table(tableName)
   }
@@ -161,7 +173,7 @@ object StreamingWindows {
   def streamHourlyAppend(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark,
       hourlyAgg(eventStream(spark, dir).withWatermark("ts", "3 days")),
-      "append", "stream_hourly_append")
+      "append", "stream_hourly_append", watermarkFlush = true)
 
   val streamHourlyAppendSql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
@@ -237,9 +249,18 @@ object StreamingWindows {
     * after read). File streams want a directory; the testdata dir holds
     * one parquet FILE per table, so stream the directory with a glob.
     */
+  /** File-stream schemas must be supplied up front; inferring one is a
+    * full batch read (listing + footer). The schema of a fixed dataset
+    * path never changes within a session, and THIRTEEN streaming queries
+    * (plus the two-legged join) each open this source — cache it per dir
+    * so the battery pays the inference once, not ~15 times. */
+  private val eventSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = eventSchemaCache.computeIfAbsent(dir,
+      d => spark.read.parquet(s"$d/events.parquet").schema)
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -299,7 +320,7 @@ object StreamingWindows {
   def streamSessionsAppend(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark,
       sessionAgg(eventStream(spark, dir).withWatermark("ts", "3 days")),
-      "append", "stream_sessions_append")
+      "append", "stream_sessions_append", watermarkFlush = true)
 
   /** Batch twin of the append-mode emission: sessions whose window end
     * (last event + gap) is at-or-before the final watermark

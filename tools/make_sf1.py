@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Derive an sf1 dataset for the nonlinear-operator scale probe.
+
+The driver ships sf0.001/0.01/0.1 only (TESTDATA.md). This tool
+extrapolates the two tables the nonlinear operators consume one order
+of magnitude up, by EMULATING the observed generative law of the
+driver's synthetic data (measured against /root/testdata/sf0.1, seed
+fixed, deterministic):
+
+- documents (5,000 -> 50,000 rows): 31-word uniform vocabulary,
+  uniform doc length 10..100 words, ~4.9% of docs are a copy of a
+  random earlier doc with a +-1-word tail mutation (the structure that
+  produces sf0.1's 233 shared-prefix groups of size 2-4 and 8 exact-dup
+  groups), lang/source drawn from sf0.1's empirical marginals,
+  n_chars = len(text).
+- customer (15,000 -> 150,000 rows): only c_name is consumed by
+  dedup_fuzzy_names; names extend the observed `Customer#%09d`
+  sequential scheme.
+
+Output: /root/repo/target/sf1/{documents,customer}.parquet.
+This is builder tooling (driver-side python), NOT part of the Spark
+library; /root/testdata is never written.
+"""
+import os
+import random
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
+N_DOCS = 50_000
+N_CUST = 150_000
+COPY_RATE = 0.049  # measured: ~244 copy docs / 5000 at sf0.1
+
+con = duckdb.connect()
+
+vocab = [r[0] for r in con.sql(
+    f"select distinct unnest(string_split(text,' ')) w "
+    f"from '{SRC}/documents.parquet' order by 1").fetchall()]
+langs = con.sql(
+    f"select lang, count(*) from '{SRC}/documents.parquet' group by 1 order by 1"
+).fetchall()
+sources = con.sql(
+    f"select source, count(*) from '{SRC}/documents.parquet' group by 1 order by 1"
+).fetchall()
+assert len(vocab) == 31, vocab
+
+rng = random.Random(20260813)
+lang_names = [l for l, _ in langs]
+lang_w = [c for _, c in langs]
+src_names = [s for s, _ in sources]
+src_w = [c for _, c in sources]
+
+docs = []
+for doc_id in range(N_DOCS):
+    if docs and rng.random() < COPY_RATE:
+        base = rng.choice(docs)[1].split()
+        mut = rng.random()
+        if mut < 0.4 and len(base) > 10:
+            words = base[:-1]                      # drop last word
+        elif mut < 0.8:
+            words = base + [rng.choice(vocab)]     # append one word
+        else:
+            words = base                           # exact copy
+    else:
+        words = [rng.choice(vocab) for _ in range(rng.randint(10, 100))]
+    text = " ".join(words)
+    docs.append((doc_id, text,
+                 rng.choices(lang_names, lang_w)[0],
+                 rng.choices(src_names, src_w)[0],
+                 len(text)))
+
+os.makedirs(OUT, exist_ok=True)
+con.sql("create table docs(doc_id bigint, text varchar, lang varchar, "
+        "source varchar, n_chars bigint)")
+con.executemany("insert into docs values (?,?,?,?,?)", docs)
+con.sql(f"copy docs to '{OUT}/documents.parquet' (format parquet)")
+
+con.sql(f"""copy (select i as c_custkey,
+                   'Customer#' || lpad(cast(i as varchar), 9, '0') as c_name,
+                   cast(i % 25 as integer) as c_nationkey,
+                   round((i * 7919) % 999999 / 100.0, 2) as c_acctbal,
+                   ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'][(i % 5) + 1]
+                     as c_mktsegment
+            from range({N_CUST}) t(i))
+            to '{OUT}/customer.parquet' (format parquet)""")
+
+print("wrote", OUT)
+for t in ("documents", "customer"):
+    print(t, con.sql(f"select count(*) from '{OUT}/{t}.parquet'").fetchone()[0])
