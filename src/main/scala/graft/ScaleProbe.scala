@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale probe for the NONLINEAR operators: runs the queries whose cost
+  * grows faster than the row count at two scales — the driver's sf0.1
+  * and the derived sf1 (tools/make_sf1.py, 10× documents/customer with
+  * the same measured generative law) — and prints one JSON line per
+  * (scale, query) so the growth exponents documented in SURVEY/BASELINE
+  * can be CHECKED an order of magnitude up instead of asserted:
+  *
+  *  - `dedup_near_jaccard` — candidate work ∝ Σ docs-per-shingle²; on
+  *    the synthetic FIXED 31-word vocabulary shingle frequencies grow
+  *    linearly with N, so this is the adversarial quadratic corner
+  *    (real corpora grow their shingle vocabulary and stay far below).
+  *  - `dedup_components` — cost per round is the edge shuffle; the
+  *    ROUND COUNT (≈ min-label hop diameter) must stay flat as the
+  *    corpus grows, else the fixpoint would not scale. Reported via
+  *    [[graft.operators.Dedup.lastComponentsRounds]].
+  *  - `dedup_fuzzy_names` — deletion-blocking join; result pairs grow
+  *    with the name-collision structure, work with Σ block-size².
+  *  - `doc_pack_shards` — two-phase prefix sum; must stay ~linear.
+  *
+  * Not part of the driver contract (SparkEntry/Verify/Bench untouched);
+  * run manually: `sbt "runMain graft.ScaleProbe"` after
+  * `python3 tools/make_sf1.py`.
+  */
+object ScaleProbe {
+
+  private val Probes =
+    Seq("dedup_near_jaccard", "dedup_components", "dedup_fuzzy_names",
+      "doc_pack_shards")
+
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.1", "/root/repo/target/sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for (dir <- dirs; name <- Probes) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, dir)
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val extra =
+        if (name == "dedup_components")
+          s""","cc_rounds":${graft.operators.Dedup.lastComponentsRounds}"""
+        else ""
+      println(f"""{"probe":"$name","dir":"$dir","sec":$sec%.2f,"rows":$rows$extra}""")
+    }
+    spark.stop()
+  }
+}

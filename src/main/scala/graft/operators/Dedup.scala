@@ -37,6 +37,12 @@ object Dedup {
   val ShingleN = 3
   val JaccardThreshold = 0.5
 
+  /** Diagnostic only: propagation rounds the most recent
+    * [[dedupComponents]] fixpoint took (≈ graph diameter in min-label
+    * hops). Read by [[graft.ScaleProbe]] to confirm the round count
+    * stays flat as the corpus scales; no query logic reads it. */
+  @volatile var lastComponentsRounds: Int = 0
+
   /** doc_id → (shingle set, size), materialized behind one exchange.
     * Deliberately NO `sz > 0` filter: a filter above the repartition gets
     * pushed back through the exchange and re-inlines the whole shingle
@@ -194,7 +200,9 @@ object Dedup {
               .getOrElse(java.math.BigDecimal.ZERO)
           var prevSum = labelSum(labels)
           var converged = false
+          var rounds = 0
           while (!converged) {
+            rounds += 1
             val viaNbr = edges
               .join(labels, edges("doc_b") === labels("node"))
               .select(edges("doc_a").as("node"), col("label"))
@@ -207,6 +215,7 @@ object Dedup {
             labels.unpersist()
             labels = next
           }
+          lastComponentsRounds = rounds
           // Materialize the fixpoint to scratch so EVERY cache can be
           // released before returning (returning the persisted frame
           // directly would leak one cached RDD per invocation — the
