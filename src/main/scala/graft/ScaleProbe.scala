@@ -29,7 +29,11 @@ object ScaleProbe {
 
   private val Probes =
     Seq("dedup_near_jaccard", "dedup_components", "dedup_fuzzy_names",
-      "doc_pack_shards")
+      "doc_pack_shards",
+      // the documented sub-quadratic ALTERNATIVE to the exact shingle
+      // join — probed at both scales to show it stays ~linear exactly
+      // where the exact join's Σc² grows ~100×
+      "dedup_minhash_lsh")
 
   def main(args: Array[String]): Unit = {
     val dirs =
