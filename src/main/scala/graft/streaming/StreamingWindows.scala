@@ -243,20 +243,21 @@ object StreamingWindows {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS val_sum
       |FROM events GROUP BY user_id""".stripMargin
 
-  /** The raw events file as a stream — shared by every streaming query.
-    * Schema must be supplied for file streams; reuse the batch reader's
-    * (ts arrives as raw nanos long — see Tables.events — and is converted
-    * after read). File streams want a directory; the testdata dir holds
-    * one parquet FILE per table, so stream the directory with a glob.
-    */
-  /** File-stream schemas must be supplied up front; inferring one is a
-    * full batch read (listing + footer). The schema of a fixed dataset
-    * path never changes within a session, and THIRTEEN streaming queries
-    * (plus the two-legged join) each open this source — cache it per dir
-    * so the battery pays the inference once, not ~15 times. */
+  /** Schema inference for a file stream is a full batch read (listing +
+    * footer). The schema of a fixed dataset path never changes within a
+    * session, and THIRTEEN streaming queries (plus the two-legged join)
+    * each open this source — cache it per dir so the battery pays the
+    * inference once, not ~15 times. */
   private val eventSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** The raw events file as a stream — shared by every streaming query.
+    * Schema must be supplied for file streams; reuse the batch reader's
+    * (ts arrives as raw nanos long — see Tables.events — and is converted
+    * after read, cached per dir via [[eventSchemaCache]]). File streams
+    * want a directory; the testdata dir holds one parquet FILE per
+    * table, so stream the directory with a glob.
+    */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventSchemaCache.computeIfAbsent(dir,
