@@ -69,6 +69,33 @@ class PtbTokenizerSpec extends AnyFunSuite {
     assert(toks("abc\r\r\ndef") === Seq("abc", "def"))
   }
 
+  test("property: whole-text tokenize == per-line tokenize under universal newlines") {
+    // Compositionality pin for the line scanner: for ANY input, running
+    // compute over the whole text must equal splitting on Python's
+    // universal-newline rule (\r\n, \r, or \n) and running compute per
+    // line — the property the $-anchored rules depend on. Random strings
+    // over an alphabet dense in newline variants reach CR/LF shapes the
+    // corpus never has (CRCRLF, trailing CR, newline-only strings).
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.functions.TokenizePtbFn
+    def toSeq(s: String): Seq[String] = {
+      val arr = TokenizePtbFn.compute(UTF8String.fromString(s))
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    val alphabet = Gen.oneOf('a', 'b', ' ', '.', ',', '\'', '"', '\n', '\r')
+    val texts = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
+    (0 until 500).foreach { i =>
+      val s = texts.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val whole = toSeq(s)
+      val perLine = s.split("\r\n|\r|\n", -1).toSeq.flatMap(toSeq)
+      assert(whole === perLine, s"input=${s.map(c =>
+        if (c == '\n') "\\n" else if (c == '\r') "\\r" else c.toString).mkString}")
+    }
+  }
+
   test("abbreviation corners: Punkt boundary choice is output-invariant") {
     // Real NLTK word_tokenize runs Punkt sentence-splitting first, so
     // the $-anchored final-period rule fires at SENTENCE ends ("...the
