@@ -33,7 +33,11 @@ object ScaleProbe {
       // the documented sub-quadratic ALTERNATIVE to the exact shingle
       // join — probed at both scales to show it stays ~linear exactly
       // where the exact join's Σc² grows ~100×
-      "dedup_minhash_lsh")
+      "dedup_minhash_lsh",
+      // similarity battery: the all-pairs brute force is the documented
+      // O(N²) corner; the fixed-32-query batch twins contrast the exact
+      // scan (∝ N) with the IVF scale path (∝ N/nlist · nprobe)
+      "ann_pairs_bruteforce", "ann_topk_batch", "ann_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val dirs =

@@ -77,6 +77,30 @@ con.sql("create table docs(doc_id bigint, text varchar, lang varchar, "
 con.executemany("insert into docs values (?,?,?,?,?)", docs)
 con.sql(f"copy docs to '{OUT}/documents.parquet' (format parquet)")
 
+# embeddings (2,000 -> 20,000): measured sf0.1 law = 64-dim unit vectors,
+# 10 roughly balanced labels, WEAK label clustering (within-label mean
+# cos ~0.019 vs cross-label ~0.001 => centroid weight ~ sqrt(0.019) ~ 0.14
+# against unit gaussian noise).
+N_VEC = 20_000
+DIM = 64
+N_LABELS = 10
+CENTROID_W = 0.14
+vrng = random.Random(20260814)
+def unit(v):
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v]
+centroids = [unit([vrng.gauss(0, 1) for _ in range(DIM)]) for _ in range(N_LABELS)]
+vecs = []
+for vec_id in range(N_VEC):
+    lab = vrng.randrange(N_LABELS)
+    noise = [vrng.gauss(0, 1) for _ in range(DIM)]
+    noise = unit(noise)
+    e = unit([CENTROID_W * c + x for c, x in zip(centroids[lab], noise)])
+    vecs.append((vec_id, [float(x) for x in e], lab))
+con.sql("create table vecs(vec_id bigint, embedding float[], label integer)")
+con.executemany("insert into vecs values (?,?,?)", vecs)
+con.sql(f"copy vecs to '{OUT}/embeddings.parquet' (format parquet)")
+
 con.sql(f"""copy (select i as c_custkey,
                    'Customer#' || lpad(cast(i as varchar), 9, '0') as c_name,
                    cast(i % 25 as integer) as c_nationkey,
@@ -87,5 +111,5 @@ con.sql(f"""copy (select i as c_custkey,
             to '{OUT}/customer.parquet' (format parquet)""")
 
 print("wrote", OUT)
-for t in ("documents", "customer"):
+for t in ("documents", "customer", "embeddings"):
     print(t, con.sql(f"select count(*) from '{OUT}/{t}.parquet'").fetchone()[0])
