@@ -53,16 +53,29 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    for (dir <- dirs; name <- Probes) {
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, dir)
-      val rows = df.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val extra =
-        if (name == "dedup_components")
-          s""","cc_rounds":${graft.operators.Dedup.lastComponentsRounds}"""
-        else ""
-      println(f"""{"probe":"$name","dir":"$dir","sec":$sec%.2f,"rows":$rows$extra}""")
+    for (dir <- dirs) {
+      for (name <- Probes) {
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir)
+        val rows = df.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val extra =
+          if (name == "dedup_components")
+            s""","cc_rounds":${graft.operators.Dedup.lastComponentsRounds}"""
+          else ""
+        println(f"""{"probe":"$name","dir":"$dir","sec":$sec%.2f,"rows":$rows$extra}""")
+      }
+      // IVF quality at this scale: recall@10 of the scale path against
+      // the exact batch scan over the SAME 32 queries — AnnRecallSpec
+      // bounds this at the gate scale only; the probe measures whether
+      // the bound survives the 10× corpus.
+      val exact = SparkEntry.queries("ann_topk_batch")(spark, dir)
+        .select("query_id", "vec_id")
+      val ivf = SparkEntry.queries("ann_ivf_topk")(spark, dir)
+        .select("query_id", "vec_id")
+      val hit = exact.intersect(ivf).count()
+      val total = exact.count()
+      println(f"""{"probe":"ann_ivf_recall_at_10","dir":"$dir","recall":${hit.toDouble / total}%.3f}""")
     }
     spark.stop()
   }
