@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -49,7 +50,8 @@ object Dedup {
     * expression into the scan; empty sets are harmless downstream
     * (explode emits no rows, and empty docs can never become candidates).
     */
-  private[operators] def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def shingleSets(spark: SparkSession, dir: String,
+      n: Int = ShingleN): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       // coalesce makes `sh` (and so `sz`) non-nullable in the plan: with a
@@ -58,7 +60,7 @@ object Dedup {
       // expr>)) into the parquet scan — the whole pipeline re-evaluated
       // per row as a scan filter. Non-nullable → the constraint folds.
       .select(col("doc_id"),
-        coalesce(array_distinct(Text.shingles(col("t"), ShingleN)),
+        coalesce(array_distinct(Text.shingles(col("t"), n)),
           array().cast("array<string>")).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
       .repartition(col("doc_id"))
@@ -234,10 +236,12 @@ object Dedup {
     } finally edges.unpersist()
   }
 
-  /** Recursive-CTE twin: min reachable doc_id over the undirected pair
-    * graph (UNION dedups rows, so the recursion reaches a fixpoint). */
-  val dedupComponentsSql: String =
-    s"""WITH RECURSIVE $PairCtesSql,
+  /** Recursive-CTE component chain (min reachable doc_id over the
+    * undirected pair graph; UNION dedups rows, so the recursion reaches
+    * a fixpoint) — shared by the components oracle and the survivors
+    * oracle so the two cannot drift apart. */
+  private val ComponentsCtesSql: String =
+    s"""$PairCtesSql,
       |np AS (
       |  SELECT doc_a, doc_b FROM p
       |  WHERE CAST(inter AS DOUBLE) / CAST(sza + szb - inter AS DOUBLE) >= $JaccardThreshold),
@@ -248,9 +252,161 @@ object Dedup {
       |reach(node, label) AS (
       |  SELECT src, src FROM e
       |  UNION
-      |  SELECT e.dst, reach.label FROM reach JOIN e ON e.src = reach.node)
-      |SELECT node AS doc_id, min(label) AS component
-      |FROM reach GROUP BY node""".stripMargin
+      |  SELECT e.dst, reach.label FROM reach JOIN e ON e.src = reach.node),
+      |comp AS (
+      |  SELECT node AS doc_id, min(label) AS component
+      |  FROM reach GROUP BY node)""".stripMargin
+
+  /** Recursive-CTE twin of [[dedupComponents]]. */
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $ComponentsCtesSql
+      |SELECT doc_id, component FROM comp""".stripMargin
+
+  /** The dedup DELIVERABLE: the corpus with near-dup clusters collapsed
+    * to one canonical document each — every doc that is NOT the minimum
+    * id of its near-dup component is dropped; unclustered docs (the
+    * overwhelming majority) pass through untouched. [[dedupComponents]]
+    * produces the labels; this is the anti-join that applies them.
+    *
+    * Scale shape: the drop list is (doc_id) only — the fraction of the
+    * corpus that sits in a near-dup cluster AND is not its canonical
+    * member. The anti-join probes only (doc_id, lang, source); document
+    * BODIES never enter the join (a 100 TB corpus anti-joins a few-GB
+    * projection). AQE picks broadcast vs shuffle by the drop list's
+    * actual size. NOT-IN semantics are safe as a plain left_anti: the
+    * drop list is component labels over non-null ids — never NULL.
+    */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val dropIds = dedupComponents(spark, dir)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  val dedupSurvivorsSql: String =
+    s"""WITH RECURSIVE $ComponentsCtesSql
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin
+
+  // ---- exact n-gram overlap -----------------------------------------------
+
+  /** n-gram length for exact-overlap detection. 13 tokens is the
+    * published operating point for training-corpus substring dedup
+    * (long enough that shared grams are near-certain duplication, short
+    * enough to catch partial overlap). */
+  val NgramExactN = 13
+
+  /** Exact long-n-gram overlap pairs — the "two documents share a
+    * verbatim 13-token span" signal used to dedup training corpora at
+    * the substring level (boilerplate, quoted passages, partial
+    * mirrors) where whole-document Jaccard stays below any threshold.
+    * Output: (doc_a, doc_b, n_shared distinct 13-grams).
+    *
+    * Same candidate-join scale shape as [[dedupNearJaccard]]: explode
+    * distinct grams, equi-join on the gram, count per pair — work is
+    * Σ(docs-per-gram²), and 13-grams are overwhelmingly unique (only
+    * true duplication repeats a 13-token span), so the join output is
+    * ~the duplicated mass itself, not a quadratic blow-up. */
+  def dedupNgramExact(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingleSets(spark, dir, NgramExactN)
+      .select(col("doc_id"), explode_outer(col("sh")).as("g"))
+      .filter(col("g").isNotNull)
+    ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  val dedupNgramExactSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, ${Text.TokensOracleSql} AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(
+      |    [array_to_string(w[i:i+${NgramExactN - 1}], ' ')
+      |     FOR i IN range(1, len(w) - ${NgramExactN - 2})]) AS s
+      |  FROM tok WHERE len(w) >= $NgramExactN),
+      |ex AS (SELECT doc_id, unnest(s) AS ng FROM g)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |FROM ex a JOIN ex b ON a.ng = b.ng AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2""".stripMargin
+
+  // ---- passage-level dedup (chunk first-occurrence-wins) ------------------
+
+  /** Tokens per passage chunk. */
+  val ChunkTokens = 10
+
+  /** Passage-level dedup with document REASSEMBLY — the within-corpus
+    * boilerplate scrub: split every document into consecutive
+    * [[ChunkTokens]]-token chunks, keep only each distinct chunk's FIRST
+    * occurrence corpus-wide (occurrence order = (doc_id, chunk index) —
+    * deterministic, not arrival order), then stitch each document back
+    * together from its surviving chunks in original order. Documents
+    * that lose every chunk (exact duplicates of earlier docs) disappear.
+    * Output: (doc_id, n_kept, text).
+    *
+    * Scale shape: two shuffles, both on the right keys — the
+    * first-occurrence choice shuffles on the CHUNK (that key is what is
+    * being deduplicated; `row_number = 1` plans as WindowGroupLimit, so
+    * each map task pre-prunes to one candidate per chunk before the
+    * exchange), and reassembly shuffles on doc_id. The chunk expression
+    * is materialized once behind the doc_id exchange — same
+    * re-inlining defence as [[shingleSets]].
+    */
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      // CASE → NULL (not empty array) for empty docs: explode_outer
+      // emits one null row that the isNotNull filter above the exchange
+      // drops, and no ELSE branch means no empty-array literal to
+      // type-unify with the struct array.
+      .select(col("doc_id"), expr(
+        s"""CASE WHEN size(w) > 0 THEN
+           |  transform(sequence(1, (size(w) + ${ChunkTokens - 1}) div $ChunkTokens),
+           |    i -> named_struct(
+           |      'idx', i,
+           |      'chunk', array_join(slice(w, (i - 1) * $ChunkTokens + 1, $ChunkTokens), ' ')))
+           |END""".stripMargin).as("cs"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode_outer(col("cs")).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("doc_id"), col("c.idx").as("idx"), col("c.chunk").as("chunk"))
+    val firstSeen = Window.partitionBy(col("chunk"))
+      .orderBy(col("doc_id"), col("idx"))
+    chunks
+      .withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        // array_sort on struct(idx, chunk) orders by idx (field order);
+        // collect_list is the unordered partial aggregate — the sort
+        // restores document order AFTER the exchange, per group.
+        expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), c -> c.chunk), ' ')")
+          .as("text"))
+  }
+
+  val dedupChunksSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, ${Text.TokensOracleSql} AS w
+      |  FROM documents),
+      |ch AS (
+      |  SELECT doc_id, unnest(
+      |    [{'idx': i, 'chunk': array_to_string(w[(i-1)*$ChunkTokens+1 : i*$ChunkTokens], ' ')}
+      |     FOR i IN range(1, CAST((len(w) + ${ChunkTokens - 1}) // $ChunkTokens AS INT) + 1)]) AS c
+      |  FROM tok),
+      |cf AS (SELECT doc_id, c.idx AS idx, c.chunk AS chunk FROM ch),
+      |keep AS (
+      |  SELECT doc_id, idx, chunk,
+      |         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+      |  FROM cf)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+      |       string_agg(chunk, ' ' ORDER BY idx) AS text
+      |FROM keep WHERE rn = 1 GROUP BY doc_id""".stripMargin
 
   // ---- MinHash + LSH ------------------------------------------------------
 
@@ -517,6 +673,9 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_survivors" -> (dedupSurvivors _),
+    "dedup_ngram_exact" -> (dedupNgramExact _),
+    "dedup_chunks" -> (dedupChunks _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_sketch_sources" -> (dedupSketchSources _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -528,6 +687,9 @@ object Dedup {
     "dedup_exact" -> dedupExactSql,
     "dedup_near_jaccard" -> dedupNearJaccardSql,
     "dedup_components" -> dedupComponentsSql,
+    "dedup_survivors" -> dedupSurvivorsSql,
+    "dedup_ngram_exact" -> dedupNgramExactSql,
+    "dedup_chunks" -> dedupChunksSql,
     // LSH output provably equals the exact-Jaccard result on this corpus
     // (see dedupMinhashLsh doc) — same oracle.
     "dedup_minhash_lsh" -> dedupNearJaccardSql)

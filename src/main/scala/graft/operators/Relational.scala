@@ -593,6 +593,54 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name""".stripMargin
 
+  /** Minimum per-order quantity for [[qTpchQ18]]'s large-volume gate —
+    * chosen so the HAVING filter is selective but non-empty at every
+    * test scale factor (max per-order quantity in the synthetic data is
+    * ~380–475 across sf0.001–0.1). */
+  val Q18MinQty = 150
+
+  /** TPC-H Q18-style (large-volume customers): the AGGREGATE-THEN-
+    * SEMI-JOIN shape — first reduce the fact table to qualifying keys
+    * (per-order quantity sum over a HAVING gate), then semi-join the
+    * fact pipeline against that key set and re-aggregate with the
+    * customer dimension attached. The qualifying-key set is orders of
+    * magnitude smaller than the fact table, so AQE broadcasts it and
+    * the big join runs filter-before-shuffle; the final top-100 is
+    * TakeOrderedAndProject (never a global sort). Ties at the limit
+    * boundary are impossible: o_orderkey is unique per output row, so
+    * (total_qty DESC, o_orderkey) is a total order.
+    */
+  def qTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("big_qty"))
+      .filter(col("big_qty") > Q18MinQty)
+      .select(col("l_orderkey").as("big_orderkey"))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  val qTpchQ18Sql: String =
+    s"""SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  sum(l_quantity) AS total_qty
+      |FROM orders
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey HAVING sum(l_quantity) > $Q18MinQty)
+      |GROUP BY 1, 2, 3
+      |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin
+
   // ---- grouping sets / set ops ------------------------------------------
 
   /** ROLLUP over the region→nation hierarchy. Expressed through
@@ -1120,6 +1168,7 @@ object Relational {
     "q_range_join_dense" -> (qRangeJoinDense _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q18" -> (qTpchQ18 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_null_fns" -> (qNullFns _),
@@ -1167,6 +1216,7 @@ object Relational {
     "q_range_join_dense" -> qRangeJoinDenseSql,
     "q_tpch_q3" -> qTpchQ3Sql,
     "q_tpch_q5" -> qTpchQ5Sql,
+    "q_tpch_q18" -> qTpchQ18Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
     "q_null_fns" -> qNullFnsSql,

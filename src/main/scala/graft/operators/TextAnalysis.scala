@@ -643,6 +643,63 @@ object TextAnalysis {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS shard
       |FROM tok""".stripMargin
 
+  /** Shard count for the training-epoch shuffle (one hex digit of the
+    * md5 order key — 16 shards keeps the oracle's hex→int mapping a
+    * one-char strpos in both engines). */
+  val ShuffleShards = 16
+
+  /** Deterministic training-epoch SHUFFLE, materialized: every epoch a
+    * training run wants the corpus in a fresh pseudo-random order,
+    * reproducible across re-runs and resumable mid-epoch. Order key =
+    * md5(doc_id ‖ ":e0") (the epoch salt makes epoch 1 a different
+    * permutation: ":e1"); shard = first hex digit of the key (uniform
+    * 16-way), global read order = (shard, sort_key). The operator WRITES
+    * the corpus as one sorted file per shard (a trainer streams shard
+    * files sequentially — no runtime shuffle buffer needed) and returns
+    * the per-shard manifest; ShuffleShardsSpec pins the physical
+    * contract (file-per-shard, rows sorted).
+    *
+    * Scale shape: assignment is a stateless per-row projection (no
+    * window, no global sort — a per-shard dense position would be a
+    * per-shard single-task scan; the sort KEY itself carries the order,
+    * so no task ever numbers rows sequentially). One hash exchange on
+    * shard co-locates each shard into one task; sortWithinPartitions is
+    * a local spillable sort. At 100 TB you'd raise the digit count
+    * (256/4096 shards) — the same one-knob resize as shuffle partitions.
+    */
+  def docShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val dest = graft.sources.Formats.tmp("doc_shuffle", dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":e0"))).as("sort_key"))
+      .withColumn("shard",
+        expr("CAST(instr('0123456789abcdef', substr(sort_key, 1, 1)) AS INT) - 1"))
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "sort_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(dest)
+    spark.read.parquet(dest)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("sort_key").as("first_key"),
+        max("sort_key").as("last_key"))
+      // partition-directory values read back as the narrowest inferred
+      // type; pin INT so the schema can't drift from the oracle's
+      .select(col("shard").cast("int").as("shard"),
+        col("n_docs"), col("first_key"), col("last_key"))
+  }
+
+  val docShuffleShardsSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':e0') AS sort_key
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sort_key,
+      |    CAST(strpos('0123456789abcdef', substr(sort_key, 1, 1)) - 1 AS INT) AS shard
+      |  FROM k)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  min(sort_key) AS first_key, max(sort_key) AS last_key
+      |FROM s GROUP BY shard""".stripMargin
+
   /** BM25 parameters — Robertson/Sparck Jones defaults; idf is the
     * Lucene `ln(1 + (N−df+0.5)/(df+0.5))` form, positive for any df. */
   val Bm25K1 = 1.2
@@ -987,6 +1044,7 @@ object TextAnalysis {
     "text_vocab_oov" -> (textVocabOov _),
     "doc_stable_ids" -> (docStableIds _),
     "doc_pack_shards" -> (docPackShards _),
+    "doc_shuffle_shards" -> (docShuffleShards _),
     "text_bm25" -> (textBm25 _),
     "doc_sample_split" -> (docSampleSplit _),
     "text_repetition" -> (textRepetition _),
@@ -1015,6 +1073,7 @@ object TextAnalysis {
     "text_vocab_oov" -> textVocabOovSql,
     "doc_stable_ids" -> docStableIdsSql,
     "doc_pack_shards" -> docPackShardsSql,
+    "doc_shuffle_shards" -> docShuffleShardsSql,
     "text_bm25" -> textBm25Sql,
     "doc_sample_split" -> docSampleSplitSql,
     "text_repetition" -> textRepetitionSql,
