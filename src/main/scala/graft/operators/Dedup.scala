@@ -81,6 +81,49 @@ object Dedup {
       |  count(*) AS n_docs, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Incremental exact dedup — the recurring-ingest shape: each new
+    * crawl snapshot is deduped first WITHIN itself (first occurrence by
+    * doc_id per content hash) and then AGAINST everything already
+    * ingested, so re-crawled pages never re-enter the corpus. The
+    * "existing corpus" is simulated by a deterministic md5 coin on
+    * doc_id (~50% of documents); output = the new-batch docs that
+    * survive both stages.
+    *
+    * Scale shape: the existing side is a HASH INDEX (16 bytes/doc), not
+    * the corpus — bodies are reduced to md5 before anything joins, so
+    * the anti-join moves hashes only. Both stages shuffle on
+    * content_hash: the within-batch groupBy and the against-corpus
+    * anti-join share the same key, so the exchange is reused; at 100 TB
+    * the index side is far too big to broadcast and the co-partitioned
+    * shuffle anti-join IS the plan. NOT-IN semantics are safe as a
+    * plain left_anti: md5 over non-null text is never NULL.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(Text.normalize(col("text"))).as("content_hash"),
+        (substring(md5(concat(col("doc_id").cast("string"), lit(":snap"))), 1, 1) < "8")
+          .as("existing"))
+    val index = hashed.filter(col("existing")).select("content_hash").distinct()
+    hashed.filter(!col("existing"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(index, Seq("content_hash"), "left_anti")
+      .select("doc_id", "content_hash")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+      |    substr(md5(CAST(doc_id AS VARCHAR) || ':snap'), 1, 1) < '8' AS existing
+      |  FROM documents),
+      |nb AS (
+      |  SELECT content_hash, min(doc_id) AS doc_id
+      |  FROM h WHERE NOT existing GROUP BY 1)
+      |SELECT doc_id, content_hash FROM nb
+      |WHERE content_hash NOT IN (SELECT content_hash FROM h WHERE existing)""".stripMargin
+
   // ---- n-gram Jaccard near-dup -------------------------------------------
 
   /** Near-dup pairs with 3-gram Jaccard >= 0.5, exact, via shared-shingle
@@ -349,7 +392,8 @@ object Dedup {
     * that lose every chunk (exact duplicates of earlier docs) disappear.
     * Output: (doc_id, n_kept, text).
     *
-    * Scale shape: two shuffles, both on the right keys — the
+    * Scale shape: two algorithmic shuffles (plus the chunk-expression
+    * materialization exchange below), both on the right keys — the
     * first-occurrence choice shuffles on the CHUNK (that key is what is
     * being deduplicated; `row_number = 1` plans as WindowGroupLimit, so
     * each map task pre-prunes to one candidate per chunk before the
@@ -669,6 +713,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_decontaminate" -> (dedupDecontaminate _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_fuzzy_names" -> (dedupFuzzyNames _),
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (dedupNearJaccard _),
@@ -683,6 +728,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_decontaminate" -> dedupDecontaminateSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_fuzzy_names" -> dedupFuzzyNamesSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_near_jaccard" -> dedupNearJaccardSql,

@@ -667,15 +667,24 @@ object TextAnalysis {
     * a local spillable sort. At 100 TB you'd raise the digit count
     * (256/4096 shards) — the same one-knob resize as shuffle partitions.
     */
-  def docShuffleShards(spark: SparkSession, dir: String): DataFrame = {
-    val dest = graft.sources.Formats.tmp("doc_shuffle", dir)
+  /** The write-side frame of [[docShuffleShards]] (shard assignment →
+    * one exchange → local sort), exposed so PlanDump can audit the plan
+    * that actually moves the data — the query entry returns only the
+    * post-write manifest. */
+  private[graft] def docShuffleAssigned(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
+      // the PAYLOAD rides the shuffle: a trainer reads documents, not
+      // ids — this is the honest cost of the epoch shuffle at 100 TB
+      .select(col("doc_id"), col("text"),
         md5(concat(col("doc_id").cast("string"), lit(":e0"))).as("sort_key"))
       .withColumn("shard",
         expr("CAST(instr('0123456789abcdef', substr(sort_key, 1, 1)) AS INT) - 1"))
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "sort_key")
+
+  def docShuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val dest = graft.sources.Formats.tmp("doc_shuffle", dir)
+    docShuffleAssigned(spark, dir)
       .write.mode("overwrite").partitionBy("shard").parquet(dest)
     spark.read.parquet(dest)
       .groupBy("shard")
@@ -699,6 +708,102 @@ object TextAnalysis {
       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
       |  min(sort_key) AS first_key, max(sort_key) AS last_key
       |FROM s GROUP BY shard""".stripMargin
+
+  /** End-to-end curation pipeline — the composition deliverable: the
+    * [[textQualityFilter]] gate, an English-only language filter (the
+    * [[textLangid]] decision rule restricted to its 'en' branch), and
+    * exact content dedup among the survivors (first occurrence by
+    * doc_id, as [[dedupExact]]), collapsed to the final per-source
+    * corpus statistics (docs kept, total tokens). Each stage reuses the
+    * exact expressions of its standalone query, so this is the proof
+    * that the stages COMPOSE — what a user actually runs over a crawl.
+    *
+    * Scale shape: the whole gate (quality features + language votes +
+    * content hash) is ONE codegen'd scan — per-row expressions, no
+    * joins, no exchange before the filter. The features are wrapped in
+    * `explode_outer(array(struct(…)))`: the Generate is a pushdown
+    * BARRIER — without it, PushPredicateThroughProject substitutes the
+    * feature definitions into the gate predicate and sinks it to the
+    * scan, re-inlining `graft_tokens(text)` 14× per row (FilterExec
+    * does not do common-subexpression elimination across short-circuit
+    * conjuncts; the Project feeding a Generate does). Documents that
+    * fail drop right above the scan; survivors enter the dedup shuffle
+    * as (hash, source, n_tokens) — bodies never leave the scan stage.
+    * Winner-per-hash is min(struct(doc_id, …)): partially aggregable,
+    * so map-side combine collapses most duplicates before the wire
+    * (struct buffers aren't UnsafeRow-mutable, so it plans as partial
+    * SortAggregate over a local spillable sort — the same adjudicated
+    * shape as maint_profile's string min/max); the per-source rollup is
+    * a second tiny exchange at source cardinality.
+    */
+  def curationE2e(spark: SparkSession, dir: String): DataFrame = {
+    CountIn.register(spark)
+    val gated = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        md5(Text.normalize(col("text"))).as("content_hash"),
+        Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("source"), col("content_hash"),
+        explode_outer(array(struct(
+          size(col("w")).cast("long").as("n_tokens"),
+          (length(array_join(col("w"), "")).cast("double") /
+            size(col("w")).cast("double")).as("avg_token_len"),
+          (size(array_distinct(col("w"))).cast("double") /
+            size(col("w")).cast("double")).as("distinct_ratio"),
+          hits(col("w"), StopEn).as("en_hits"), hits(col("w"), StopEs).as("es_hits"),
+          hits(col("w"), StopDe).as("de_hits"), hits(col("w"), StopFr).as("fr_hits"))))
+          .as("f"))
+      .filter(
+        col("f.n_tokens") >= 20 &&
+        col("f.avg_token_len") >= 2.0 && col("f.avg_token_len") <= 12.0 &&
+        (col("f.en_hits").cast("double") / col("f.n_tokens").cast("double")) >= 0.01 &&
+        col("f.distinct_ratio") >= 0.2 &&
+        // textLangid's 'en' branch: any votes at all, en wins precedence
+        (col("f.en_hits") + col("f.es_hits") + col("f.de_hits") + col("f.fr_hits")) > 0 &&
+        col("f.en_hits") >= col("f.es_hits") && col("f.en_hits") >= col("f.de_hits") &&
+        col("f.en_hits") >= col("f.fr_hits"))
+      .select(col("doc_id"), col("source"), col("content_hash"),
+        col("f.n_tokens").as("n_tokens"))
+    gated
+      .groupBy("content_hash")
+      // min over struct orders by field position; doc_id first makes it
+      // the unique winner — and the agg partially combines map-side
+      .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"))).as("win"))
+      .groupBy(col("win.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("win.n_tokens")).as("total_tokens"))
+  }
+
+  val curationE2eSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, source,
+      |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+      |    $TokSql AS w
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, source, content_hash,
+      |    CAST(len(w) AS BIGINT) AS n_tokens,
+      |    CAST(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS DOUBLE)
+      |      / CAST(len(w) AS DOUBLE) AS avg_token_len,
+      |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
+      |    CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
+      |    CAST(len(list_filter(w, t -> list_contains(['el','la','de','y','que'], t))) AS BIGINT) AS es_hits,
+      |    CAST(len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) AS BIGINT) AS de_hits,
+      |    CAST(len(list_filter(w, t -> list_contains(['le','la','de','et','les'], t))) AS BIGINT) AS fr_hits
+      |  FROM tok),
+      |gated AS (
+      |  SELECT * FROM f
+      |  WHERE n_tokens >= 20
+      |    AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+      |    AND CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.01
+      |    AND distinct_ratio >= 0.2
+      |    AND en_hits + es_hits + de_hits + fr_hits > 0
+      |    AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits),
+      |ded AS (
+      |  SELECT content_hash,
+      |    min_by(source, doc_id) AS source, min_by(n_tokens, doc_id) AS n_tokens
+      |  FROM gated GROUP BY 1)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM ded GROUP BY source""".stripMargin
 
   /** BM25 parameters — Robertson/Sparck Jones defaults; idf is the
     * Lucene `ln(1 + (N−df+0.5)/(df+0.5))` form, positive for any df. */
@@ -1045,6 +1150,7 @@ object TextAnalysis {
     "doc_stable_ids" -> (docStableIds _),
     "doc_pack_shards" -> (docPackShards _),
     "doc_shuffle_shards" -> (docShuffleShards _),
+    "curation_e2e" -> (curationE2e _),
     "text_bm25" -> (textBm25 _),
     "doc_sample_split" -> (docSampleSplit _),
     "text_repetition" -> (textRepetition _),
@@ -1074,6 +1180,7 @@ object TextAnalysis {
     "doc_stable_ids" -> docStableIdsSql,
     "doc_pack_shards" -> docPackShardsSql,
     "doc_shuffle_shards" -> docShuffleShardsSql,
+    "curation_e2e" -> curationE2eSql,
     "text_bm25" -> textBm25Sql,
     "doc_sample_split" -> docSampleSplitSql,
     "text_repetition" -> textRepetitionSql,
