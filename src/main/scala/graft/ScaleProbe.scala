@@ -37,7 +37,14 @@ object ScaleProbe {
       // similarity battery: the all-pairs brute force is the documented
       // O(N²) corner; the fixed-32-query batch twins contrast the exact
       // scan (∝ N) with the IVF scale path (∝ N/nlist · nprobe)
-      "ann_pairs_bruteforce", "ann_topk_batch", "ann_ivf_topk")
+      "ann_pairs_bruteforce", "ann_topk_batch", "ann_ivf_topk",
+      // round-6 additions: the 13-gram join is the same Σ docs-per-gram²
+      // family as the shingle join (13-grams collide only on true
+      // duplication, so far below the 3-gram corner); chunk dedup's
+      // window cost rides chunk-repeat frequency (boilerplate mass);
+      // survivors = the components fixpoint + the label anti-join, so
+      // its growth must track dedup_components, not exceed it
+      "dedup_ngram_exact", "dedup_chunks", "dedup_survivors")
 
   def main(args: Array[String]): Unit = {
     val dirs =
