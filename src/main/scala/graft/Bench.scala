@@ -35,6 +35,15 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
 
+    // Optional name filter for focused runs (comma-separated prefixes),
+    // e.g. SPARK_GRAFT_ONLY=stream_ times just the streaming battery.
+    // The driver never sets it, so the recorded BENCH_r{N} totals are
+    // always the full battery. Computed before the warmups so a filtered
+    // run can skip the warmup work its battery never needs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+
     // Warm the JVM/codegen once on the cheapest plan so the first timed
     // query doesn't absorb one-time session setup.
     SparkEntry.queries.get("q_topk").foreach(fn => runOne("warmup", fn))
@@ -74,19 +83,20 @@ object Bench {
     // streaming query happens to run first alphabetically. Per-plan
     // codegen is NOT warmed — each timed query still compiles its own
     // plan, exactly as a fresh deployment would.
-    try {
-      val warmDir = "/root/testdata/sf0.001"
+    if (selected.exists(_._1.startsWith("stream_"))) try {
+      // cheapest events table available: the sibling sf0.001 of the bench
+      // dir when it exists (a hardcoded /root path would silently no-op
+      // on any other checkout and hand the class-load cost back to the
+      // first timed streaming query), else the bench dir itself
+      val warmDir = {
+        val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+        Option(parent).map(_.resolve("sf0.001"))
+          .filter(java.nio.file.Files.isDirectory(_))
+          .map(_.toString).getOrElse(sfDir)
+      }
       SparkEntry.queries("stream_dedup")(spark, warmDir)
       SparkEntry.queries("stream_user_totals_tws")(spark, warmDir)
     } catch { case e: Throwable => System.err.println(s"[bench] streaming warmup failed: ${e.getMessage}") }
-
-    // Optional name filter for focused runs (comma-separated prefixes),
-    // e.g. SPARK_GRAFT_ONLY=stream_ times just the streaming battery.
-    // The driver never sets it, so the recorded BENCH_r{N} totals are
-    // always the full battery.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // SPARK_GRAFT_REPEAT=N times each selected query N times in ONE JVM
     // (pass index suffixed to the name) — separates one-time JVM/codegen
     // costs from steady-state query cost when attributing overhead.

@@ -64,7 +64,12 @@ object ScaleProbe {
       for (name <- Probes) {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dir)
-        val rows = df.count()
+        // toRdd.count() materializes the FULL output schema in one pass —
+        // a bare df.count() lets ColumnPruning drop exactly the expensive
+        // output expressions under scale test (dedup_chunks' reassembly
+        // aggregate, fuzzy_names' levenshtein projection), the same trap
+        // Bench's noop sink exists to avoid (Bench.scala:6-8)
+        val rows = df.queryExecution.toRdd.count()
         val sec = (System.nanoTime() - t0) / 1e9
         val extra =
           if (name == "dedup_components")

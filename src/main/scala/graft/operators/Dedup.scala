@@ -67,6 +67,15 @@ object Dedup {
 
   // ---- exact dedup --------------------------------------------------------
 
+  /** The one oracle-side definition of the content hash (the DuckDB twin
+    * of `md5(Text.normalize(text))`), interpolated by every dedup stage
+    * that must agree on what a duplicate is — dedupExact,
+    * dedupIncremental, and TextAnalysis.curationE2e. One definition, one
+    * edit if the normalization ever changes; three copies would let the
+    * hash-compatible stages silently drift apart. */
+  private[operators] val ContentHashSql: String =
+    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+
   /** Exact dedup: md5 over whitespace-normalized lowercase text; one
     * shuffle on the 128-bit content hash regardless of document size —
     * this is the 100 TB-safe shape (hash first, never compare bodies). */
@@ -77,7 +86,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
 
   val dedupExactSql: String =
-    """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+    s"""SELECT $ContentHashSql AS content_hash,
       |  count(*) AS n_docs, min(doc_id) AS keep_id
       |FROM documents GROUP BY 1""".stripMargin
 
@@ -113,9 +122,9 @@ object Dedup {
   }
 
   val dedupIncrementalSql: String =
-    """WITH h AS (
+    s"""WITH h AS (
       |  SELECT doc_id,
-      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash,
+      |    $ContentHashSql AS content_hash,
       |    substr(md5(CAST(doc_id AS VARCHAR) || ':snap'), 1, 1) < '8' AS existing
       |  FROM documents),
       |nb AS (

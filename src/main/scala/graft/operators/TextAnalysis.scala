@@ -30,6 +30,25 @@ object TextAnalysis {
   private def hits(toks: Column, words: Seq[String]): Column =
     call_function("count_in", toks, typedlit(words))
 
+  /** DuckDB list literal for a stopword list — derived from the same
+    * Seq the Spark side votes with, so the two engines can never
+    * disagree on a list's contents. */
+  private def listSql(ws: Seq[String]): String = ws.mkString("['", "','", "']")
+  private val StopEnSql = listSql(StopEn)
+  private val StopEsSql = listSql(StopEs)
+  private val StopDeSql = listSql(StopDe)
+  private val StopFrSql = listSql(StopFr)
+
+  /** Quality-gate thresholds — ONE definition shared by
+    * [[textQualityFilter]] and [[curationE2e]] (Scala and SQL sides of
+    * both), so tightening the standalone gate can never silently
+    * diverge from the composed pipeline. */
+  private val MinTokens = 20
+  private val MinAvgTokLen = 2.0
+  private val MaxAvgTokLen = 12.0
+  private val MinStopRatio = 0.01
+  private val MinDistinctRatio = 0.2
+
   // ---- quality scoring -----------------------------------------------------
 
   /** Per-document quality features: token counts, type/token ratio, mean
@@ -62,7 +81,7 @@ object TextAnalysis {
       |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
       |  CAST(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS DOUBLE)
       |    / CAST(len(w) AS DOUBLE) AS avg_token_len,
-      |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+      |  CAST(len(list_filter(w, t -> list_contains($StopEnSql, t))) AS DOUBLE)
       |    / CAST(len(w) AS DOUBLE) AS stop_ratio
       |FROM tok""".stripMargin
 
@@ -90,10 +109,10 @@ object TextAnalysis {
   val textLangidSql: String =
     s"""WITH tok AS (SELECT doc_id, $TokSql AS w FROM documents),
       |h AS (SELECT doc_id,
-      |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
-      |  CAST(len(list_filter(w, t -> list_contains(['el','la','de','y','que'], t))) AS BIGINT) AS es_hits,
-      |  CAST(len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) AS BIGINT) AS de_hits,
-      |  CAST(len(list_filter(w, t -> list_contains(['le','la','de','et','les'], t))) AS BIGINT) AS fr_hits
+      |  CAST(len(list_filter(w, t -> list_contains($StopEnSql, t))) AS BIGINT) AS en_hits,
+      |  CAST(len(list_filter(w, t -> list_contains($StopEsSql, t))) AS BIGINT) AS es_hits,
+      |  CAST(len(list_filter(w, t -> list_contains($StopDeSql, t))) AS BIGINT) AS de_hits,
+      |  CAST(len(list_filter(w, t -> list_contains($StopFrSql, t))) AS BIGINT) AS fr_hits
       |FROM tok)
       |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
       |  CASE WHEN en_hits + es_hits + de_hits + fr_hits = 0 THEN 'unknown'
@@ -126,10 +145,11 @@ object TextAnalysis {
           size(col("w")).cast("double")).as("distinct_ratio"))
       .select(
         col("doc_id"),
-        (col("n_tokens") >= 20).as("len_ok"),
-        (col("avg_token_len") >= 2.0 && col("avg_token_len") <= 12.0).as("tok_len_ok"),
-        (col("stop_ratio") >= 0.01).as("prose_ok"),
-        (col("distinct_ratio") >= 0.2).as("diversity_ok"))
+        (col("n_tokens") >= MinTokens).as("len_ok"),
+        (col("avg_token_len") >= MinAvgTokLen &&
+          col("avg_token_len") <= MaxAvgTokLen).as("tok_len_ok"),
+        (col("stop_ratio") >= MinStopRatio).as("prose_ok"),
+        (col("distinct_ratio") >= MinDistinctRatio).as("diversity_ok"))
       .withColumn("keep",
         col("len_ok") && col("tok_len_ok") && col("prose_ok") && col("diversity_ok"))
   }
@@ -140,17 +160,17 @@ object TextAnalysis {
       |  CAST(len(w) AS BIGINT) AS n_tokens,
       |  CAST(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS DOUBLE)
       |    / CAST(len(w) AS DOUBLE) AS avg_token_len,
-      |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS DOUBLE)
+      |  CAST(len(list_filter(w, t -> list_contains($StopEnSql, t))) AS DOUBLE)
       |    / CAST(len(w) AS DOUBLE) AS stop_ratio,
       |  CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio
       |FROM tok)
       |SELECT doc_id,
-      |  n_tokens >= 20 AS len_ok,
-      |  avg_token_len >= 2.0 AND avg_token_len <= 12.0 AS tok_len_ok,
-      |  stop_ratio >= 0.01 AS prose_ok,
-      |  distinct_ratio >= 0.2 AS diversity_ok,
-      |  (n_tokens >= 20 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
-      |   AND stop_ratio >= 0.01 AND distinct_ratio >= 0.2) AS keep
+      |  n_tokens >= $MinTokens AS len_ok,
+      |  avg_token_len >= $MinAvgTokLen AND avg_token_len <= $MaxAvgTokLen AS tok_len_ok,
+      |  stop_ratio >= $MinStopRatio AS prose_ok,
+      |  distinct_ratio >= $MinDistinctRatio AS diversity_ok,
+      |  (n_tokens >= $MinTokens AND avg_token_len >= $MinAvgTokLen AND avg_token_len <= $MaxAvgTokLen
+      |   AND stop_ratio >= $MinStopRatio AND distinct_ratio >= $MinDistinctRatio) AS keep
       |FROM f""".stripMargin
 
   // ---- token counting ------------------------------------------------------
@@ -753,10 +773,10 @@ object TextAnalysis {
           hits(col("w"), StopDe).as("de_hits"), hits(col("w"), StopFr).as("fr_hits"))))
           .as("f"))
       .filter(
-        col("f.n_tokens") >= 20 &&
-        col("f.avg_token_len") >= 2.0 && col("f.avg_token_len") <= 12.0 &&
-        (col("f.en_hits").cast("double") / col("f.n_tokens").cast("double")) >= 0.01 &&
-        col("f.distinct_ratio") >= 0.2 &&
+        col("f.n_tokens") >= MinTokens &&
+        col("f.avg_token_len") >= MinAvgTokLen && col("f.avg_token_len") <= MaxAvgTokLen &&
+        (col("f.en_hits").cast("double") / col("f.n_tokens").cast("double")) >= MinStopRatio &&
+        col("f.distinct_ratio") >= MinDistinctRatio &&
         // textLangid's 'en' branch: any votes at all, en wins precedence
         (col("f.en_hits") + col("f.es_hits") + col("f.de_hits") + col("f.fr_hits")) > 0 &&
         col("f.en_hits") >= col("f.es_hits") && col("f.en_hits") >= col("f.de_hits") &&
@@ -775,7 +795,7 @@ object TextAnalysis {
   val curationE2eSql: String =
     s"""WITH tok AS (
       |  SELECT doc_id, source,
-      |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+      |    ${Dedup.ContentHashSql} AS content_hash,
       |    $TokSql AS w
       |  FROM documents),
       |f AS (
@@ -784,17 +804,17 @@ object TextAnalysis {
       |    CAST(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS DOUBLE)
       |      / CAST(len(w) AS DOUBLE) AS avg_token_len,
       |    CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS distinct_ratio,
-      |    CAST(len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS BIGINT) AS en_hits,
-      |    CAST(len(list_filter(w, t -> list_contains(['el','la','de','y','que'], t))) AS BIGINT) AS es_hits,
-      |    CAST(len(list_filter(w, t -> list_contains(['der','die','und','das','ist'], t))) AS BIGINT) AS de_hits,
-      |    CAST(len(list_filter(w, t -> list_contains(['le','la','de','et','les'], t))) AS BIGINT) AS fr_hits
+      |    CAST(len(list_filter(w, t -> list_contains($StopEnSql, t))) AS BIGINT) AS en_hits,
+      |    CAST(len(list_filter(w, t -> list_contains($StopEsSql, t))) AS BIGINT) AS es_hits,
+      |    CAST(len(list_filter(w, t -> list_contains($StopDeSql, t))) AS BIGINT) AS de_hits,
+      |    CAST(len(list_filter(w, t -> list_contains($StopFrSql, t))) AS BIGINT) AS fr_hits
       |  FROM tok),
       |gated AS (
       |  SELECT * FROM f
-      |  WHERE n_tokens >= 20
-      |    AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
-      |    AND CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.01
-      |    AND distinct_ratio >= 0.2
+      |  WHERE n_tokens >= $MinTokens
+      |    AND avg_token_len >= $MinAvgTokLen AND avg_token_len <= $MaxAvgTokLen
+      |    AND CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= $MinStopRatio
+      |    AND distinct_ratio >= $MinDistinctRatio
       |    AND en_hits + es_hits + de_hits + fr_hits > 0
       |    AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits),
       |ded AS (

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -24,16 +25,16 @@ class ShuffleShardsSpec extends AnyFunSuite {
         ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
 
     val dest = Paths.get(Formats.tmp("doc_shuffle", TestSpark.Sf0001))
-    val shardDirs = Files.list(dest).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("shard=")).toSeq
+    val shardDirs = Using.resource(Files.list(dest))(_.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("shard=")).toSeq)
     assert(shardDirs.size === TextAnalysis.ShuffleShards)
 
     val hex = "0123456789abcdef"
     var total = 0L
     shardDirs.foreach { d =>
       val shard = d.getFileName.toString.stripPrefix("shard=").toInt
-      val parts = Files.list(d).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      val parts = Using.resource(Files.list(d))(_.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
       // repartition(shard) routes a whole shard to ONE task, so the
       // partitionBy write must leave exactly one file per shard dir
       assert(parts.size === 1, s"shard $shard split across ${parts.size} files")
