@@ -227,14 +227,17 @@ object Dedup {
     * JVM); within a JVM the test datasets are immutable.
     */
   private val componentsMaterialized =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Formats.tmp("dedup_cc", dir)
-    if (!componentsMaterialized.contains(dir)) {
+    // computeIfAbsent serializes concurrent callers on the same dataset
+    // (sbt runs test suites in parallel in one JVM) — exactly one
+    // fixpoint ever writes a given path
+    componentsMaterialized.computeIfAbsent(dir, { _ =>
       computeComponentLabels(spark, dir, out)
-      componentsMaterialized.add(dir)
-    }
+      java.lang.Boolean.TRUE
+    })
     spark.read.parquet(out)
   }
 
