@@ -593,6 +593,41 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q10-style (returned-item revenue): which customers returned
+    * the most value in a quarter — orders date-windowed at the scan,
+    * lineitem pre-filtered to returnflag='R' before its join, the
+    * customer and nation dimensions broadcast, revenue summed in the
+    * decimal domain (dsum6, the engine's order-independent exact form),
+    * top-20 via TakeOrderedAndProject. (c_custkey is in the grouping
+    * key, so (revenue DESC, c_custkey) is a total order — no limit-
+    * boundary ties.)
+    */
+  def qTpchQ10(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(dsum6(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  val qTpchQ10Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
   /** Minimum per-order quantity for [[qTpchQ18]]'s large-volume gate —
     * chosen so the HAVING filter is selective but non-empty at every
     * test scale factor (max per-order quantity in the synthetic data is
@@ -1168,6 +1203,7 @@ object Relational {
     "q_range_join_dense" -> (qRangeJoinDense _),
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
+    "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
@@ -1216,6 +1252,7 @@ object Relational {
     "q_range_join_dense" -> qRangeJoinDenseSql,
     "q_tpch_q3" -> qTpchQ3Sql,
     "q_tpch_q5" -> qTpchQ5Sql,
+    "q_tpch_q10" -> qTpchQ10Sql,
     "q_tpch_q18" -> qTpchQ18Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
