@@ -628,6 +628,43 @@ object Relational {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  /** TPC-H Q14-style (promo revenue share): the conditional-aggregate
+    * ratio — one quarter of lineitem joined to part, promo revenue vs
+    * total revenue as exact decimal sums, the percentage formed by
+    * double division of the two already-rounded sums (identical-operand
+    * IEEE math on both engines; a decimal÷decimal would hit the two
+    * engines' different result-scale rules). The date window reaches the
+    * lineitem scan; part is the broadcast side; output is one row, so
+    * the final exchange is a single-partition gather of two partial
+    * decimal sums.
+    */
+  def qTpchQ14(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-12-01").cast("timestamp"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dsum6(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum6(revenue).as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"))
+
+  val qTpchQ14Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+      |                     THEN l_extendedprice * (1.0 - l_discount)
+      |                     ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_rev,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+      |  100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+      |                     THEN l_extendedprice * (1.0 - l_discount)
+      |                     ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-12-01 00:00:00'""".stripMargin
+
   /** Minimum per-order quantity for [[qTpchQ18]]'s large-volume gate —
     * chosen so the HAVING filter is selective but non-empty at every
     * test scale factor (max per-order quantity in the synthetic data is
@@ -1204,6 +1241,7 @@ object Relational {
     "q_tpch_q3" -> (qTpchQ3 _),
     "q_tpch_q5" -> (qTpchQ5 _),
     "q_tpch_q10" -> (qTpchQ10 _),
+    "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
@@ -1253,6 +1291,7 @@ object Relational {
     "q_tpch_q3" -> qTpchQ3Sql,
     "q_tpch_q5" -> qTpchQ5Sql,
     "q_tpch_q10" -> qTpchQ10Sql,
+    "q_tpch_q14" -> qTpchQ14Sql,
     "q_tpch_q18" -> qTpchQ18Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
