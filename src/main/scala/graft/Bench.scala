@@ -103,18 +103,43 @@ object Bench {
     // Driver runs never set it.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption).getOrElse(1)
     val results = (1 to repeat).flatMap { pass =>
+      // The per-JVM scratch memos (near-dup pair join, component
+      // labels) would make pass >= 2 time a parquet re-read of pass 1's
+      // artifact instead of the operator — clear them so REPEAT
+      // separates what it exists to separate (one-time JVM/codegen cost
+      // vs steady-state operator cost).
+      if (pass > 1) graft.operators.Dedup.clearScratchMemos()
       val tag = if (repeat == 1) "" else s"#$pass"
       selected.map { case (n, f) => runOne(s"$n$tag", f) }
     }
+    // Host-steal self-diagnosis: this rig randomly smears single runs
+    // (BENCH_r06 recorded 18 s on a query whose focused median is
+    // 0.85 s), so re-run ONLY the queries that took > 3 s and report
+    // best-of-2 beside the single-pass numbers — a genuine cost stays
+    // put, a steal collapses, and the artifact adjudicates itself. The
+    // headline total stays single-pass for baseline comparability.
+    // Memos are cleared first so the memoized dedup family re-times the
+    // operator, not a parquet re-read of its own first pass.
+    val best2 = if (repeat == 1) {
+      val slow = results.collect { case (n, v, true) if v > 3.0 => (n, v) }
+      if (slow.nonEmpty) graft.operators.Dedup.clearScratchMemos()
+      slow.map { case (n, v1) =>
+        val (_, v2, ok) = runOne(n, SparkEntry.queries(n))
+        (n, if (ok) math.min(v1, v2) else v1)
+      }
+    } else Seq.empty
     val qs = results
       .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
+      .mkString("{", ",", "}")
+    val b2s = best2
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val totalStr = f"$total%.3f"
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"best_of2":$b2s,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

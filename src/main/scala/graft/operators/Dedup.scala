@@ -104,8 +104,10 @@ object Dedup {
     * content_hash: the within-batch groupBy and the against-corpus
     * anti-join share the same key, so the exchange is reused; at 100 TB
     * the index side is far too big to broadcast and the co-partitioned
-    * shuffle anti-join IS the plan. NOT-IN semantics are safe as a
-    * plain left_anti: md5 over non-null text is never NULL.
+    * shuffle anti-join IS the plan. The oracle is a correlated NOT
+    * EXISTS, which matches left_anti semantics EXACTLY even if a future
+    * dataset carries NULL text (a NULL-poisoned NOT IN would silently
+    * return zero rows where left_anti keeps the non-matching ones).
     */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val hashed = Tables.documents(spark, dir)
@@ -131,7 +133,8 @@ object Dedup {
       |  SELECT content_hash, min(doc_id) AS doc_id
       |  FROM h WHERE NOT existing GROUP BY 1)
       |SELECT doc_id, content_hash FROM nb
-      |WHERE content_hash NOT IN (SELECT content_hash FROM h WHERE existing)""".stripMargin
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM h WHERE existing AND h.content_hash = nb.content_hash)""".stripMargin
 
   // ---- n-gram Jaccard near-dup -------------------------------------------
 
@@ -225,9 +228,50 @@ object Dedup {
     * precedent as `Relational.ensureBucketedTables` and the binary
     * fixture. Cross-JVM runs always recompute (the memo dies with the
     * JVM); within a JVM the test datasets are immutable.
+    *
+    * SINGLE-PROCESS ASSUMPTION (shared by every `Formats.tmp` sink,
+    * incl. [[pairsMaterialized]] and the fmt_* round-trips): the
+    * fixed per-dataset scratch path serializes writers only WITHIN one
+    * JVM. Two concurrent JVMs pointed at the same `graft.scratch.dir`
+    * (e.g. `sbt test` alongside a manual Verify run) can overwrite a
+    * path the other is lazily reading. Run one graft JVM per scratch
+    * dir — or point concurrent runs at distinct `-Dgraft.scratch.dir`s.
     */
   private val componentsMaterialized =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Dataset dirs whose near-dup PAIR JOIN this JVM has already
+    * materialized at `Formats.tmp("dedup_pairs", dir)`. Same
+    * per-dataset pipeline-artifact reasoning as
+    * [[componentsMaterialized]]: the pair list is consumed by BOTH the
+    * pair query itself and the components fixpoint that seeds from it,
+    * so the corpus-scale shingle self-join (tokenize + shingle +
+    * candidate join — the heaviest exchange in the dedup family) is
+    * paid once per (JVM, dataset) instead of once per consumer. */
+  private val pairsMaterialized =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** [[dedupNearJaccard]] as the per-dataset materialized pair artifact
+    * — the form every downstream consumer reads. Parquet round-trips
+    * the (long, long, double) rows exactly, so the read-back is
+    * hash-identical to the live join. */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Formats.tmp("dedup_pairs", dir)
+    pairsMaterialized.computeIfAbsent(dir, { _ =>
+      dedupNearJaccard(spark, dir).write.mode("overwrite").parquet(out)
+      java.lang.Boolean.TRUE
+    })
+    spark.read.parquet(out)
+  }
+
+  /** Drops the per-JVM scratch memos (pair join + component labels) so
+    * the NEXT call recomputes from source — Bench calls this between
+    * SPARK_GRAFT_REPEAT passes so repeat timings measure the operator,
+    * not a parquet re-read of the first pass's artifact. */
+  def clearScratchMemos(): Unit = {
+    pairsMaterialized.clear()
+    componentsMaterialized.clear()
+  }
 
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Formats.tmp("dedup_cc", dir)
@@ -246,16 +290,17 @@ object Dedup {
     * per (JVM, dataset). */
   private def computeComponentLabels(
       spark: SparkSession, dir: String, out: String): Unit = {
-    val pairs = dedupNearJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     try {
-      // Materialize the CORPUS-SCALE pair join (tokenize + shingle +
-      // self-join — the heaviest exchange here) at the session's own
-      // shuffle partitioning BEFORE narrowing it for the rounds: edges
-      // is persisted lazily, and letting round 1 trigger it inside the
-      // 8-partition window would run the big join on 8 reducers.
+      // Trigger the pair-artifact materialization (a no-op when another
+      // consumer already paid it) at the session's own shuffle
+      // partitioning BEFORE narrowing for the rounds: nearDupPairs'
+      // first touch runs the corpus-scale shingle self-join, and
+      // letting round 1 trigger it lazily inside the 8-partition window
+      // would run that big join on 8 reducers.
       edges.count()
       // The propagation rounds shuffle the LABEL table (one row per doc
       // in any near-dup pair — orders of magnitude smaller than the
@@ -354,8 +399,8 @@ object Dedup {
     * member. The anti-join probes only (doc_id, lang, source); document
     * BODIES never enter the join (a 100 TB corpus anti-joins a few-GB
     * projection). AQE picks broadcast vs shuffle by the drop list's
-    * actual size. NOT-IN semantics are safe as a plain left_anti: the
-    * drop list is component labels over non-null ids — never NULL.
+    * actual size. The oracle is a correlated NOT EXISTS — the exact
+    * SQL twin of left_anti under NULLs (see dedupIncremental).
     * Within one JVM the labels come from the per-dataset materialization
     * [[dedupComponents]] maintains, so applying them never re-runs the
     * fixpoint the components query already paid for.
@@ -373,7 +418,9 @@ object Dedup {
     s"""WITH RECURSIVE $ComponentsCtesSql
       |SELECT d.doc_id, d.lang, d.source
       |FROM documents d
-      |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)""".stripMargin
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM comp
+      |  WHERE comp.doc_id = d.doc_id AND comp.doc_id <> comp.component)""".stripMargin
 
   // ---- exact n-gram overlap -----------------------------------------------
 
@@ -757,7 +804,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_fuzzy_names" -> (dedupFuzzyNames _),
     "dedup_exact" -> (dedupExact _),
-    "dedup_near_jaccard" -> (dedupNearJaccard _),
+    "dedup_near_jaccard" -> (nearDupPairs _),
     "dedup_components" -> (dedupComponents _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_ngram_exact" -> (dedupNgramExact _),

@@ -111,7 +111,7 @@ object StreamingWindows {
     * to its key cardinality, and the choice cannot change results, only
     * parallelism. */
   private def runToMemory(spark: SparkSession, df: DataFrame,
-      mode: String, prefix: String, watermarkFlush: Boolean = false): DataFrame = {
+      mode: String, prefix: String, watermarkFlush: Boolean = true): DataFrame = {
     // Sweep THIS query's earlier memory-sink tables before registering a
     // new one: the nanoTime-suffixed names otherwise accumulate temp
     // views (and their cached rows) without bound over a long session.
@@ -123,15 +123,17 @@ object StreamingWindows {
       .filter(t => t.isTemporary && own.pattern.matcher(t.name).matches())
       .foreach(t => spark.catalog.dropTempView(t.name))
     val tableName = s"${prefix}_${System.nanoTime()}"
-    // Terminal no-data micro-batch: only the append-mode eviction
-    // contracts (hourly_append, sessions_append) EMIT on the final
-    // watermark advance — they pass watermarkFlush=true. Every other
-    // query here emits in-batch (complete/update modes re-output per
-    // data batch; dedup, inner stream-stream join, fMGWS/TWS with
-    // NoTimeout/TimeMode.None emit as rows arrive), so the extra empty
-    // batch only re-runs the incremental plan and re-commits every
-    // state store for zero output rows — skipped. A production query
-    // with timers or held-back output keeps the default (true).
+    // Terminal no-data micro-batch: the default TRUE mirrors Spark's
+    // own safe default (noDataMicroBatches.enabled) — any query whose
+    // emission depends on the final watermark advance (append-mode
+    // eviction, timers, held-back output) gets it without remembering
+    // to ask. Queries that provably emit in-batch (complete/update
+    // modes re-output per data batch; dedup, inner stream-stream join,
+    // fMGWS/TWS with NoTimeout/TimeMode.None emit as rows arrive) OPT
+    // OUT with watermarkFlush=false at their call site, skipping an
+    // empty batch that would only re-run the incremental plan and
+    // re-commit every state store for zero output rows (measured:
+    // ~0.2-0.4 s per query at sf0.1, BASELINE.md §d).
     Tables.withConf(spark, "spark.sql.streaming.noDataMicroBatches.enabled",
         watermarkFlush.toString) {
       Tables.withShufflePartitions(spark, 8) {
@@ -161,7 +163,7 @@ object StreamingWindows {
   def streamHourly(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark,
       hourlyAgg(eventStream(spark, dir).withWatermark("ts", "365 days")),
-      "complete", "stream_hourly")
+      "complete", "stream_hourly", watermarkFlush = false)
 
   /** Tumbling windows on the PRODUCTION path: append mode with a real
     * 3-day watermark. Same probe-verified eviction contract as the
@@ -173,7 +175,7 @@ object StreamingWindows {
   def streamHourlyAppend(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark,
       hourlyAgg(eventStream(spark, dir).withWatermark("ts", "3 days")),
-      "append", "stream_hourly_append", watermarkFlush = true)
+      "append", "stream_hourly_append")
 
   val streamHourlyAppendSql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
@@ -195,7 +197,8 @@ object StreamingWindows {
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("n"))
-    runToMemory(spark, stream, "complete", "stream_sliding")
+    runToMemory(spark, stream, "complete", "stream_sliding",
+      watermarkFlush = false)
   }
 
   /** (user_id, exact integer cents) — the typed input both stateful
@@ -235,7 +238,8 @@ object StreamingWindows {
       }
       .toDF("user_id", "n_events", "val_sum")
 
-    runToMemory(spark, totals, "update", "stream_user_totals")
+    runToMemory(spark, totals, "update", "stream_user_totals",
+      watermarkFlush = false)
   }
 
   val streamUserTotalsSql: String =
@@ -296,7 +300,7 @@ object StreamingWindows {
 
   def streamSessions(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark, sessionAgg(eventStream(spark, dir)),
-      "complete", "stream_sessions")
+      "complete", "stream_sessions", watermarkFlush = false)
 
   /** The PRODUCTION sessionization path: `session_window` in APPEND mode
     * with a REAL watermark (3 days, well inside the events table's ~30-day
@@ -321,7 +325,7 @@ object StreamingWindows {
   def streamSessionsAppend(spark: SparkSession, dir: String): DataFrame =
     runToMemory(spark,
       sessionAgg(eventStream(spark, dir).withWatermark("ts", "3 days")),
-      "append", "stream_sessions_append", watermarkFlush = true)
+      "append", "stream_sessions_append")
 
   /** Batch twin of the append-mode emission: sessions whose window end
     * (last event + gap) is at-or-before the final watermark
@@ -366,7 +370,8 @@ object StreamingWindows {
         .transformWithState(new RunningTotalsProcessor,
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "n_events", "val_sum")
-      runToMemory(spark, totals, "update", "stream_user_totals_tws")
+      runToMemory(spark, totals, "update", "stream_user_totals_tws",
+        watermarkFlush = false)
     }
   }
 
@@ -414,7 +419,8 @@ object StreamingWindows {
           expr("timestamp_micros(start_us)")).as("sess_start"),
         col("n_events"),
         expr("dur_us div 1000000").as("dur_sec"))
-    runToMemory(spark, sessions, "append", "stream_sessions_stateful")
+    runToMemory(spark, sessions, "append", "stream_sessions_stateful",
+      watermarkFlush = false)
   }
 
   /** Streaming DEDUPLICATION — the at-least-once-delivery compaction every
@@ -440,7 +446,8 @@ object StreamingWindows {
         col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
       .select(col("user_id"), col("event_type"), col("day"))
-    runToMemory(spark, deduped, "append", "stream_dedup")
+    runToMemory(spark, deduped, "append", "stream_dedup",
+      watermarkFlush = false)
   }
 
   val streamDedupSql: String =
@@ -472,7 +479,8 @@ object StreamingWindows {
                 p_ts <= c_ts + INTERVAL 1 HOUR"""))
       .select(col("click_id"), col("purchase_id"), col("c_uid").as("user_id"),
         expr("unix_micros(p_ts) - unix_micros(c_ts)").as("lag_us"))
-    runToMemory(spark, joined, "append", "stream_stream_join")
+    runToMemory(spark, joined, "append", "stream_stream_join",
+      watermarkFlush = false)
   }
 
   /** Streaming CDC APPLY — `foreachBatch` folding each micro-batch's
@@ -555,7 +563,8 @@ object StreamingWindows {
       .groupBy(col("n_name"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         graft.functions.Exact.dsum(col("value")).as("val_sum"))
-    runToMemory(spark, enriched, "complete", "stream_enrich")
+    runToMemory(spark, enriched, "complete", "stream_enrich",
+      watermarkFlush = false)
   }
 
   val streamEnrichSql: String =
@@ -598,7 +607,8 @@ object StreamingWindows {
         .transformWithState(new RetentionProcessor,
           TimeMode.None(), OutputMode.Append())
         .toDF("cohort", "offset_days")
-      runToMemory(spark, pairs, "append", "stream_retention_tws")
+      runToMemory(spark, pairs, "append", "stream_retention_tws",
+        watermarkFlush = false)
         .groupBy("cohort", "offset_days")
         .agg(count(lit(1)).as("users"))
         .select(
