@@ -713,6 +713,102 @@ object Relational {
       |GROUP BY 1, 2, 3
       |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 100""".stripMargin
 
+  /** TPC-H Q13-style (customer order-count distribution): the LEFT OUTER
+    * join with a FILTERED JOIN CONDITION followed by an aggregate OF an
+    * aggregate. The orders-side-only predicate (here on o_orderpriority —
+    * the synthetic tables carry no o_comment) lives in the join's ON
+    * clause, so customers whose every order fails it still appear with
+    * c_count = 0 — filtering AFTER the join would silently drop them,
+    * which is the semantic this query pins. `count(o_orderkey)` counts
+    * only matched rows (COUNT of a nullable attribute, not COUNT(*)).
+    * Scale shape: the outer join shuffles on the customer key; the
+    * second aggregate groups a customer-cardinality input down to a few
+    * dozen distinct counts — a cheap two-phase hash agg. (custdist DESC,
+    * c_count DESC) is a total order because c_count is the grouping key.
+    */
+  def qTpchQ13(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  val qTpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) pc
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q21-style (waiting-supplier ranking): the multi-way
+    * CORRELATED EXISTS / NOT EXISTS stack against the SAME fact table —
+    * lineitem appears three times (the probe l1 plus the l2 EXISTS and
+    * l3 NOT EXISTS witnesses), expressed as a left-semi and a left-anti
+    * join with a non-equi residual (`l_suppkey <> witness suppkey`) on
+    * top of the orderkey equi-key. "Flagged" stands in for the
+    * reference benchmark's late-receipt predicate (the synthetic
+    * lineitem has no receipt/commit dates): a supplier is reported when
+    * its item is flagged 'R' in a completed multi-supplier order where
+    * NO OTHER supplier's item is flagged. Scale shape: the selective
+    * dimension gate (one nation, 1/25 of suppliers) broadcasts and
+    * prunes the probe side FIRST, the order-status gate semi-joins on
+    * the order key, and only then do the two witness scans shuffle —
+    * both on the same l_orderkey key, so AQE coalesces them into the
+    * probe's exchange layout. (numwait DESC, s_name ASC) is a total
+    * order because s_name is the grouping key.
+    */
+  def qTpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    val flaggedSuppliers = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val l1 = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(broadcast(flaggedSuppliers), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val l2 = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("w_orderkey"), col("l_suppkey").as("w_suppkey"))
+    val l3 = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("w_orderkey"), col("l_suppkey").as("w_suppkey"))
+    l1
+      .join(l2, col("l_orderkey") === col("w_orderkey") &&
+        col("l_suppkey") =!= col("w_suppkey"), "left_semi")
+      .join(l3, col("l_orderkey") === col("w_orderkey") &&
+        col("l_suppkey") =!= col("w_suppkey"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
+  val qTpchQ21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON s_suppkey = l1.l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_3'
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey
+      |                AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
+
   // ---- grouping sets / set ops ------------------------------------------
 
   /** ROLLUP over the region→nation hierarchy. Expressed through
@@ -1243,6 +1339,8 @@ object Relational {
     "q_tpch_q10" -> (qTpchQ10 _),
     "q_tpch_q14" -> (qTpchQ14 _),
     "q_tpch_q18" -> (qTpchQ18 _),
+    "q_tpch_q13" -> (qTpchQ13 _),
+    "q_tpch_q21" -> (qTpchQ21 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_null_fns" -> (qNullFns _),
@@ -1293,6 +1391,8 @@ object Relational {
     "q_tpch_q10" -> qTpchQ10Sql,
     "q_tpch_q14" -> qTpchQ14Sql,
     "q_tpch_q18" -> qTpchQ18Sql,
+    "q_tpch_q13" -> qTpchQ13Sql,
+    "q_tpch_q21" -> qTpchQ21Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
     "q_null_fns" -> qNullFnsSql,

@@ -201,6 +201,37 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("relational: Q13 keeps zero-order customers (left-outer + ON-clause filter)") {
+    // sf0.01, not the suite's default sf0.001: the discriminating row —
+    // a customer whose EVERY order is urgent — first appears at sf0.01
+    // (at sf0.001 all customers have a non-urgent order, so the outer
+    // join is vacuously identical to the inner one)
+    val d = TestSpark.Sf001
+    val rows = Relational.qTpchQ13(spark, d).collect()
+    // sum(custdist) over the distribution is EVERY customer — an inner
+    // join (or filtering after the join) would drop customers whose
+    // every order is urgent, shrinking the sum
+    val total = graft.engine.Tables.customer(spark, d).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    // the c_count=0 bucket exists: some customer has only urgent orders,
+    // so this corpus actually exercises the outer-join edge
+    assert(rows.exists(_.getLong(0) === 0L))
+  }
+
+  test("relational: Q21 reports only sole-flagged suppliers of the gated nation") {
+    val natSupp = graft.engine.Tables.supplier(spark, dir)
+      .join(graft.engine.Tables.nation(spark, dir)
+          .filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name").collect().map(_.getString(0)).toSet
+    val rows = Relational.qTpchQ21(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(natSupp.contains(r.getString(0))))
+    val waits = rows.map(_.getLong(1))
+    assert(waits.forall(_ > 0L))
+    assert(waits.zip(waits.tail).forall { case (a, b) => a >= b })
+  }
+
   test("similarity: LSH top-1 neighbours share a (table, bucket)") {
     val buckets = Similarity.lshBuckets(spark, dir)
       .collect()

@@ -19,6 +19,7 @@ object TestSpark {
   }
 
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf001 = "/root/testdata/sf0.01"
 
   def corpusDir: String =
     getClass.getResource("/tiny_corpus").getPath
