@@ -44,7 +44,14 @@ object ScaleProbe {
       // window cost rides chunk-repeat frequency (boilerplate mass);
       // survivors = the components fixpoint + the label anti-join, so
       // its growth must track dedup_components, not exceed it
-      "dedup_ngram_exact", "dedup_chunks", "dedup_survivors")
+      "dedup_ngram_exact", "dedup_chunks", "dedup_survivors",
+      // round-7 additions: the two composites the r6 verdict flagged as
+      // never probed (curation_e2e = gate scan + dedup agg + stratified
+      // split; dedup_incremental = within-batch dedup + hash-index
+      // anti-join — both must stay ~linear), and the semantic
+      // cluster-then-prune dedup whose work is P²N²/2k ≈ P²·N^1.5 with
+      // k ≈ √N — the sub-quadratic claim this probe exists to check
+      "curation_e2e", "dedup_incremental", "dedup_semantic")
 
   def main(args: Array[String]): Unit = {
     val dirs =
@@ -88,6 +95,18 @@ object ScaleProbe {
       val hit = exact.intersect(ivf).count()
       val total = exact.count()
       println(f"""{"probe":"ann_ivf_recall_at_10","dir":"$dir","recall":${hit.toDouble / total}%.3f}""")
+      // Semantic-dedup quality at this scale: pair recall of the
+      // cluster-then-prune path against the exact all-pairs twin (the
+      // sims are bit-identical by construction — DedupSemanticSpec pins
+      // the subset — so recall is the only degree of freedom, and it
+      // must be re-measured where k has grown with √N).
+      val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
+        .select("vec_a", "vec_b")
+      val semPairs = SparkEntry.queries("dedup_semantic")(spark, dir)
+        .select("vec_a", "vec_b")
+      val semHit = exactPairs.intersect(semPairs).count()
+      val semTotal = exactPairs.count()
+      println(f"""{"probe":"dedup_semantic_pair_recall","dir":"$dir","recall":${semHit.toDouble / semTotal}%.3f}""")
     }
     spark.stop()
   }

@@ -57,6 +57,7 @@ object SparkEntry {
     "ann_lsh_top1",         // AnnRecallSpec: recall@1 >= 0.9
     "ann_ivf_top1",         // AnnRecallSpec: recall@1 >= 0.9
     "ann_ivf_topk",         // AnnRecallSpec: batch recall@10 >= 0.9
+    "dedup_semantic",       // DedupSemanticSpec: subset of exact twin + recall floor
     "q_approx_distinct",    // ApproxDistinctSpec: HLL++ error bound
     "q_approx_percentiles", // GK sketch — ApproxDistinctSpec bound
     "text_heavy_hitters",   // Misra–Gries — superset+bound spec

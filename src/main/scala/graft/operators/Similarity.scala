@@ -346,7 +346,7 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long], Long)]]()
 
   private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] =
-    ivfIndex.computeIfAbsent(dir, _ => buildIvfCentroids(spark, dir))
+    ivfIndex.computeIfAbsent(dir, _ => buildCentroids(spark, dir, IvfClusters))
 
   /** Deterministic sampled-centroid quantizer: a hash-ordered sample of
     * ≤`IvfSampleRows` vectors (one small Spark job, bounded driver
@@ -361,7 +361,8 @@ object Similarity {
     * Euclidean k-means on raw vectors ranks by a metric the search
     * doesn't use (measured: ~5 pts of recall@nprobe on this corpus).
     */
-  private def buildIvfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] = {
+  private def buildCentroids(spark: SparkSession, dir: String,
+      kTarget: Int): Array[(Int, Array[Long], Long)] = {
     import spark.implicits._
     def unit(x: Array[Double]): Array[Double] = {
       val n = math.sqrt(x.map(v => v * v).sum)
@@ -375,7 +376,7 @@ object Similarity {
       .collect()
       .map(e => unit(e.map(_.toDouble)))
     require(sample.nonEmpty, s"no embeddings to index at $dir")
-    val k = math.min(IvfClusters, sample.length)
+    val k = math.min(kTarget, sample.length)
     val dim = sample.head.length
     var cents = Array.tabulate(k)(i => sample(i).clone())
     for (_ <- 0 until IvfIters) {
@@ -568,6 +569,118 @@ object Similarity {
       .filter(col("rk") <= 10)
   }
 
+  // ---- semantic dedup (cluster-then-prune — the 100 TB embedding path) ----
+
+  /** Probed clusters per vector for [[dedupSemantic]]. Fixed and SMALL on
+    * purpose: candidate work is P²·N²/(2k), so with k ≈ √N the ratio to
+    * the brute-force pair space is P²/√N — shrinking as the corpus
+    * grows. Scaling P with k would cancel exactly that advantage. */
+  val SemProbes = 4
+
+  /** Cluster count for semantic dedup: k ≈ √N keeps inverted lists at
+    * ~√N vectors so per-cluster all-pairs work is ~N per cluster — the
+    * standard IVF sizing rule, here applied to pair pruning. (The IVF
+    * ANN queries keep their fixed small k: their cost driver is probe
+    * fan-out per QUERY, not pair volume per cluster.) */
+  private def semClusterCount(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  private val semIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long], Long)]]()
+
+  private def semCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] =
+    semIndex.computeIfAbsent(dir, _ => {
+      val n = Tables.embeddings(spark, dir).count()
+      buildCentroids(spark, dir, semClusterCount(n))
+    })
+
+  /** Semantic (embedding-cluster) near-dup pairs — the bucketed
+    * cluster-then-prune twin of [[annPairsBruteforce]]'s tiled all-pairs
+    * scan (registered as `dedup_embedding_cosine`), the shape that
+    * survives 100 TB: each vector is assigned to its [[SemProbes]]
+    * nearest of ~√N spherical-k-means centroids, candidates shuffle ONCE
+    * on cluster id, and exact quantized cosine is computed only WITHIN a
+    * cluster's inverted list by the same primitive loop the IVF rerank
+    * uses. A pair that shares several probed clusters is emitted once
+    * per shared cluster with BIT-IDENTICAL sim (integer dot + one IEEE
+    * divide), so the closing `distinct` is exact, not a tolerance hack.
+    *
+    * Precision is 1 by construction — every emitted pair carries its
+    * exactly-computed sim and the same 0.35 threshold as the exact twin,
+    * so output ⊆ exact output (DedupSemanticSpec pins the subset).
+    * Recall is the multi-probe collision rate: a pair is found iff the
+    * two probe sets intersect. THIS corpus is deliberately isotropic
+    * (every near-dup pair sits at cos 0.35–0.5, 60–69° apart — there is
+    * no cluster structure to exploit, same adversarial corner as the
+    * IVF recall note above), so measured recall is ~0.9 at the gate
+    * scale and degrades slowly as k grows with N; on a real corpus,
+    * semantic duplicates live at cos ≥ 0.9 where both sides' nearest
+    * centroids agree and recall approaches 1 with P=1. The spec pins
+    * the measured floor; ScaleProbe re-measures it at sf1 next to the
+    * sub-quadratic growth claim.
+    *
+    * At 100 TB: centroids are a bounded driver-side build (offline in a
+    * real deployment), assignment is one codegen-adjacent partition-local
+    * pass, and the only exchange carries P rows per vector keyed by
+    * cluster — work P²N²/2k ≈ P²·N^1.5 with the k ≈ √N sizing, vs N²/2
+    * for the exact twin. Hash-family/k-means-init dependent → rows-only
+    * for the oracle, like the LSH/IVF queries.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bcCents = spark.sparkContext.broadcast(semCentroids(spark, dir))
+    val probesN = SemProbes
+    val probed = quantizedPlain(spark, dir).as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.flatMap { case (id, qe, nsq) =>
+          val scored = cs.map { case (ci, qc, qcn) =>
+            var dot = 0L
+            var i = 0
+            val n = math.min(qe.length, qc.length)
+            while (i < n) { dot += qe(i) * qc(i); i += 1 }
+            (qcn - 2L * dot, ci) // |c|²-2x·c: cosine order, unit centroids
+          }.sorted
+          scored.iterator.take(probesN).map { case (_, c) => (c, id, qe, nsq) }
+        }
+      }
+    probed
+      .toDF("cluster", "vec_id", "qe", "nsq")
+      .repartition(col("cluster")) // whole inverted lists per partition
+      .as[(Int, Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        import scala.collection.mutable
+        val lists = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
+        it.foreach { case (c, id, qe, nsq) =>
+          lists.getOrElseUpdate(c, mutable.ArrayBuffer.empty) += ((id, qe, nsq))
+        }
+        lists.iterator.flatMap { case (_, ms) =>
+          val arr = ms.toArray
+          (0 until arr.length).iterator.flatMap { i =>
+            val (ida, qa, na) = arr(i)
+            (i + 1 until arr.length).iterator.flatMap { j =>
+              val (idb, qb, nb) = arr(j)
+              // zero-norm vectors: cosine undefined (0/0) — skip, matching
+              // the exact twin's behavior (its sim is NaN ≱ 0.35)
+              if (ida == idb || na == 0L || nb == 0L) Iterator.empty
+              else {
+                var dot = 0L
+                var x = 0
+                val n = math.min(qa.length, qb.length)
+                while (x < n) { dot += qa(x) * qb(x); x += 1 }
+                val sim = dot.toDouble / math.sqrt((na * nb).toDouble)
+                if (sim >= 0.35)
+                  Iterator.single((math.min(ida, idb), math.max(ida, idb), sim))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+      .toDF("vec_a", "vec_b", "sim")
+      .distinct()
+  }
+
   // ---- registry ------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -580,7 +693,8 @@ object Similarity {
     "dedup_embedding_cosine" -> (annPairsBruteforce _),
     "ann_lsh_top1" -> (annLshTop1 _),
     "ann_ivf_top1" -> (annIvfTop1 _),
-    "ann_ivf_topk" -> (annIvfTopkBatch _))
+    "ann_ivf_topk" -> (annIvfTopkBatch _),
+    "dedup_semantic" -> (dedupSemantic _))
 
   val oracles: Map[String, String] = Map(
     "ann_topk_bruteforce" -> annTopkBruteforceSql,
