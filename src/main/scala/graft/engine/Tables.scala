@@ -54,25 +54,45 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long via
-    * the legacy flag and convert ns→µs with integer division (`div` —
-    * float division would lose precision past 2^53), matching DuckDB's
-    * own ns→µs truncation so oracle timestamps compare equal.
+  /** Normalize `events.ts` to a session-zone TIMESTAMP whatever the
+    * on-disk encoding. The generator has shipped two encodings across
+    * data refreshes, and planted spec fixtures use a third-equivalent:
+    *  - INT64 TIMESTAMP(NANOS), surfaced as a raw long under the
+    *    `nanosAsLong` legacy flag (Spark rejects the type outright
+    *    otherwise, [PARQUET_TYPE_ILLEGAL]) → convert ns→µs with integer
+    *    division (`div` — float division would lose precision past 2^53),
+    *    matching DuckDB's own ns→µs truncation so oracle timestamps
+    *    compare equal;
+    *  - TIMESTAMP(MICROS) without a UTC flag, surfaced as TIMESTAMP_NTZ
+    *    → cast to TIMESTAMP, a pure reinterpretation of the same wall
+    *    clock under the pinned UTC session zone — identical micros, and
+    *    identical to what DuckDB sees as a naive timestamp.
+    * Dispatching on the OBSERVED type (not the expected one) keeps every
+    * events consumer — batch, streaming, SQL views — working across data
+    * refreshes without a code change.
     */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
+
+  /** Events loader: raw parquet read + [[normalizeEventTs]]. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(load(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` works too.
-    * `events` must route through its typed accessor — a raw `load`
-    * registers the INT64 TIMESTAMP(NANOS) parquet that Spark's reader
-    * rejects at scan time, so any SQL touching the view would throw
-    * [PARQUET_TYPE_ILLEGAL]. */
+    * `events` must route through its typed accessor so every SQL consumer
+    * sees the normalized session-zone `ts` (and, under the legacy nanos
+    * encoding, doesn't hit [PARQUET_TYPE_ILLEGAL] at scan time). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach {
       case "events" => events(spark, dir).createOrReplaceTempView("events")

@@ -257,20 +257,22 @@ object StreamingWindows {
 
   /** The raw events file as a stream — shared by every streaming query.
     * Schema must be supplied for file streams; reuse the batch reader's
-    * (ts arrives as raw nanos long — see Tables.events — and is converted
-    * after read, cached per dir via [[eventSchemaCache]]). File streams
-    * want a directory; the testdata dir holds one parquet FILE per
-    * table, so stream the directory with a glob.
+    * (cached per dir via [[eventSchemaCache]]). `ts` arrives in whatever
+    * encoding the data refresh used (raw nanos long or TIMESTAMP_NTZ) and
+    * is normalized to session-zone TIMESTAMP by the same dispatch the
+    * batch loader uses — see Tables.normalizeEventTs. File streams want a
+    * directory; the testdata dir holds one parquet FILE per table, so
+    * stream the directory with a glob.
     */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventSchemaCache.computeIfAbsent(dir,
       d => spark.read.parquet(s"$d/events.parquet").schema)
-    spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.engine.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Streaming twin of Events.eventsSessions: MERGING session windows
