@@ -809,6 +809,192 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name ASC LIMIT 100""".stripMargin
 
+  /** TPC-H Q6-style (forecast revenue change): the pure SCAN-SIDE query —
+    * every predicate (ship-date window, discount band, quantity cap) is a
+    * pushable parquet filter over native columns, so the whole plan is one
+    * filtered columnar scan feeding a two-phase decimal sum: no join, no
+    * wide exchange, final gather of 32 partial sums. At 100 TB this is the
+    * shape that proves pushdown works end-to-end — the scan reads 4 of
+    * lineitem's 11 columns (ReadSchema) and row groups outside the date
+    * window never leave parquet (PushedFilters min/max pruning). Both
+    * engines compare the same stored doubles against the same literals, so
+    * the band edges agree bit-for-bit.
+    */
+  def qTpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(dsum6(col("l_extendedprice") * col("l_discount")).as("revenue"))
+
+  val qTpchQ6Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7-style (volume shipping): the DISJUNCTIVE TWO-NATION join —
+    * the same dimension table joins the pipeline twice under different
+    * roles (supplier nation vs customer nation), with an OR-of-ANDs
+    * predicate across the two roles. Scale shape: each role is
+    * pre-filtered to the two named nations BEFORE touching a fact table
+    * (the broadcast inner joins prune supplier and customer to 2/25 of
+    * their rows, which then prunes lineitem/orders at their join), and
+    * only the residual disjunction — excluding the two same-nation
+    * combinations — runs after. Filtering the dims first turns a predicate
+    * Catalyst cannot split across the OR into two cheap semi-filters plus
+    * a tiny residual; the year split is a group key, not a shuffle-width
+    * risk (2 nations × 2 years of output).
+    */
+  def qTpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val tradeNations = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(tradeNations: _*))
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(tradeNations: _*))
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    Tables.supplier(spark, dir)
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(Tables.lineitem(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum6(revenue).as("revenue"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
+  }
+
+  val qTpchQ7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM supplier
+      |JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin
+
+  /** TPC-H Q8-style (national market share): the CONDITIONAL-SHARE-OF-
+    * TOTAL ratio over a six-table join — what fraction of a region's
+    * ECONOMY-part import volume came from one supplier nation, per order
+    * year. The nation table again plays two roles: a semi-join gate
+    * (customer's nation must sit in AMERICA — reduced to a broadcast key
+    * set before the fact joins) and an attribute provider (supplier
+    * nation feeds the CASE). Both sums aggregate in the decimal domain
+    * and the share is formed by double division of the two
+    * already-rounded sums (identical-operand IEEE math on both engines —
+    * the Q14 rule). p_type and the date window prune part and orders at
+    * their scans; every dimension broadcasts; the only wide exchanges
+    * are the two fact⋈fact joins.
+    */
+  def qTpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val amNationKeys = Tables.nation(spark, dir)
+      .join(broadcast(
+          Tables.region(spark, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("am_nkey"))
+    val suppNation = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(amNationKeys), col("c_nationkey") === col("am_nkey"),
+        "left_semi")
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        dsum6(when(col("supp_nation") === "NATION_6", revenue)
+          .otherwise(lit(0.0))).as("nation_rev"),
+        dsum6(revenue).as("total_rev"))
+      .select(col("o_year"), col("nation_rev"), col("total_rev"),
+        (col("nation_rev") / col("total_rev")).as("mkt_share"))
+      .orderBy(col("o_year").asc)
+  }
+
+  val qTpchQ8Sql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_6'
+      |                     THEN l_extendedprice * (1.0 - l_discount)
+      |                     ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS nation_rev,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev,
+      |  CAST(sum(CAST(CASE WHEN n2.n_name = 'NATION_6'
+      |                     THEN l_extendedprice * (1.0 - l_discount)
+      |                     ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE p_type = 'ECONOMY'
+      |  AND r_name = 'AMERICA'
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY 1
+      |ORDER BY o_year ASC""".stripMargin
+
+  /** TPC-H Q17-style (small-quantity-order revenue): the CORRELATED
+    * AGGREGATE SUBQUERY — each row compares against an aggregate of its
+    * own group (quantity below half the part's average). Spark-first
+    * form: compute the per-part threshold as a standalone aggregate and
+    * join it back, which decorrelates the subquery into one extra
+    * aggregation plus a broadcast-able join (the threshold table has one
+    * row per qualifying part — always dimension-sized). Restricting both
+    * legs to the brand's parts FIRST is semantics-preserving (the
+    * correlation key is the part) and keeps the aggregate over 1/25 of
+    * lineitem. l_quantity values are small integers stored as doubles, so
+    * avg = exact-integer-sum / count is deterministic IEEE on both
+    * engines; the final money sum goes through dsum and the /7.0 is
+    * identical-operand double division (the Q14 rule).
+    */
+  def qTpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    val brandLines = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val caps = brandLines
+      .groupBy(col("l_partkey").as("cap_partkey"))
+      .agg((lit(0.5) * avg(col("l_quantity"))).as("qty_cap"))
+    brandLines
+      .join(broadcast(caps), col("l_partkey") === col("cap_partkey"))
+      .filter(col("l_quantity") < col("qty_cap"))
+      .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  val qTpchQ17Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem l
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND l_quantity < (
+      |    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
   // ---- grouping sets / set ops ------------------------------------------
 
   /** ROLLUP over the region→nation hierarchy. Expressed through
@@ -1341,6 +1527,10 @@ object Relational {
     "q_tpch_q18" -> (qTpchQ18 _),
     "q_tpch_q13" -> (qTpchQ13 _),
     "q_tpch_q21" -> (qTpchQ21 _),
+    "q_tpch_q6" -> (qTpchQ6 _),
+    "q_tpch_q7" -> (qTpchQ7 _),
+    "q_tpch_q8" -> (qTpchQ8 _),
+    "q_tpch_q17" -> (qTpchQ17 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_null_fns" -> (qNullFns _),
@@ -1393,6 +1583,10 @@ object Relational {
     "q_tpch_q18" -> qTpchQ18Sql,
     "q_tpch_q13" -> qTpchQ13Sql,
     "q_tpch_q21" -> qTpchQ21Sql,
+    "q_tpch_q6" -> qTpchQ6Sql,
+    "q_tpch_q7" -> qTpchQ7Sql,
+    "q_tpch_q8" -> qTpchQ8Sql,
+    "q_tpch_q17" -> qTpchQ17Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
     "q_null_fns" -> qNullFnsSql,
