@@ -99,14 +99,27 @@ object ScaleProbe {
       // cluster-then-prune path against the exact all-pairs twin (the
       // sims are bit-identical by construction — DedupSemanticSpec pins
       // the subset — so recall is the only degree of freedom, and it
-      // must be re-measured where k has grown with √N).
+      // must be re-measured where k has grown with √N). Stratified by
+      // cosine band: overall recall on this isotropic corpus decays
+      // ~P²/k by design (see the operator doc), while the per-band
+      // numbers measure the operational claim — the closer the pair,
+      // the likelier its probe sets collide — which is why the operator
+      // is the high-threshold (real-duplicate) path, not a substitute
+      // for the exact twin at isotropic thresholds.
       val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
-        .select("vec_a", "vec_b")
+        .select("vec_a", "vec_b", "sim")
       val semPairs = SparkEntry.queries("dedup_semantic")(spark, dir)
         .select("vec_a", "vec_b")
-      val semHit = exactPairs.intersect(semPairs).count()
-      val semTotal = exactPairs.count()
-      println(f"""{"probe":"dedup_semantic_pair_recall","dir":"$dir","recall":${semHit.toDouble / semTotal}%.3f}""")
+      for ((band, lo, hi) <- Seq(("all", 0.35, 2.0), ("lo", 0.35, 0.42),
+          ("hi", 0.42, 2.0))) {
+        import org.apache.spark.sql.functions.col
+        val inBand = exactPairs
+          .filter(col("sim") >= lo && col("sim") < hi).select("vec_a", "vec_b")
+        val hitN = inBand.intersect(semPairs).count()
+        val totalN = inBand.count()
+        if (totalN > 0)
+          println(f"""{"probe":"dedup_semantic_pair_recall","dir":"$dir","band":"$band","lo":$lo,"hi":$hi,"n":$totalN,"recall":${hitN.toDouble / totalN}%.3f}""")
+      }
     }
     spark.stop()
   }

@@ -612,12 +612,22 @@ object Similarity {
     * two probe sets intersect. THIS corpus is deliberately isotropic
     * (every near-dup pair sits at cos 0.35–0.5, 60–69° apart — there is
     * no cluster structure to exploit, same adversarial corner as the
-    * IVF recall note above), so measured recall is ~0.9 at the gate
-    * scale and degrades slowly as k grows with N; on a real corpus,
-    * semantic duplicates live at cos ≥ 0.9 where both sides' nearest
-    * centroids agree and recall approaches 1 with P=1. The spec pins
-    * the measured floor; ScaleProbe re-measures it at sf1 next to the
-    * sub-quadratic growth claim.
+    * IVF recall note above), and on such weakly-correlated directions
+    * the collision rate is ≈ 1−(1−P/k)^P ≈ P²/k, so recall DECAYS
+    * ~1/√N as k grows with √N — measured: ≥0.85 at sf0.001 (the spec
+    * floor, k=15), 0.77 at sf0.1 (k=45), 0.44 at sf1 (k=142). That
+    * decay is the designed trade, not a defect: holding recall flat on
+    * an isotropic corpus requires P² ∝ k, which algebraically cancels
+    * the entire P²N²/2k advantage — low-cosine isotropic pairs are
+    * indistinguishable from non-pairs without near-exhaustive probing.
+    * The operational claim is different and measured separately:
+    * WITHIN each scale, recall rises with the pair's cosine
+    * (ScaleProbe's stratified bands), because closer directions agree
+    * on their nearest centroids more often — and real semantic
+    * duplicates live at cos ≥ 0.9, where both sides' top centroid
+    * coincides and recall approaches 1 with P=1. Use this operator for
+    * high-threshold semantic dedup; use the exact tiled twin (or LSH)
+    * when the threshold must reach down into the isotropic band.
     *
     * At 100 TB: centroids are a bounded driver-side build (offline in a
     * real deployment), assignment is one codegen-adjacent partition-local
