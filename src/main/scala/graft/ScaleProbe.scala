@@ -120,6 +120,40 @@ object ScaleProbe {
         if (totalN > 0)
           println(f"""{"probe":"dedup_semantic_pair_recall","dir":"$dir","band":"$band","lo":$lo,"hi":$hi,"n":$totalN,"recall":${hitN.toDouble / totalN}%.3f}""")
       }
+      // The OPERATIONAL regime, measured rather than argued: plant true
+      // semantic duplicates (1% of vectors copied with a small
+      // perturbation → cos ≈ 0.99, the neighborhood real duplicate
+      // embeddings live in) into this corpus and measure how many
+      // planted pairs the cluster-then-prune path recovers. The
+      // isotropic bands above are the adversarial floor; this is the
+      // number a user deduplicating actual near-copies sees. Fully
+      // deterministic: vec_id-keyed selection and per-id seeded noise.
+      {
+        import org.apache.spark.sql.functions.{col, max => fmax}
+        import spark.implicits._
+        val emb = graft.engine.Tables.embeddings(spark, dir)
+        val maxId = emb.agg(fmax("vec_id")).first().getLong(0)
+        val dups = emb.filter(col("vec_id") % 100 === 0)
+          .select("vec_id", "embedding", "label")
+          .as[(Long, Seq[Float], Int)]
+          .map { case (id, e, lab) =>
+            val rnd = new java.util.Random(id)
+            val d = e.length
+            val noisy = e.map(x =>
+              x + 0.15f * rnd.nextGaussian().toFloat / math.sqrt(d.toDouble).toFloat)
+            val n = math.sqrt(noisy.map(x => x.toDouble * x).sum)
+            (maxId + 1 + id, noisy.map(x => (x / n).toFloat), lab)
+          }
+          .toDF("vec_id", "embedding", "label")
+        val plantedDir = s"/root/repo/target/planted_${new java.io.File(dir).getName}"
+        emb.select("vec_id", "embedding", "label").union(dups)
+          .write.mode("overwrite").parquet(s"$plantedDir/embeddings.parquet")
+        val nPlanted = dups.count()
+        val found = SparkEntry.queries("dedup_semantic")(spark, plantedDir)
+          .filter(col("vec_b") > maxId && col("vec_a") === col("vec_b") - (maxId + 1))
+          .count()
+        println(f"""{"probe":"dedup_semantic_planted_dup_recall","dir":"$dir","n":$nPlanted,"recall":${found.toDouble / nPlanted}%.3f}""")
+      }
     }
     spark.stop()
   }

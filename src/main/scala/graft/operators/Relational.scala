@@ -995,6 +995,62 @@ object Relational {
       |    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
       |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  /** The three (brand, max size, quantity band) disjuncts of
+    * [[qTpchQ19]] — one place so the Spark plan and the derived
+    * single-side envelopes can't drift apart. */
+  private val Q19Bands: Seq[(String, Int, Int, Int)] = Seq(
+    ("Brand#12", 15, 1, 11),
+    ("Brand#23", 25, 10, 20),
+    ("Brand#3", 35, 20, 30))
+
+  /** TPC-H Q19-style (discounted revenue): the DISJUNCTIVE CROSS-SIDE
+    * predicate — three OR'd conjunctions each mixing part attributes
+    * (brand, size band) with lineitem attributes (quantity band). Two
+    * pushdown layers cooperate here, both visible in the plan dump:
+    * Catalyst itself PROJECTS the disjunction onto each join side
+    * (extractPredicatesWithinOutputSet — the pushed `Or(And(...))` of
+    * quantity bands on the lineitem scan and of brand/size conjuncts on
+    * the part scan), and the authored single-side ENVELOPES (`p_brand
+    * IN` + size cap, overall quantity range) ride along as the coarse
+    * min/max-friendly form that parquet row-group statistics can
+    * actually evaluate (a nested Or-of-And is pushed but stats-prunes
+    * poorly; a plain range prunes row groups). The envelopes are
+    * implied by the disjunction, so results are identical to the raw
+    * OR form the oracle runs; the full disjunction stays as the join
+    * residual. Part side broadcasts; one row out.
+    */
+  def qTpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Q19Bands.map(_._1)
+    val qtyLo = Q19Bands.map(_._3).min
+    val qtyHi = Q19Bands.map(_._4).max
+    val sizeHi = Q19Bands.map(_._2).max
+    val residual = Q19Bands
+      .map { case (b, szHi, qLo, qHi) =>
+        col("p_brand") === b && col("p_size").between(1, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      }
+      .reduce(_ || _)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").between(qtyLo, qtyHi))
+      .join(broadcast(Tables.part(spark, dir)
+          .filter(col("p_brand").isin(brands: _*) &&
+            col("p_size").between(1, sizeHi))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(residual)
+      .agg(dsum6(revenue).as("revenue"))
+  }
+
+  val qTpchQ19Sql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   // ---- grouping sets / set ops ------------------------------------------
 
   /** ROLLUP over the region→nation hierarchy. Expressed through
@@ -1531,6 +1587,7 @@ object Relational {
     "q_tpch_q7" -> (qTpchQ7 _),
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q17" -> (qTpchQ17 _),
+    "q_tpch_q19" -> (qTpchQ19 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_null_fns" -> (qNullFns _),
@@ -1587,6 +1644,7 @@ object Relational {
     "q_tpch_q7" -> qTpchQ7Sql,
     "q_tpch_q8" -> qTpchQ8Sql,
     "q_tpch_q17" -> qTpchQ17Sql,
+    "q_tpch_q19" -> qTpchQ19Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
     "q_null_fns" -> qNullFnsSql,
