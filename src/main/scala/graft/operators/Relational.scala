@@ -995,6 +995,55 @@ object Relational {
       |    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
       |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin
 
+  /** TPC-H Q15-style (top supplier): SELECT-THE-MAX-OF-AN-AGGREGATE —
+    * revenue per supplier over a quarter, then the supplier(s) whose
+    * total equals the global max. Scale shape: the per-supplier
+    * aggregate shuffles the date-pruned fact slice on l_suppkey down to
+    * a dimension-sized table; the global max is a one-row
+    * re-aggregation of THAT table, broadcast back as an equality
+    * filter; the supplier dimension broadcasts for the name lookup.
+    * Ties at the max all emit (TPC-H semantics) and are deterministic
+    * because revenue is an exact decimal sum — equality against the max
+    * is well-defined, which a floating-point sum could not guarantee
+    * across partition orders. The revenue aggregate appears twice in
+    * the DataFrame graph (max branch + probe branch) and IS evaluated
+    * twice — verified in the executed plan: AQE does not cross-reuse
+    * the exchange between the broadcast build and the probe stage. That
+    * duplicate is the price of staying pure-declarative, and it is
+    * bounded: both evaluations scan only the pushed-filter quarter
+    * slice. TPC-H itself defines revenue0 as a pre-created VIEW; a
+    * recurring production deployment would materialize it once per run
+    * (the per-dataset scratch pattern the dedup family uses) and read
+    * it twice for free.
+    */
+  def qTpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum6(revenue).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev
+      .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  val qTpchQ15Sql: String =
+    """WITH revenue0 AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
+      |ORDER BY s_suppkey ASC""".stripMargin
+
   /** The three (brand, max size, quantity band) disjuncts of
     * [[qTpchQ19]] — one place so the Spark plan and the derived
     * single-side envelopes can't drift apart. */
@@ -1588,6 +1637,7 @@ object Relational {
     "q_tpch_q8" -> (qTpchQ8 _),
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q19" -> (qTpchQ19 _),
+    "q_tpch_q15" -> (qTpchQ15 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_null_fns" -> (qNullFns _),
@@ -1645,6 +1695,7 @@ object Relational {
     "q_tpch_q8" -> qTpchQ8Sql,
     "q_tpch_q17" -> qTpchQ17Sql,
     "q_tpch_q19" -> qTpchQ19Sql,
+    "q_tpch_q15" -> qTpchQ15Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
     "q_null_fns" -> qNullFnsSql,

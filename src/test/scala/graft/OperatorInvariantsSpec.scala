@@ -232,6 +232,26 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(waits.zip(waits.tail).forall { case (a, b) => a >= b })
   }
 
+  test("relational: Q15 emits exactly the argmax suppliers of the quarter's revenue") {
+    // independent recomputation of per-supplier revenue via a different
+    // route (SQL over the registered views), then compare the argmax set
+    graft.engine.Tables.registerAll(spark, dir)
+    val rev = spark.sql(
+      """SELECT l_suppkey,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS r
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY l_suppkey""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = rev.values.max
+    val want = rev.collect { case (k, v) if v == best => k }.toSet
+    val got = Relational.qTpchQ15(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.keySet === want, "argmax supplier set diverges")
+    got.values.foreach(v => assert(v === best))
+  }
+
   test("similarity: LSH top-1 neighbours share a (table, bucket)") {
     val buckets = Similarity.lshBuckets(spark, dir)
       .collect()
