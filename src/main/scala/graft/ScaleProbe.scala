@@ -106,17 +106,23 @@ object ScaleProbe {
       // the likelier its probe sets collide — which is why the operator
       // is the high-threshold (real-duplicate) path, not a substitute
       // for the exact twin at isotropic thresholds.
+      // Both pair sets are corpus-bounded (≤ ~0.5 M (long,long) rows at
+      // sf1) — collect ONCE and stratify driver-side, instead of
+      // re-evaluating the O(N²) brute-force scan and the full
+      // cluster-then-prune per band (6×/3× redundant distributed runs).
       val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
         .select("vec_a", "vec_b", "sim")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
       val semPairs = SparkEntry.queries("dedup_semantic")(spark, dir)
         .select("vec_a", "vec_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       for ((band, lo, hi) <- Seq(("all", 0.35, 2.0), ("lo", 0.35, 0.42),
           ("hi", 0.42, 2.0))) {
-        import org.apache.spark.sql.functions.col
-        val inBand = exactPairs
-          .filter(col("sim") >= lo && col("sim") < hi).select("vec_a", "vec_b")
-        val hitN = inBand.intersect(semPairs).count()
-        val totalN = inBand.count()
+        val inBand = exactPairs.collect {
+          case (p, sim) if sim >= lo && sim < hi => p
+        }
+        val hitN = inBand.count(semPairs.contains)
+        val totalN = inBand.length
         if (totalN > 0)
           println(f"""{"probe":"dedup_semantic_pair_recall","dir":"$dir","band":"$band","lo":$lo,"hi":$hi,"n":$totalN,"recall":${hitN.toDouble / totalN}%.3f}""")
       }
@@ -145,14 +151,20 @@ object ScaleProbe {
             (maxId + 1 + id, noisy.map(x => (x / n).toFloat), lab)
           }
           .toDF("vec_id", "embedding", "label")
-        val plantedDir = s"/root/repo/target/planted_${new java.io.File(dir).getName}"
+        // key the scratch dir by the FULL source path (sanitized), not
+        // its basename — two arg dirs with equal basenames would
+        // otherwise share one scratch path while the per-dir caches
+        // (semIndex) keep centroids from whichever corpus wrote first
+        val plantedDir = "/root/repo/target/planted_" +
+          new java.io.File(dir).getCanonicalPath.replaceAll("[^A-Za-z0-9._-]", "_")
         emb.select("vec_id", "embedding", "label").union(dups)
           .write.mode("overwrite").parquet(s"$plantedDir/embeddings.parquet")
         val nPlanted = dups.count()
         val found = SparkEntry.queries("dedup_semantic")(spark, plantedDir)
           .filter(col("vec_b") > maxId && col("vec_a") === col("vec_b") - (maxId + 1))
           .count()
-        println(f"""{"probe":"dedup_semantic_planted_dup_recall","dir":"$dir","n":$nPlanted,"recall":${found.toDouble / nPlanted}%.3f}""")
+        if (nPlanted > 0)
+          println(f"""{"probe":"dedup_semantic_planted_dup_recall","dir":"$dir","n":$nPlanted,"recall":${found.toDouble / nPlanted}%.3f}""")
       }
     }
     spark.stop()

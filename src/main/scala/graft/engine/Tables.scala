@@ -73,11 +73,23 @@ object Tables {
     */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case LongType =>
+        // Per-row magnitude dispatch between the two plausible raw-long
+        // encodings, so a future refresh to epoch-MICROS longs cannot
+        // silently produce ~1970 timestamps: nanos for any date past
+        // 1973 exceed 1e17, micros stay below it until year ~5138.
+        // Branchless in codegen; zero extra scans.
+        df.withColumn("ts",
+          expr("timestamp_micros(CASE WHEN abs(ts) > 100000000000000000 " +
+            "THEN ts div 1000 ELSE ts END)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — extend " +
+          "Tables.normalizeEventTs for the new encoding (failing loudly " +
+          "beats silently propagating a misread timestamp)")
     }
   }
 

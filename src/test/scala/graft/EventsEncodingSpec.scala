@@ -15,9 +15,18 @@ import graft.streaming.StreamingWindows
   * TIMESTAMP_NTZ) — and the round-7 refresh's switch to the latter
   * broke every events consumer at analysis time until the loader
   * dispatched on the observed type. This spec plants the SAME logical
-  * events in both encodings and asserts batch and streaming consumers
-  * produce identical results, so the next refresh (either direction)
-  * fails here instead of in the driver's correctness gate.
+  * events in three encodings — raw nanos long, raw MICROS long (the
+  * magnitude-dispatch arm), and TIMESTAMP_NTZ — and asserts batch and
+  * streaming consumers produce identical row MULTISETS, so the next
+  * refresh fails here instead of in the driver's correctness gate.
+  *
+  * Known limitation: Spark cannot WRITE annotated INT64
+  * TIMESTAMP(NANOS) parquet, so the raw-long fixture exercises the
+  * LongType dispatch arm but not the nanosAsLong legacy-flag read
+  * surface itself (the part that throws [PARQUET_TYPE_ILLEGAL]
+  * without the flag). If a refresh returns to annotated nanos and a
+  * Spark upgrade changes that flag's behavior, the driver gate — not
+  * this spec — is the detector.
   */
 class EventsEncodingSpec extends AnyFunSuite {
 
@@ -39,41 +48,63 @@ class EventsEncodingSpec extends AnyFunSuite {
   private lazy val nanosDir: String =
     TestSpark.plantParquetFile(rowsDF, "events.parquet")
 
+  /** ts as a plain int64 MICROS column — the magnitude-dispatch arm
+    * (a plausible future refresh the normalizer must not read as
+    * ~1970 by blindly dividing by 1000). */
+  private lazy val microsLongDir: String =
+    TestSpark.plantParquetFile(
+      rowsDF.withColumn("ts", expr("ts div 1000")), "events.parquet")
+
   /** ts as TIMESTAMP_NTZ micros — the refreshed encoding. The LTZ→NTZ
     * cast reinterprets the same wall clock under the UTC session zone,
-    * so both dirs hold identical logical timestamps. */
+    * so all dirs hold identical logical timestamps. */
   private lazy val ntzDir: String =
     TestSpark.plantParquetFile(
       rowsDF.withColumn("ts",
         expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")),
       "events.parquet")
 
-  test("loader normalizes both encodings to the same TIMESTAMP column") {
+  private def allDirs = Seq(nanosDir, microsLongDir, ntzDir)
+
+  /** Row multiset (row → count) — a plain Set would mask an encoding
+    * bug that changes row multiplicity without changing the set. */
+  private def multiset(rows: Array[org.apache.spark.sql.Row]) =
+    rows.map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+
+  test("loader normalizes all encodings to the same TIMESTAMP column") {
     val spark = TestSpark.spark
-    for (dir <- Seq(nanosDir, ntzDir)) {
+    for (dir <- allDirs) {
       val dt = Tables.events(spark, dir).schema("ts").dataType
       assert(dt === org.apache.spark.sql.types.TimestampType,
         s"ts not normalized to TIMESTAMP under $dir")
     }
+    // and the normalized instants are the planted ones, not ~1970
+    val years = Tables.events(spark, microsLongDir)
+      .select(expr("year(ts)")).collect().map(_.getInt(0)).distinct
+    assert(years.toSeq === Seq(2024), s"micros-long arm misread: $years")
   }
 
-  test("batch consumers see identical rows under both encodings") {
+  test("batch consumers see identical rows under all encodings") {
     val spark = TestSpark.spark
     for (name <- Seq("events_hourly", "events_json_kv", "events_sessions")) {
-      val a = Events.queries(name)(spark, nanosDir).collect().map(_.toSeq).toSet
-      val b = Events.queries(name)(spark, ntzDir).collect().map(_.toSeq).toSet
-      assert(a === b, s"$name diverges across ts encodings")
-      assert(a.nonEmpty, s"$name vacuous on planted data")
+      val ref = multiset(Events.queries(name)(spark, nanosDir).collect())
+      assert(ref.nonEmpty, s"$name vacuous on planted data")
+      for (dir <- Seq(microsLongDir, ntzDir)) {
+        val got = multiset(Events.queries(name)(spark, dir).collect())
+        assert(got === ref, s"$name diverges across ts encodings ($dir)")
+      }
     }
   }
 
-  test("streaming consumers see identical rows under both encodings") {
+  test("streaming consumers see identical rows under all encodings") {
     val spark = TestSpark.spark
-    val a = StreamingWindows.queries("stream_hourly")(spark, nanosDir)
-      .collect().map(_.toSeq).toSet
-    val b = StreamingWindows.queries("stream_hourly")(spark, ntzDir)
-      .collect().map(_.toSeq).toSet
-    assert(a === b, "stream_hourly diverges across ts encodings")
-    assert(a.nonEmpty, "stream_hourly vacuous on planted data")
+    val ref = multiset(
+      StreamingWindows.queries("stream_hourly")(spark, nanosDir).collect())
+    assert(ref.nonEmpty, "stream_hourly vacuous on planted data")
+    for (dir <- Seq(microsLongDir, ntzDir)) {
+      val got = multiset(
+        StreamingWindows.queries("stream_hourly")(spark, dir).collect())
+      assert(got === ref, s"stream_hourly diverges across ts encodings ($dir)")
+    }
   }
 }
