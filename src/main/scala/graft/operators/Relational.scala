@@ -1044,6 +1044,53 @@ object Relational {
       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue0)
       |ORDER BY s_suppkey ASC""".stripMargin
 
+  /** TPC-H Q22-style (global-sales opportunity): the SCALAR-THRESHOLD +
+    * ANTI-JOIN composite — wealthy (above-global-average balance)
+    * customers with NO urgent order, totaled per nation. (The synthetic
+    * corpus has no c_phone and every customer has orders, so the
+    * reference's phone-prefix gate and bare NOT EXISTS are adapted to a
+    * nation grouping and an urgent-order anti-join — same shapes, data
+    * that actually exercises them: 5/75/937 qualifying customers at
+    * sf0.001/0.01/0.1.) Scale shape: the global average reduces to ONE
+    * broadcast row (never a per-row subquery), its threshold prunes
+    * customer BEFORE the anti-join; the anti-join ships only the
+    * urgent-filtered (o_custkey) key column; nation broadcasts. The
+    * average is formed as exact-decimal-sum ÷ count in double — the
+    * one deterministic form both engines compute bit-identically, where
+    * a native double avg would be partition-order-dependent and could
+    * flip boundary customers.
+    */
+  def qTpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val custs = Tables.customer(spark, dir)
+    val avgBal = custs.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    custs
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("n_name").asc)
+  }
+
+  val qTpchQ22Sql: String =
+    """SELECT n_name, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_acctbal > (
+      |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY n_name
+      |ORDER BY n_name ASC""".stripMargin
+
   /** The three (brand, max size, quantity band) disjuncts of
     * [[qTpchQ19]] — one place so the Spark plan and the derived
     * single-side envelopes can't drift apart. */
@@ -1638,6 +1685,7 @@ object Relational {
     "q_tpch_q17" -> (qTpchQ17 _),
     "q_tpch_q19" -> (qTpchQ19 _),
     "q_tpch_q15" -> (qTpchQ15 _),
+    "q_tpch_q22" -> (qTpchQ22 _),
     "q_stats_agg" -> (qStatsAgg _),
     "q_global_sort" -> (qGlobalSort _),
     "q_null_fns" -> (qNullFns _),
@@ -1696,6 +1744,7 @@ object Relational {
     "q_tpch_q17" -> qTpchQ17Sql,
     "q_tpch_q19" -> qTpchQ19Sql,
     "q_tpch_q15" -> qTpchQ15Sql,
+    "q_tpch_q22" -> qTpchQ22Sql,
     "q_stats_agg" -> qStatsAggSql,
     "q_global_sort" -> qGlobalSortSql,
     "q_null_fns" -> qNullFnsSql,
