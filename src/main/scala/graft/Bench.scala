@@ -17,6 +17,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // legacy annotated INT64 TIMESTAMP(NANOS) testdata encodings scan-fail
+      // without this flag; set once at session build (never in accessors)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()

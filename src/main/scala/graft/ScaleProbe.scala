@@ -62,6 +62,9 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // legacy annotated INT64 TIMESTAMP(NANOS) testdata encodings scan-fail
+      // without this flag; set once at session build (never in accessors)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
@@ -151,20 +154,29 @@ object ScaleProbe {
             (maxId + 1 + id, noisy.map(x => (x / n).toFloat), lab)
           }
           .toDF("vec_id", "embedding", "label")
-        // key the scratch dir by the FULL source path (sanitized), not
-        // its basename — two arg dirs with equal basenames would
-        // otherwise share one scratch path while the per-dir caches
-        // (semIndex) keep centroids from whichever corpus wrote first
+        // key the scratch dir by a HASH of the canonical source path —
+        // collision-FREE, unlike character sanitization, which can map
+        // two distinct dirs (/a/b vs /a_b) to one scratch path that the
+        // per-dir centroid cache (semIndex, keyed by the path string)
+        // would then serve stale centroids for — and delete it when the
+        // probe ends so repeated probe runs don't accumulate corpora
         val plantedDir = "/root/repo/target/planted_" +
-          new java.io.File(dir).getCanonicalPath.replaceAll("[^A-Za-z0-9._-]", "_")
-        emb.select("vec_id", "embedding", "label").union(dups)
-          .write.mode("overwrite").parquet(s"$plantedDir/embeddings.parquet")
-        val nPlanted = dups.count()
-        val found = SparkEntry.queries("dedup_semantic")(spark, plantedDir)
-          .filter(col("vec_b") > maxId && col("vec_a") === col("vec_b") - (maxId + 1))
-          .count()
-        if (nPlanted > 0)
-          println(f"""{"probe":"dedup_semantic_planted_dup_recall","dir":"$dir","n":$nPlanted,"recall":${found.toDouble / nPlanted}%.3f}""")
+          java.security.MessageDigest.getInstance("SHA-256")
+            .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString
+        try {
+          emb.select("vec_id", "embedding", "label").union(dups)
+            .write.mode("overwrite").parquet(s"$plantedDir/embeddings.parquet")
+          val nPlanted = dups.count()
+          val found = SparkEntry.queries("dedup_semantic")(spark, plantedDir)
+            .filter(col("vec_b") > maxId && col("vec_a") === col("vec_b") - (maxId + 1))
+            .count()
+          if (nPlanted > 0)
+            println(f"""{"probe":"dedup_semantic_planted_dup_recall","dir":"$dir","n":$nPlanted,"recall":${found.toDouble / nPlanted}%.3f}""")
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(plantedDir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
       }
     }
     spark.stop()

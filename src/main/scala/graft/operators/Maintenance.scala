@@ -210,9 +210,18 @@ object Maintenance {
       min("l_partkey"), max("l_partkey"),
       min("l_shipdate"), max("l_shipdate")).collect()(0)
     val (pkMin, pkMax) = (b.getLong(0), b.getLong(1))
-    // l_shipdate is TIMESTAMP_NTZ → external class java.time.LocalDateTime
-    val (dtMin, dtMax) = (b.getAs[java.time.LocalDateTime](2),
-      b.getAs[java.time.LocalDateTime](3))
+    // l_shipdate is session-zone TIMESTAMP after Tables.conform
+    // (java.sql.Timestamp externally; UTC is pinned) — accept the NTZ
+    // external class too so this helper doesn't care which encoding a
+    // data refresh shipped
+    def toLdt(v: Any): java.time.LocalDateTime = v match {
+      case t: java.sql.Timestamp =>
+        t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      case d: java.time.LocalDateTime => d
+      case other => throw new IllegalStateException(
+        s"l_shipdate bound of unsupported external class: $other")
+    }
+    val (dtMin, dtMax) = (toLdt(b.get(2)), toLdt(b.get(3)))
     val pkNorm = (col("l_partkey") - lit(pkMin)) * lit(65535L) /
       lit(math.max(1L, pkMax - pkMin))
     // Span must use the SAME day arithmetic as the per-row datediff

@@ -1005,23 +1005,25 @@ object Relational {
     * Ties at the max all emit (TPC-H semantics) and are deterministic
     * because revenue is an exact decimal sum — equality against the max
     * is well-defined, which a floating-point sum could not guarantee
-    * across partition orders. The revenue aggregate appears twice in
-    * the DataFrame graph (max branch + probe branch) and IS evaluated
-    * twice — verified in the executed plan: AQE does not cross-reuse
-    * the exchange between the broadcast build and the probe stage. That
-    * duplicate is the price of staying pure-declarative, and it is
-    * bounded: both evaluations scan only the pushed-filter quarter
-    * slice. TPC-H itself defines revenue0 as a pre-created VIEW; a
-    * recurring production deployment would materialize it once per run
-    * (the per-dataset scratch pattern the dedup family uses) and read
-    * it twice for free.
+    * across partition orders. TPC-H defines revenue0 as a pre-created
+    * VIEW read by both the max branch and the probe branch; expressed
+    * as one DataFrame graph it would be EVALUATED twice (verified in
+    * the executed plan: AQE does not cross-reuse the exchange between
+    * the broadcast build and the probe stage), so revenue0 is
+    * materialized once per call to the per-dataset scratch — the same
+    * pattern every Formats round-trip uses — and both branches read
+    * the supplier-dimension-sized parquet. The quarter-slice fact scan
+    * now happens exactly once; the double round-trips bit-exactly.
     */
   def qTpchQ15(spark: SparkSession, dir: String): DataFrame = {
-    val rev = Tables.lineitem(spark, dir)
+    val dest = graft.sources.Formats.tmp("tpch_q15_rev0", dir)
+    Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(dsum6(revenue).as("total_revenue"))
+      .write.mode("overwrite").parquet(dest)
+    val rev = spark.read.parquet(dest)
     val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev
       .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))

@@ -658,36 +658,51 @@ object Similarity {
       }
     probed
       .toDF("cluster", "vec_id", "qe", "nsq")
-      .repartition(col("cluster")) // whole inverted lists per partition
+      // ONE exchange on cluster id; the local sort costs no shuffle and
+      // lets the pair loop stream cluster-by-cluster, so peak executor
+      // memory is the single LARGEST inverted list — not the sum of all
+      // lists co-resident in a partition, which under skewed centroid
+      // assignment (real corpora cluster; only this synthetic one is
+      // isotropic) could be the whole partition
+      .repartition(col("cluster"))
+      .sortWithinPartitions("cluster")
       .as[(Int, Long, Array[Long], Long)]
       .mapPartitions { it =>
-        import scala.collection.mutable
-        val lists = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
-        it.foreach { case (c, id, qe, nsq) =>
-          lists.getOrElseUpdate(c, mutable.ArrayBuffer.empty) += ((id, qe, nsq))
-        }
-        lists.iterator.flatMap { case (_, ms) =>
-          val arr = ms.toArray
-          (0 until arr.length).iterator.flatMap { i =>
-            val (ida, qa, na) = arr(i)
-            (i + 1 until arr.length).iterator.flatMap { j =>
-              val (idb, qb, nb) = arr(j)
-              // zero-norm vectors: cosine undefined (0/0) — skip, matching
-              // the exact twin's behavior (its sim is NaN ≱ 0.35)
-              if (ida == idb || na == 0L || nb == 0L) Iterator.empty
-              else {
-                var dot = 0L
-                var x = 0
-                val n = math.min(qa.length, qb.length)
-                while (x < n) { dot += qa(x) * qb(x); x += 1 }
-                val sim = dot.toDouble / math.sqrt((na * nb).toDouble)
-                if (sim >= 0.35)
-                  Iterator.single((math.min(ida, idb), math.max(ida, idb), sim))
-                else Iterator.empty
+        val rows = it.buffered
+        // consecutive-group iteration over the cluster-sorted stream:
+        // buffer exactly one cluster's inverted list, emit its pairs,
+        // release, advance
+        new Iterator[Iterator[(Long, Long, Double)]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Iterator[(Long, Long, Double)] = {
+            val c = rows.head._1
+            val ms = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+            while (rows.hasNext && rows.head._1 == c) {
+              val (_, id, qe, nsq) = rows.next()
+              ms += ((id, qe, nsq))
+            }
+            val arr = ms.toArray
+            (0 until arr.length).iterator.flatMap { i =>
+              val (ida, qa, na) = arr(i)
+              (i + 1 until arr.length).iterator.flatMap { j =>
+                val (idb, qb, nb) = arr(j)
+                // zero-norm vectors: cosine undefined (0/0) — skip, matching
+                // the exact twin's behavior (its sim is NaN ≱ 0.35)
+                if (ida == idb || na == 0L || nb == 0L) Iterator.empty
+                else {
+                  var dot = 0L
+                  var x = 0
+                  val n = math.min(qa.length, qb.length)
+                  while (x < n) { dot += qa(x) * qb(x); x += 1 }
+                  val sim = dot.toDouble / math.sqrt((na * nb).toDouble)
+                  if (sim >= 0.35)
+                    Iterator.single((math.min(ida, idb), math.max(ida, idb), sim))
+                  else Iterator.empty
+                }
               }
             }
           }
-        }
+        }.flatten
       }
       .toDF("vec_a", "vec_b", "sim")
       .distinct()

@@ -265,10 +265,9 @@ object StreamingWindows {
     * stream the directory with a glob.
     */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = eventSchemaCache.computeIfAbsent(dir,
       d => spark.read.parquet(s"$d/events.parquet").schema)
-    graft.engine.Tables.normalizeEventTs(
+    graft.engine.Tables.normalizeEventTs(spark, dir,
       spark.readStream
         .schema(schema)
         .option("pathGlobFilter", "events.parquet")

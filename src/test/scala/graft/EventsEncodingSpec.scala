@@ -48,9 +48,10 @@ class EventsEncodingSpec extends AnyFunSuite {
   private lazy val nanosDir: String =
     TestSpark.plantParquetFile(rowsDF, "events.parquet")
 
-  /** ts as a plain int64 MICROS column — the magnitude-dispatch arm
-    * (a plausible future refresh the normalizer must not read as
-    * ~1970 by blindly dividing by 1000). */
+  /** ts as a plain int64 MICROS column — the per-LOAD magnitude
+    * decision's micros arm (a plausible future refresh the normalizer
+    * must not read as ~1970 by blindly dividing by 1000; the
+    * ambiguous-range loud failure is pinned in TablesSchemaSpec). */
   private lazy val microsLongDir: String =
     TestSpark.plantParquetFile(
       rowsDF.withColumn("ts", expr("ts div 1000")), "events.parquet")

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.Relational
+
+/** Refresh-proofing pin for the conform layer (Tables.conform): the
+  * driver regenerates /root/testdata between rounds and has already
+  * drifted one column's encoding (r7: `events.ts` → TIMESTAMP_NTZ, 37
+  * queries broken at analysis time). This spec plants a drifted-schema
+  * parquet fixture per loader and pins BOTH directions of the contract:
+  * known-benign drifts (timestamp encodings, integral widenings, checked
+  * narrowings, float→double) normalize to the canonical schema with
+  * values intact, and unrecognized drift fails loudly with a
+  * table.column-named message — never a silently misread column.
+  */
+class TablesSchemaSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- integral drifts -----------------------------------------------------
+
+  test("integral widening drift normalizes losslessly (supplier int32 keys)") {
+    val dir = TestSpark.plantParquetFile(
+      Seq((1, "s1", 3, 10.5), (2, "s2", 4, -2.0))
+        .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "supplier.parquet")
+    val df = Tables.supplier(spark, dir)
+    assert(df.schema("s_suppkey").dataType === LongType)
+    assert(df.schema("s_nationkey").dataType === IntegerType)
+    assert(df.orderBy("s_suppkey").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("in-range narrowing drift (int64 where int32 canonical) casts back") {
+    val dir = TestSpark.plantParquetFile(
+      Seq((0L, "AFRICA"), (1L, "AMERICA")).toDF("r_regionkey", "r_name"),
+      "region.parquet")
+    val df = Tables.region(spark, dir)
+    assert(df.schema("r_regionkey").dataType === IntegerType)
+    assert(df.orderBy("r_regionkey").collect().map(_.getInt(0)).toSeq === Seq(0, 1))
+  }
+
+  test("out-of-range narrowing fails loudly, never wraps") {
+    val dir = TestSpark.plantParquetFile(
+      Seq((0L, "AFRICA"), (5000000000L, "DRIFTED")).toDF("r_regionkey", "r_name"),
+      "region.parquet")
+    val e = intercept[Exception] {
+      Tables.region(spark, dir).collect()
+    }
+    // raise_error surfaces as a runtime failure whose message names the
+    // drifted column — loud and attributable, whatever the ANSI setting
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("region.r_regionkey")),
+      s"failure does not name the drifted column: $e")
+  }
+
+  test("float32 drift on a double column widens (customer.c_acctbal)") {
+    val dir = TestSpark.plantParquetFile(
+      Seq((1L, "c1", 0, 10.25f, "BUILDING"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "customer.parquet")
+    val df = Tables.customer(spark, dir)
+    assert(df.schema("c_acctbal").dataType === DoubleType)
+    assert(df.collect().head.getDouble(3) === 10.25)
+  }
+
+  // ---- timestamp-encoding drifts (the r7 failure family) -------------------
+
+  /** One logical lineitem row set under four shipdate encodings. */
+  private def lineitemRows(shipMicros: Seq[Long]) =
+    shipMicros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, 1L, 1L, 1, 10.0, 100.0, 0.05, 0.0, "N", "O", us)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+
+  test("lineitem.l_shipdate normalizes across all four timestamp encodings") {
+    // two rows inside Q6's 1994 window, one outside
+    val micros = Seq("1994-02-01", "1994-07-15", "1996-01-01")
+      .map(d => java.sql.Timestamp.valueOf(s"$d 00:00:00").getTime * 1000L)
+    val raw = lineitemRows(micros)
+    val dirs = Seq(
+      // raw epoch-micros int64
+      TestSpark.plantParquetFile(raw, "lineitem.parquet"),
+      // raw epoch-nanos int64
+      TestSpark.plantParquetFile(
+        raw.withColumn("l_shipdate", col("l_shipdate") * 1000L), "lineitem.parquet"),
+      // TIMESTAMP_NTZ (the r7 refresh encoding)
+      TestSpark.plantParquetFile(
+        raw.withColumn("l_shipdate",
+          expr("cast(timestamp_micros(l_shipdate) as timestamp_ntz)")),
+        "lineitem.parquet"),
+      // DATE
+      TestSpark.plantParquetFile(
+        raw.withColumn("l_shipdate",
+          expr("cast(timestamp_micros(l_shipdate) as date)")),
+        "lineitem.parquet"))
+    val results = dirs.map { d =>
+      val df = Tables.lineitem(spark, d)
+      assert(df.schema("l_shipdate").dataType === TimestampType,
+        s"not normalized under $d")
+      // a real consumer: TPC-H Q6's pushed-filter revenue over the window
+      Relational.qTpchQ6(spark, d).collect().head.getDouble(0)
+    }
+    assert(results.distinct.size === 1,
+      s"Q6 diverges across l_shipdate encodings: $results")
+    assert(results.head > 0.0, "vacuous fixture — no rows in the Q6 window")
+  }
+
+  test("mixed-magnitude raw-long timestamps are ambiguous and fail loudly") {
+    val dir = TestSpark.plantParquetFile(
+      Seq((1L, 50000000000000000L, 1L, "click", 1.0, "{}"),
+        (2L, 2000000000000000000L, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
+    val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
+    assert(e.getMessage.contains("events.ts") &&
+      e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
+  // ---- non-benign drift and the partial-fixture allowance ------------------
+
+  test("semantic type drift fails loudly with a table.column-named message") {
+    val dir = TestSpark.plantParquetFile(
+      Seq((0, 7), (1, 9)).toDF("r_regionkey", "r_name"), // r_name as int
+      "region.parquet")
+    val e = intercept[IllegalStateException] { Tables.region(spark, dir) }
+    assert(e.getMessage.contains("region.r_name"), e.getMessage)
+  }
+
+  test("partial fixtures stay legal (FuzzyNamesSpec's two-column customer)") {
+    val dir = TestSpark.plantParquetFile(
+      Seq((1L, "alice"), (2L, "bob")).toDF("c_custkey", "c_name"),
+      "customer.parquet")
+    assert(Tables.customer(spark, dir).count() === 2L)
+  }
+
+  test("every real-testdata loader emits exactly the canonical schema") {
+    val loaders = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
+      "region" -> Tables.region _, "nation" -> Tables.nation _,
+      "customer" -> Tables.customer _, "supplier" -> Tables.supplier _,
+      "part" -> Tables.part _, "orders" -> Tables.orders _,
+      "lineitem" -> Tables.lineitem _, "events" -> Tables.events _,
+      "documents" -> Tables.documents _, "embeddings" -> Tables.embeddings _)
+    for (name <- Tables.names) {
+      val loaded = loaders(name)(spark, TestSpark.Sf0001)
+      def shape(dt: DataType): DataType = dt match {
+        case ArrayType(et, _) => ArrayType(shape(et)) // containsNull-agnostic
+        case other => other
+      }
+      for ((colName, wanted) <- Tables.expectedColumns(name))
+        assert(shape(loaded.schema(colName).dataType) === shape(wanted),
+          s"$name.$colName not canonical")
+      assert(loaded.count() > 0, s"$name empty at sf0.001")
+    }
+  }
+}

@@ -12,6 +12,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // legacy annotated INT64 TIMESTAMP(NANOS) testdata encodings scan-fail
+      // without this flag; set once at session build (never in accessors)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
