@@ -224,6 +224,23 @@ object Tables {
       case (_: DecimalType, DoubleType) => Some(col(name).cast(DoubleType))
       case (o, DoubleType) if intWidth(o).isDefined => Some(col(name).cast(DoubleType))
 
+      // -- scale-0 decimal where an integral is canonical (generators
+      //    that write keys as DECIMAL(n,0)): same per-row bounds check
+      //    as the integral narrowing — out-of-range fails loudly
+      case (d: DecimalType, w) if d.scale == 0 && intWidth(w).isDefined =>
+        val (lo, hi) = w match {
+          case LongType => (Long.MinValue, Long.MaxValue)
+          case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+          case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+          case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+        }
+        Some(when(col(name).isNotNull &&
+            (col(name) < lit(lo) || col(name) > lit(hi)),
+          raise_error(lit(s"$table.$name: DECIMAL-encoded integer out of $w " +
+            "range after a data-refresh drift — fix the data or the " +
+            "canonical schema")))
+          .otherwise(col(name).cast(w)))
+
       // -- embeddings: a float64 refresh keeps every typed path compiling;
       //    residual risk (last-ulp quantization drift vs a DuckDB oracle
       //    reading float64) is documented in SURVEY.md §2
@@ -275,15 +292,17 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = loadConformed(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = loadConformed(spark, dir, "embeddings")
 
-  /** Normalize `events.ts` to a session-zone TIMESTAMP whatever the
-    * on-disk encoding — the `ts`-only slice of [[conform]] for callers
-    * that hold a DataFrame with a different lineage than the batch load
-    * (the file-STREAM source, whose schema comes from the cached batch
-    * read and which cannot run the encoding probe itself — the probe
-    * runs on a batch read of the same `dir`, memoized). */
+  /** [[conform]] for callers that hold an events DataFrame with a
+    * different lineage than the batch load — the file-STREAM source,
+    * whose schema comes from the cached batch read. Every normalization
+    * is a pure column projection (streaming-safe); the one stateful
+    * step, the raw-long timestamp encoding probe, runs on a BATCH read
+    * of the same `dir` (memoized), never on the stream. Keeping the
+    * stream behind the same conform rules as batch means a refresh that
+    * drifts any events column breaks neither half — or both halves
+    * loudly, never a silent batch/stream divergence. */
   def normalizeEventTs(spark: SparkSession, dir: String, df: DataFrame): DataFrame =
-    normalized(spark, dir, "events", "ts", df.schema("ts").dataType, TimestampType)
-      .fold(df)(df.withColumn("ts", _))
+    conform(spark, dir, "events", df)
 
   /** Register every table as a temp view so `spark.sql` works too. Every
     * table routes through its conforming accessor, so SQL consumers see

@@ -123,6 +123,43 @@ class TablesSchemaSpec extends AnyFunSuite {
       e.getMessage.contains("ambiguous"), e.getMessage)
   }
 
+  test("DECIMAL(n,0)-encoded keys normalize back to the canonical integral") {
+    val dir = TestSpark.plantParquetFile(
+      Seq((1L, "c1", 0, 1.0, "BUILDING"), (2L, "c2", 1, 2.0, "AUTO"))
+        .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .withColumn("c_custkey", expr("cast(c_custkey as decimal(18,0))")),
+      "customer.parquet")
+    val df = Tables.customer(spark, dir)
+    assert(df.schema("c_custkey").dataType === LongType)
+    assert(df.orderBy("c_custkey").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+  }
+
+  test("streaming events source conforms drifted non-ts columns like batch") {
+    // value as float32 AND ts as raw micros long — two simultaneous
+    // drifts; the stream must normalize both (it shares Tables.conform
+    // with the batch loader via normalizeEventTs)
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z micros
+    val drifted = TestSpark.plantParquetFile(
+      Seq((1L, t0, 1L, "click", 1.5f, "{}"),
+        (2L, t0 + 600L * 1000 * 1000, 1L, "view", 2.25f, "{}"),
+        (3L, t0 + 7200L * 1000 * 1000, 2L, "click", 4.0f, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
+    val canonical = TestSpark.plantParquetFile(
+      Seq((1L, new java.sql.Timestamp(t0 / 1000), 1L, "click", 1.5, "{}"),
+        (2L, new java.sql.Timestamp(t0 / 1000 + 600L * 1000), 1L, "view", 2.25, "{}"),
+        (3L, new java.sql.Timestamp(t0 / 1000 + 7200L * 1000), 2L, "click", 4.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
+    def rows(dir: String) = graft.streaming.StreamingWindows
+      .queries("stream_hourly")(spark, dir).collect()
+      .map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+    val got = rows(drifted)
+    assert(got.nonEmpty, "vacuous streaming fixture")
+    assert(got === rows(canonical),
+      "streaming results diverge between drifted and canonical encodings")
+  }
+
   // ---- non-benign drift and the partial-fixture allowance ------------------
 
   test("semantic type drift fails loudly with a table.column-named message") {
