@@ -20,18 +20,52 @@ import graft.streaming.StreamingWindows
   * streaming consumers produce identical row MULTISETS, so the next
   * refresh fails here instead of in the driver's correctness gate.
   *
-  * Known limitation: Spark cannot WRITE annotated INT64
-  * TIMESTAMP(NANOS) parquet, so the raw-long fixture exercises the
-  * LongType dispatch arm but not the nanosAsLong legacy-flag read
-  * surface itself (the part that throws [PARQUET_TYPE_ILLEGAL]
-  * without the flag). If a refresh returns to annotated nanos and a
-  * Spark upgrade changes that flag's behavior, the driver gate — not
-  * this spec — is the detector.
+  * Spark cannot WRITE annotated INT64 TIMESTAMP(NANOS) parquet, so the
+  * TRUE-annotation fixture (the encoding the generator originally
+  * shipped, the one that throws [ILLEGAL_PARQUET_TYPE] unless
+  * `nanosAsLong` is set) is written directly with parquet-java's
+  * example Group writer — exercising the legacy-flag read surface
+  * itself, not just the post-read LongType dispatch arm.
   */
 class EventsEncodingSpec extends AnyFunSuite {
 
   private val T0 = 1704067200000000000L // 2024-01-01T00:00:00Z in nanos
   private val Min = 60L * 1000 * 1000 * 1000
+
+  /** The same logical events as [[rowsDF]], written as an ANNOTATED
+    * int64 TIMESTAMP(NANOS, isAdjustedToUTC=false) parquet file via
+    * parquet-java (the on-disk shape pyarrow's nanosecond writer
+    * produces). */
+  private lazy val annotatedNanosDir: String = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64).as(LogicalTypeAnnotation.timestampType(
+        false, LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("props")
+      .named("events")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annotated_nanos").resolve("data")
+    java.nio.file.Files.createDirectories(dir)
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withType(schema)
+      .build()
+    val f = new SimpleGroupFactory(schema)
+    try rowsDF.collect().foreach { r =>
+      writer.write(f.newGroup()
+        .append("event_id", r.getLong(0)).append("ts", r.getLong(1))
+        .append("user_id", r.getLong(2)).append("event_type", r.getString(3))
+        .append("value", r.getDouble(4)).append("props", r.getString(5)))
+    } finally writer.close()
+    dir.toString
+  }
 
   private def rowsDF = {
     val spark = TestSpark.spark
@@ -65,7 +99,7 @@ class EventsEncodingSpec extends AnyFunSuite {
         expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")),
       "events.parquet")
 
-  private def allDirs = Seq(nanosDir, microsLongDir, ntzDir)
+  private def allDirs = Seq(nanosDir, microsLongDir, ntzDir, annotatedNanosDir)
 
   /** Row multiset (row → count) — a plain Set would mask an encoding
     * bug that changes row multiplicity without changing the set. */
@@ -83,6 +117,20 @@ class EventsEncodingSpec extends AnyFunSuite {
     val years = Tables.events(spark, microsLongDir)
       .select(expr("year(ts)")).collect().map(_.getInt(0)).distinct
     assert(years.toSeq === Seq(2024), s"micros-long arm misread: $years")
+  }
+
+  test("annotated TIMESTAMP(NANOS) scan-fails loudly without the legacy flag") {
+    val spark = TestSpark.spark
+    val e = intercept[Exception] {
+      Tables.withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "false") {
+        spark.read.parquet(s"$annotatedNanosDir/events.parquet").collect()
+      }
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.toUpperCase.contains("NANOS") || m.toUpperCase.contains("PARQUET")),
+      s"no parquet-type failure surfaced: $e")
   }
 
   test("batch consumers see identical rows under all encodings") {
