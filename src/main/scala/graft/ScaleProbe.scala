@@ -158,12 +158,15 @@ object ScaleProbe {
         // collision-FREE, unlike character sanitization, which can map
         // two distinct dirs (/a/b vs /a_b) to one scratch path that the
         // per-dir centroid cache (semIndex, keyed by the path string)
-        // would then serve stale centroids for — and delete it when the
-        // probe ends so repeated probe runs don't accumulate corpora
-        val plantedDir = "/root/repo/target/planted_" +
-          java.security.MessageDigest.getInstance("SHA-256")
-            .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
-            .take(8).map("%02x".format(_)).mkString
+        // would then serve stale centroids for — under the portable
+        // Formats scratch root (-Dgraft.scratch.dir overridable; a
+        // hardcoded repo-absolute path would break any checkout
+        // elsewhere), and delete it when the probe ends so repeated
+        // probe runs don't accumulate corpora
+        val pathHash = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+        val plantedDir = graft.sources.Formats.tmp(s"planted_$pathHash", dir)
         try {
           emb.select("vec_id", "embedding", "label").union(dups)
             .write.mode("overwrite").parquet(s"$plantedDir/embeddings.parquet")

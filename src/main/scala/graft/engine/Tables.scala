@@ -131,10 +131,13 @@ object Tables {
     * from the column's observed min/max, not per row (a per-row
     * magnitude dispatch would silently read a corrupt sentinel or a
     * pre-1973 instant under the wrong arm, and could split ONE file
-    * across two interpretations). Both-sides-of-the-frontier data is
-    * ambiguous by construction → loud failure, same posture as the
-    * unknown-type arm of [[conform]]. An all-null/empty column decides
-    * micros (there are no rows to misread). */
+    * across two interpretations). The rule is on MAGNITUDES, so a
+    * pre-1970 instant or a -1 sentinel in an otherwise-micros column
+    * still decides micros (|value| stays far below the frontier in
+    * either direction): all |values| below the frontier → micros, all
+    * above → nanos, mixed → genuinely ambiguous, loud failure — same
+    * posture as the unknown-type arm of [[conform]]. An all-null/empty
+    * column decides micros (there are no rows to misread). */
   private[graft] def longTsEncoding(
       spark: SparkSession, dir: String, table: String, column: String): LongTsEncoding =
     longTsEncodingMemo.computeIfAbsent(
@@ -145,17 +148,41 @@ object Tables {
         if (mm.isNullAt(0)) MicrosLong
         else {
           val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-          if (lo > NanosFloor) NanosLong
-          else if (lo >= 0L && hi < NanosFloor) MicrosLong
+          val maxAbs = math.max(math.abs(lo), math.abs(hi))
+          val minAbs = // NOT min(|lo|,|hi|): a range spanning 0 contains 0
+            if (lo <= 0L && hi >= 0L) 0L
+            else math.min(math.abs(lo), math.abs(hi))
+          if (maxAbs < NanosFloor) MicrosLong
+          else if (minAbs > NanosFloor) NanosLong
           else throw new IllegalStateException(
-            s"$table.$column: raw int64 timestamp range [$lo, $hi] straddles " +
-              s"the nanos/micros magnitude frontier ($NanosFloor) — ambiguous " +
-              "encoding; refusing to guess per row. Fix the data or extend " +
-              "Tables.longTsEncoding for the new encoding.")
+            s"$table.$column: raw int64 timestamp range [$lo, $hi] has " +
+              s"values on both sides of the nanos/micros magnitude frontier " +
+              s"($NanosFloor) — ambiguous encoding; refusing to guess per " +
+              "row. Fix the data or extend Tables.longTsEncoding for the " +
+              "new encoding.")
         }
       })
 
   // ---- per-column drift normalization ----------------------------------
+
+  /** Per-row bounds-checked cast to a (possibly narrower) integral type:
+    * an out-of-range value fails loudly with a table.column-named
+    * message whatever the session's ANSI setting (a non-ANSI cast would
+    * silently wrap). Shared by the integral-narrowing and
+    * decimal-encoded-key arms of [[normalized]]. */
+  private def checkedIntegralCast(
+      table: String, name: String, wanted: DataType, why: String): Column = {
+    val (lo, hi) = wanted match {
+      case LongType => (Long.MinValue, Long.MaxValue)
+      case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+      case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+      case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+    }
+    when(col(name).isNotNull && (col(name) < lit(lo) || col(name) > lit(hi)),
+      raise_error(lit(s"$table.$name: value out of $wanted range after a " +
+        s"$why; fix the data or the canonical schema")))
+      .otherwise(col(name).cast(wanted))
+  }
 
   /** The normalized replacement for one observed column, or None when the
     * observed type is already canonical. Throws (table.column-named) on
@@ -204,19 +231,8 @@ object Tables {
       //    the session's ANSI setting (a non-ANSI cast would wrap)
       case (o, w) if intWidth(o).isDefined && intWidth(w).isDefined =>
         if (intWidth(o).get <= intWidth(w).get) Some(col(name).cast(w))
-        else {
-          val (lo, hi) = w match {
-            case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
-            case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
-            case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
-          }
-          Some(when(col(name).isNotNull &&
-              (col(name) < lit(lo) || col(name) > lit(hi)),
-            raise_error(lit(s"$table.$name: value out of $w range after a " +
-              s"narrowing data-refresh drift from $observed — not a benign " +
-              "widening; fix the data or the canonical schema")))
-            .otherwise(col(name).cast(w)))
-        }
+        else Some(checkedIntegralCast(table, name, w,
+          s"narrowing data-refresh drift from $observed — not a benign widening"))
 
       // -- floating point / decimal → double: what DuckDB reads from the
       //    same file is the same widened value
@@ -228,18 +244,8 @@ object Tables {
       //    that write keys as DECIMAL(n,0)): same per-row bounds check
       //    as the integral narrowing — out-of-range fails loudly
       case (d: DecimalType, w) if d.scale == 0 && intWidth(w).isDefined =>
-        val (lo, hi) = w match {
-          case LongType => (Long.MinValue, Long.MaxValue)
-          case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
-          case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
-          case _ => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
-        }
-        Some(when(col(name).isNotNull &&
-            (col(name) < lit(lo) || col(name) > lit(hi)),
-          raise_error(lit(s"$table.$name: DECIMAL-encoded integer out of $w " +
-            "range after a data-refresh drift — fix the data or the " +
-            "canonical schema")))
-          .otherwise(col(name).cast(w)))
+        Some(checkedIntegralCast(table, name, w,
+          s"DECIMAL-encoded integer drift from $observed"))
 
       // -- embeddings: a float64 refresh keeps every typed path compiling;
       //    residual risk (last-ulp quantization drift vs a DuckDB oracle
@@ -255,17 +261,29 @@ object Tables {
   /** Normalize a just-loaded table against its canonical schema — see
     * the object doc. Columns the canonical schema doesn't know pass
     * through untouched; expected-but-absent columns are allowed (partial
-    * spec fixtures). */
+    * spec fixtures). Matching is CASE-INSENSITIVE (Spark's default
+    * analysis resolution): a refresh that re-spells a column `VALUE`
+    * would otherwise slip past the drift check while `col("value")`
+    * still resolved to the raw un-normalized column — the observed
+    * spelling is also renamed back to canonical, so passthrough output
+    * columns keep the names the oracle SQL projects. */
   private[graft] def conform(
       spark: SparkSession, dir: String, table: String, df: DataFrame): DataFrame =
     expectedColumns.get(table) match {
       case None => df
       case Some(cols) =>
-        val present = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val present = df.schema.fields
+          .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> (f.name, f.dataType))
+          .toMap
         cols.foldLeft(df) { case (acc, (name, wanted)) =>
-          present.get(name)
-            .flatMap(observed => normalized(spark, dir, table, name, observed, wanted))
-            .fold(acc)(acc.withColumn(name, _))
+          present.get(name.toLowerCase(java.util.Locale.ROOT)) match {
+            case None => acc
+            case Some((obsName, observed)) =>
+              val spelled =
+                if (obsName == name) acc else acc.withColumnRenamed(obsName, name)
+              normalized(spark, dir, table, name, observed, wanted)
+                .fold(spelled)(spelled.withColumn(name, _))
+          }
         }
     }
 

@@ -138,7 +138,7 @@ class EventsEncodingSpec extends AnyFunSuite {
     for (name <- Seq("events_hourly", "events_json_kv", "events_sessions")) {
       val ref = multiset(Events.queries(name)(spark, nanosDir).collect())
       assert(ref.nonEmpty, s"$name vacuous on planted data")
-      for (dir <- Seq(microsLongDir, ntzDir)) {
+      for (dir <- allDirs.filterNot(_ == nanosDir)) {
         val got = multiset(Events.queries(name)(spark, dir).collect())
         assert(got === ref, s"$name diverges across ts encodings ($dir)")
       }
@@ -150,7 +150,7 @@ class EventsEncodingSpec extends AnyFunSuite {
     val ref = multiset(
       StreamingWindows.queries("stream_hourly")(spark, nanosDir).collect())
     assert(ref.nonEmpty, "stream_hourly vacuous on planted data")
-    for (dir <- Seq(microsLongDir, ntzDir)) {
+    for (dir <- allDirs.filterNot(_ == nanosDir)) {
       val got = multiset(
         StreamingWindows.queries("stream_hourly")(spark, dir).collect())
       assert(got === ref, s"stream_hourly diverges across ts encodings ($dir)")

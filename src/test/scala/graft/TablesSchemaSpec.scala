@@ -112,6 +112,35 @@ class TablesSchemaSpec extends AnyFunSuite {
     assert(results.head > 0.0, "vacuous fixture — no rows in the Q6 window")
   }
 
+  test("a negative sentinel in a raw-micros column still decides micros") {
+    // the magnitude rule works on |value|: -1 (or any pre-1970 instant)
+    // in an otherwise-2024-micros column is NOT ambiguous, and must not
+    // push the whole load onto the wrong arm or into a loud failure
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z micros
+    val dir = TestSpark.plantParquetFile(
+      Seq((1L, -1L, 1L, "sentinel", 0.0, "{}"),
+        (2L, t0, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
+    val years = Tables.events(spark, dir)
+      .selectExpr("year(ts)").collect().map(_.getInt(0)).toSet
+    assert(years === Set(1969, 2024), s"sentinel arm misread: $years")
+  }
+
+  test("case-respelled columns are caught, normalized, and renamed back") {
+    // Spark resolves col("value") case-insensitively, so a refresh that
+    // re-spells the column VALUE (while also drifting its type) must not
+    // slip past conform — and the output spelling must stay canonical
+    val dir = TestSpark.plantParquetFile(
+      Seq((1L, new java.sql.Timestamp(1704067200000L), 1L, "click", 1.5f, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "VALUE", "props"),
+      "events.parquet")
+    val df = Tables.events(spark, dir)
+    assert(df.columns.contains("value") && !df.columns.contains("VALUE"))
+    assert(df.schema("value").dataType === DoubleType)
+    assert(df.collect().head.getAs[Double]("value") === 1.5)
+  }
+
   test("mixed-magnitude raw-long timestamps are ambiguous and fail loudly") {
     val dir = TestSpark.plantParquetFile(
       Seq((1L, 50000000000000000L, 1L, "click", 1.0, "{}"),
