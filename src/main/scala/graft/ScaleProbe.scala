@@ -179,6 +179,10 @@ object ScaleProbe {
         } finally {
           val p = new org.apache.hadoop.fs.Path(plantedDir)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          // the planted dir is gone — drop its per-JVM cached centroids
+          // too, so a later probe that regenerates the same path cannot
+          // pair a fresh corpus with this run's cached index
+          graft.operators.Similarity.invalidateIndexCaches(plantedDir)
         }
       }
     }

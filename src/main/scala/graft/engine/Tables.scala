@@ -116,9 +116,23 @@ object Tables {
     * stay below it until year ~5138. */
   private val NanosFloor = 100000000000000000L
 
+  /** Sanity ceiling on a decided-micros column: 2200-01-01T00:00:00Z in
+    * epoch-micros. A genuine micros timestamp in generator data lands
+    * centuries below this; an all-nanos column for instants in the
+    * magnitude blind window (1970 to mid-1973, below [[NanosFloor]])
+    * would decode under the micros arm to a far-FUTURE instant (year
+    * ~2286+ for anything past the first ~84 days of 1970) — so a
+    * decided-micros maximum at or past this ceiling is treated as the
+    * same loud ambiguity as a range straddling the frontier, shrinking
+    * the silent-misread window to nanos instants inside the first ~84
+    * days of 1970 (which decode to pre-2200 micros and are undecidable
+    * by magnitude alone; documented residual). */
+  private val MicrosSanityCeil = 7258118400000000L
+
   /** Per-(dataset, column) memo of the encoding decision, so the ~37
-    * events consumers (batch + streaming + SQL views) pay the one-row
-    * min/max probe once per JVM, not once per query. Keyed by canonical
+    * events consumers (batch + streaming + SQL views) pay the footer
+    * metadata read (or its probe-job fallback) once per JVM, not once
+    * per query. Keyed by canonical
     * path — two spellings of one dir share a decision. A path
     * OVERWRITTEN in-place with a different encoding mid-JVM would serve
     * a stale decision, the same documented contract as the streaming
@@ -127,39 +141,115 @@ object Tables {
   private val longTsEncodingMemo =
     new java.util.concurrent.ConcurrentHashMap[String, LongTsEncoding]()
 
+  /** Column min/max straight from the parquet FOOTER statistics —
+    * driver-side metadata reads only, no Spark job. Returns
+    * `None` when any row group lacks usable stats for the column (the
+    * caller then falls back to the probe job); `Some(None)` when stats
+    * are complete but the column has no non-null values anywhere;
+    * `Some(Some((lo, hi)))` otherwise. Matching is case-insensitive,
+    * like Spark's own column resolution (the conform layer passes the
+    * CANONICAL spelling while the file may carry a drifted one). At
+    * scale this is one footer read per file on the driver — the same
+    * metadata pass Spark's own schema inference does, and strictly
+    * cheaper than the full-column aggregate job it replaces. */
+  private def footerLongMinMax(
+      spark: SparkSession, path: String, column: String): Option[Option[(Long, Long)]] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(_.isFile).map(_.getPath)
+          .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+          .toSeq
+      else Seq(root)
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var seen = false
+    var unavailable = false
+    files.foreach { f =>
+      if (!unavailable) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try {
+          reader.getFooter.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala
+              .filter(_.getPath.toDotString.equalsIgnoreCase(column))
+              .foreach { cc =>
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty) unavailable = true
+                else if (st.hasNonNullValue) {
+                  (st.genericGetMin, st.genericGetMax) match {
+                    case (mn: java.lang.Long, mx: java.lang.Long) =>
+                      lo = math.min(lo, mn.longValue)
+                      hi = math.max(hi, mx.longValue)
+                      seen = true
+                    case _ => unavailable = true // not an INT64 chunk
+                  }
+                }
+              }
+          }
+        } finally reader.close()
+      }
+    }
+    if (unavailable) None
+    else Some(if (seen) Some((lo, hi)) else None)
+  }
+
   /** Decide how a raw-int64 timestamp column is encoded — ONCE per load
     * from the column's observed min/max, not per row (a per-row
     * magnitude dispatch would silently read a corrupt sentinel or a
     * pre-1973 instant under the wrong arm, and could split ONE file
-    * across two interpretations). The rule is on MAGNITUDES, so a
+    * across two interpretations). The min/max come from the parquet
+    * FOOTER statistics (free — no Spark job); a file whose footer lacks
+    * usable INT64 stats falls back to the one-column aggregate probe
+    * job. The rule is on MAGNITUDES, so a
     * pre-1970 instant or a -1 sentinel in an otherwise-micros column
     * still decides micros (|value| stays far below the frontier in
     * either direction): all |values| below the frontier → micros, all
     * above → nanos, mixed → genuinely ambiguous, loud failure — same
     * posture as the unknown-type arm of [[conform]]. An all-null/empty
-    * column decides micros (there are no rows to misread). */
+    * column decides micros (there are no rows to misread); a
+    * decided-micros maximum past [[MicrosSanityCeil]] fails loudly (the
+    * blind-window guard). */
   private[graft] def longTsEncoding(
       spark: SparkSession, dir: String, table: String, column: String): LongTsEncoding =
     longTsEncodingMemo.computeIfAbsent(
       s"${new java.io.File(dir).getCanonicalPath}#$table.$column",
       _ => {
-        val mm = spark.read.parquet(s"$dir/$table.parquet")
-          .agg(fmin(col(column)), fmax(col(column))).first()
-        if (mm.isNullAt(0)) MicrosLong
-        else {
-          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-          val maxAbs = math.max(math.abs(lo), math.abs(hi))
-          val minAbs = // NOT min(|lo|,|hi|): a range spanning 0 contains 0
-            if (lo <= 0L && hi >= 0L) 0L
-            else math.min(math.abs(lo), math.abs(hi))
-          if (maxAbs < NanosFloor) MicrosLong
-          else if (minAbs > NanosFloor) NanosLong
-          else throw new IllegalStateException(
-            s"$table.$column: raw int64 timestamp range [$lo, $hi] has " +
-              s"values on both sides of the nanos/micros magnitude frontier " +
-              s"($NanosFloor) — ambiguous encoding; refusing to guess per " +
-              "row. Fix the data or extend Tables.longTsEncoding for the " +
-              "new encoding.")
+        val path = s"$dir/$table.parquet"
+        val fromFooter = footerLongMinMax(spark, path, column)
+        val minMax: Option[(Long, Long)] = fromFooter match {
+          case Some(mm) => mm
+          case None => // footer stats unusable somewhere — probe job
+            val mm = spark.read.parquet(path)
+              .agg(fmin(col(column)), fmax(col(column))).first()
+            if (mm.isNullAt(0)) None else Some((mm.getLong(0), mm.getLong(1)))
+        }
+        minMax match {
+          case None => MicrosLong
+          case Some((lo, hi)) =>
+            val maxAbs = math.max(math.abs(lo), math.abs(hi))
+            val minAbs = // NOT min(|lo|,|hi|): a range spanning 0 contains 0
+              if (lo <= 0L && hi >= 0L) 0L
+              else math.min(math.abs(lo), math.abs(hi))
+            if (maxAbs < NanosFloor) {
+              if (maxAbs >= MicrosSanityCeil) throw new IllegalStateException(
+                s"$table.$column: raw int64 timestamp max $hi decides MICROS " +
+                  s"by magnitude but decodes past year 2200 — either corrupt " +
+                  "micros or an all-nanos column from the pre-mid-1973 blind " +
+                  "window being misread; refusing to guess. Fix the data or " +
+                  "extend Tables.longTsEncoding for the new encoding.")
+              MicrosLong
+            }
+            else if (minAbs > NanosFloor) NanosLong
+            else throw new IllegalStateException(
+              s"$table.$column: raw int64 timestamp range [$lo, $hi] has " +
+                s"values on both sides of the nanos/micros magnitude frontier " +
+                s"($NanosFloor) — ambiguous encoding; refusing to guess per " +
+                "row. Fix the data or extend Tables.longTsEncoding for the " +
+                "new encoding.")
         }
       })
 
@@ -238,7 +328,21 @@ object Tables {
       //    same file is the same widened value
       case (FloatType, DoubleType) => Some(col(name).cast(DoubleType))
       case (_: DecimalType, DoubleType) => Some(col(name).cast(DoubleType))
-      case (o, DoubleType) if intWidth(o).isDefined => Some(col(name).cast(DoubleType))
+      case (o, DoubleType) if intWidth(o).isDefined =>
+        // int32-and-below → double is always exact; int64 is exact only
+        // within ±2^53, so values outside that band fail loudly (same
+        // posture as the checked integral narrowing — a silent last-bit
+        // loss here would be the layer's own "silently misread column")
+        if (intWidth(o).get <= 4) Some(col(name).cast(DoubleType))
+        else {
+          val maxExact = 9007199254740992L // 2^53
+          Some(when(col(name).isNotNull &&
+              (col(name) < lit(-maxExact) || col(name) > lit(maxExact)),
+            raise_error(lit(s"$table.$name: int64 value outside ±2^53 " +
+              "cannot widen to DOUBLE losslessly after a data-refresh " +
+              "drift; fix the data or the canonical schema")))
+            .otherwise(col(name).cast(DoubleType)))
+        }
 
       // -- scale-0 decimal where an integral is canonical (generators
       //    that write keys as DECIMAL(n,0)): same per-row bounds check

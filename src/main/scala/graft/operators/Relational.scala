@@ -1010,19 +1010,31 @@ object Relational {
     * as one DataFrame graph it would be EVALUATED twice (verified in
     * the executed plan: AQE does not cross-reuse the exchange between
     * the broadcast build and the probe stage), so revenue0 is
-    * materialized once per call to the per-dataset scratch — the same
-    * pattern every Formats round-trip uses — and both branches read
-    * the supplier-dimension-sized parquet. The quarter-slice fact scan
-    * now happens exactly once; the double round-trips bit-exactly.
+    * materialized ONCE PER (JVM, dataset) to the per-dataset scratch —
+    * the same memo pattern as the dedup family's pair/label artifacts
+    * (revenue0 is likewise a deterministic per-corpus artifact; see the
+    * SINGLE-PROCESS ASSUMPTION documented at
+    * `Dedup.componentsMaterialized`, which this memo shares) — and both
+    * branches read the supplier-dimension-sized parquet. The
+    * quarter-slice fact scan happens exactly once per JVM per dataset.
+    * NOTE: the FIRST construction in a JVM runs that scan + write as a
+    * side effect of building the DataFrame (plan-only callers like
+    * PlanDump pay it once); later constructions are pure reads.
     */
+  private val q15Materialized =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def qTpchQ15(spark: SparkSession, dir: String): DataFrame = {
     val dest = graft.sources.Formats.tmp("tpch_q15_rev0", dir)
-    Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-      .groupBy(col("l_suppkey"))
-      .agg(dsum6(revenue).as("total_revenue"))
-      .write.mode("overwrite").parquet(dest)
+    q15Materialized.computeIfAbsent(dir, { _ =>
+      Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum6(revenue).as("total_revenue"))
+        .write.mode("overwrite").parquet(dest)
+      java.lang.Boolean.TRUE
+    })
     val rev = spark.read.parquet(dest)
     val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
     rev

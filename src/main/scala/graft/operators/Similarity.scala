@@ -30,13 +30,25 @@ import graft.functions.DotProduct
   */
 object Similarity {
 
-  /** Integer-quantize a float-array column. */
+  /** Integer-quantize a float-array column. The engine-side input is
+    * canonically float32 whatever the file carries ([[Tables.conform]]
+    * casts a float64-refresh embedding back to `array<float>`), so the
+    * value entering `round` is always float32→float64. */
   private def quant(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** DuckDB twin of `quant` for the oracle SQL. */
+  /** DuckDB twin of `quant` for the oracle SQL. The inner
+    * `CAST(x AS REAL)` pins the oracle to the SAME float32→float64 path
+    * the engine takes through the conform layer: on today's float32
+    * files it is a no-op, and under a float64 data refresh it quantizes
+    * the float32-rounded value exactly as Spark does — without it, a
+    * component whose float64 value × 1000 sits within a float32 ulp of
+    * a .5 boundary would quantize differently in the two engines and
+    * hash-fail every exact ANN/cosine oracle row (the residual risk
+    * SURVEY.md §2 documented after the r7 refresh proved the generator
+    * drifts encodings). */
   private val QuantSql =
-    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    "list_transform(embedding, x -> CAST(round(CAST(CAST(x AS REAL) AS DOUBLE) * 1000) AS BIGINT))"
 
   /** Codegen'd dot product (graft.functions.DotProductLong) — array
     * HOFs stay outside whole-stage codegen and cost ~20x for this loop.
@@ -593,6 +605,20 @@ object Similarity {
       val n = Tables.embeddings(spark, dir).count()
       buildCentroids(spark, dir, semClusterCount(n))
     })
+
+  /** Drops every per-dir cached index structure (semantic-dedup
+    * centroids, IVF centroids, dimensionality) for `dir` — for harnesses
+    * that DELETE AND REGENERATE a corpus at the same path within one JVM
+    * (ScaleProbe's planted-duplicate probe overwrites its planted
+    * scratch dir per source dataset): without the drop, a second probe
+    * over the same source would pair a fresh corpus with the first
+    * run's cached centroids. The normal testdata dirs are immutable
+    * within a JVM, so ordinary queries never need this. */
+  def invalidateIndexCaches(dir: String): Unit = {
+    semIndex.remove(dir)
+    ivfIndex.remove(dir)
+    dimCache.remove(dir)
+  }
 
   /** Semantic (embedding-cluster) near-dup pairs — the bucketed
     * cluster-then-prune twin of [[annPairsBruteforce]]'s tiled all-pairs
