@@ -119,4 +119,45 @@ class SpillSpec extends AnyFunSuite {
     assert(got === want, "aggregate results diverge under sort fallback")
     assert(want.nonEmpty && want.size > 100, "vacuous fixture")
   }
+
+  /** A pure hash repartition: every lineitem row flows through the
+    * shuffle WRITER and nothing else buffers — no window, no SMJ, no
+    * aggregation map (the read side of a bare exchange does not sort or
+    * aggregate), so any disk spill during this plan is the shuffle
+    * writer's sorter and only that. 256 reduce partitions on purpose:
+    * at or below `spark.shuffle.sort.bypassMergeThreshold` (200) the
+    * bypass-merge writer streams per-partition files and NEVER spills —
+    * only above it does the exchange take the serialized
+    * ShuffleExternalSorter path this test exists to exercise, the same
+    * path every wide many-reducer exchange takes at 100 TB. */
+  private def repartitioned: DataFrame =
+    Tables.lineitem(spark, dir)
+      .repartition(256, col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+
+  test("shuffle-write sorter spills to disk and rows are unchanged") {
+    val want = sortedRows(repartitioned)
+    // The force-spill threshold (ShuffleExternalSorter / Spillable) is a
+    // CORE SparkConf read at sorter construction per task — not a
+    // SQLConf, so withConf can't scope it. local mode shares one live
+    // SparkEnv conf between driver and executor threads, so pin it low
+    // for this run and restore it (the forked test JVM runs suites
+    // sequentially; nothing else shuffles concurrently). This is the
+    // sorter the 100 TB story leans on hardest: every wide exchange at
+    // scale spills its map-side blocks through exactly this path.
+    val conf = org.apache.spark.SparkEnv.get.conf
+    val key = "spark.shuffle.spill.numElementsForceSpillThreshold"
+    val before = conf.getOption(key)
+    conf.set(key, "100")
+    val (got, spilled) =
+      try diskSpilledDuring { sortedRows(repartitioned) }
+      finally before match {
+        case Some(v) => conf.set(key, v)
+        case None => conf.remove(key)
+      }
+    assert(spilled > 0L, "shuffle writer never spilled to disk")
+    assert(got === want, "rows diverge under shuffle-write spill pressure")
+    assert(want.size > 1000, "vacuous fixture")
+  }
 }
