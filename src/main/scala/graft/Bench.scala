@@ -127,8 +127,42 @@ object Bench {
     // what the first pass timed: the fixpoint itself.
     def resetDedupState(): Unit = {
       graft.operators.Dedup.clearScratchMemos()
-      try graft.operators.Dedup.nearDupPairs(spark, sfDir)
-      catch { case e: Throwable => System.err.println(s"[bench] pair rewarm failed: ${e.getMessage}") }
+      // same rationale for Q15's revenue0 memo: a REPEAT pass must
+      // re-time the materialization its first pass timed, not a
+      // parquet re-read of the pass-1 artifact
+      graft.operators.Relational.clearScratchMemos()
+      // rewarm only when a selected query actually consumes the pair
+      // artifact (a SPARK_GRAFT_ONLY run of unrelated queries would
+      // otherwise pay the corpus-scale shingle join for nothing)
+      if (selected.exists(p => Set("dedup_near_jaccard", "dedup_components",
+          "dedup_survivors").contains(p._1)))
+        try graft.operators.Dedup.nearDupPairs(spark, sfDir)
+        catch { case e: Throwable => System.err.println(s"[bench] pair rewarm failed: ${e.getMessage}") }
+    }
+    // Reproduces a query's FIRST-PASS per-JVM memo conditions before an
+    // individual re-run (called before EVERY re-run attempt, not once
+    // per bench — ADVICE r10). Pass 1 runs the battery alphabetically
+    // with the pair artifact pre-warmed, so at first-pass time:
+    //  - dedup_components saw pairs on disk and NO label memo (it paid
+    //    the fixpoint, then memoized labels as a side effect — without
+    //    a per-attempt clear, re-run #2 would time a parquet re-read of
+    //    re-run #1's labels: falsely rescued);
+    //  - dedup_survivors saw labels ALREADY memoized (dedup_components
+    //    sorts before it), so its re-run re-materializes them UNTIMED
+    //    rather than paying a fixpoint pass 1 never paid (guaranteed
+    //    over-band otherwise, so a real steal could never be rescued);
+    //  - q_tpch_q15's first call builds revenue0 INSIDE the timed
+    //    region, so its re-run clears the memo and pays it again;
+    //  - dedup_near_jaccard reads the warmed pair artifact in pass 1
+    //    and on re-run alike — no reset needed;
+    //  - every other query holds no per-JVM state.
+    def prepareRerun(name: String): Unit = name match {
+      case "dedup_components" => graft.operators.Dedup.clearComponentLabelMemo()
+      case "dedup_survivors" =>
+        try { graft.operators.Dedup.dedupComponents(spark, sfDir); () }
+        catch { case e: Throwable => System.err.println(s"[bench] label rewarm failed: ${e.getMessage}") }
+      case "q_tpch_q15" => graft.operators.Relational.clearScratchMemos()
+      case _ => ()
     }
     val results = (1 to repeat).flatMap { pass =>
       // The per-JVM scratch memos would make pass >= 2 time a parquet
@@ -157,13 +191,11 @@ object Bench {
       val needsRerun = results.collect {
         case (n, v, true) if v > BenchBands.smearThresholdSec(n) => n
       }.toSet
-      // only the three pair-artifact consumers need the memo reset
-      if (needsRerun.exists(Set("dedup_near_jaccard", "dedup_components",
-        "dedup_survivors"))) resetDedupState()
       results.map {
         case (n, v1, true) if needsRerun(n) =>
           var runs = Seq(v1)
           while (runs.length < 3 && runs.min > BenchBands.smearThresholdSec(n)) {
+            prepareRerun(n)
             val (_, v, ok) = runOne(n, SparkEntry.queries(n))
             if (ok) runs :+= v else runs = runs :+ Double.MaxValue
           }
@@ -184,8 +216,31 @@ object Bench {
       .mkString("[", ",", "]")
     val total = finalResults.collect { case (_, v, true) => v }.sum
     val totalStr = f"$total%.3f"
+    // Single-pass sum BEFORE smear adjudication — reported alongside the
+    // adjudicated headline so the best-of-rerun comparability break vs
+    // pre-r10 artifacts (which were single-pass) is visible in every
+    // artifact, not just documented in BASELINE.md §f.
+    val firstPass = results.collect { case (_, v, true) => v }.sum
+    val firstPassStr = f"$firstPass%.3f"
+    val line =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"errors":$errors,"sf":"$sfDir"}"""
+    println(line)
+    // The driver keeps only the LAST 2000 chars of stdout, which
+    // truncates a 168-query line (every BENCH_r artifact since r2 has
+    // parsed:null) — so persist the full artifact next to the build
+    // (committed with the round snapshot) and finish with a compact
+    // trailer that always fits the tail AND parses: headline total,
+    // counts, and the slowest 20 queries. BASELINE.md §f.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}") }
+    val slowest = finalResults.collect { case (k, v, true) => (k, v) }
+      .sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","errors":$errors,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"slowest20":$slowest,"detail":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
   }
 }

@@ -257,7 +257,7 @@ object Dedup {
     * hash-identical to the live join. */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Formats.tmp("dedup_pairs", dir)
-    pairsMaterialized.computeIfAbsent(dir, { _ =>
+    pairsMaterialized.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), { _ =>
       dedupNearJaccard(spark, dir).write.mode("overwrite").parquet(out)
       java.lang.Boolean.TRUE
     })
@@ -273,12 +273,22 @@ object Dedup {
     componentsMaterialized.clear()
   }
 
+  /** Drops ONLY the component-label memo, leaving the pair artifact
+    * memoized — Bench calls this before each individual re-run of
+    * `dedup_components` so the re-run reproduces exactly the first
+    * pass's conditions (pairs on disk, fixpoint unpaid). A full
+    * [[clearScratchMemos]] there would force an untimed pair rebuild
+    * per re-run; no clear at all would make re-run #2 time a parquet
+    * re-read of re-run #1's labels. */
+  def clearComponentLabelMemo(): Unit =
+    componentsMaterialized.clear()
+
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Formats.tmp("dedup_cc", dir)
     // computeIfAbsent serializes concurrent callers on the same dataset
     // (sbt runs test suites in parallel in one JVM) — exactly one
     // fixpoint ever writes a given path
-    componentsMaterialized.computeIfAbsent(dir, { _ =>
+    componentsMaterialized.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), { _ =>
       computeComponentLabels(spark, dir, out)
       java.lang.Boolean.TRUE
     })

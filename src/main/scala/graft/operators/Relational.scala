@@ -1024,9 +1024,18 @@ object Relational {
   private val q15Materialized =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Drops the revenue0 memo so the NEXT Q15 call re-materializes from
+    * source — Bench calls this before each Q15 re-run (and between
+    * SPARK_GRAFT_REPEAT passes, via resetDedupState) because the FIRST
+    * Q15 call in a JVM pays the scan + write inside its timed region;
+    * a re-timed call must pay the same, not a parquet re-read. Same
+    * reset rationale as `Dedup.clearScratchMemos`. */
+  def clearScratchMemos(): Unit =
+    q15Materialized.clear()
+
   def qTpchQ15(spark: SparkSession, dir: String): DataFrame = {
     val dest = graft.sources.Formats.tmp("tpch_q15_rev0", dir)
-    q15Materialized.computeIfAbsent(dir, { _ =>
+    q15Materialized.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), { _ =>
       Tables.lineitem(spark, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1996-04-01").cast("timestamp"))

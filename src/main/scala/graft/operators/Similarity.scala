@@ -312,7 +312,7 @@ object Similarity {
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def embeddingDim(spark: SparkSession, dir: String): Int =
-    dimCache.computeIfAbsent(dir, _ => {
+    dimCache.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), _ => {
       val head = Tables.embeddings(spark, dir)
         .select(size(col("embedding"))).limit(1).collect()
       require(head.nonEmpty, s"no embeddings at $dir — cannot derive dimensionality")
@@ -358,7 +358,8 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long], Long)]]()
 
   private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] =
-    ivfIndex.computeIfAbsent(dir, _ => buildCentroids(spark, dir, IvfClusters))
+    ivfIndex.computeIfAbsent(graft.sources.Formats.canonicalDir(dir),
+      _ => buildCentroids(spark, dir, IvfClusters))
 
   /** Deterministic sampled-centroid quantizer: a hash-ordered sample of
     * ≤`IvfSampleRows` vectors (one small Spark job, bounded driver
@@ -601,7 +602,7 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long], Long)]]()
 
   private def semCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] =
-    semIndex.computeIfAbsent(dir, _ => {
+    semIndex.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), _ => {
       val n = Tables.embeddings(spark, dir).count()
       buildCentroids(spark, dir, semClusterCount(n))
     })
@@ -615,9 +616,10 @@ object Similarity {
     * run's cached centroids. The normal testdata dirs are immutable
     * within a JVM, so ordinary queries never need this. */
   def invalidateIndexCaches(dir: String): Unit = {
-    semIndex.remove(dir)
-    ivfIndex.remove(dir)
-    dimCache.remove(dir)
+    val key = graft.sources.Formats.canonicalDir(dir)
+    semIndex.remove(key)
+    ivfIndex.remove(key)
+    dimCache.remove(key)
   }
 
   /** Semantic (embedding-cluster) near-dup pairs — the bucketed

@@ -18,10 +18,22 @@ import graft.engine.Tables
   */
 object Formats {
 
+  /** Canonical form of a dataset dir — two spellings of one dir
+    * (trailing slash, `.`/`..` segments, symlinks) resolve to ONE
+    * string, the same normalization `Tables.longTsEncodingMemo`
+    * applies, so the per-(JVM, dataset) memos and scratch paths keyed
+    * through here can never split (double-materialize) across
+    * spellings. Falls back to the raw string if the filesystem refuses
+    * to resolve, keeping the call total. */
+  private[graft] def canonicalDir(dir: String): String =
+    try new java.io.File(dir).getCanonicalPath
+    catch { case _: java.io.IOException => dir }
+
   /** Dataset dir → identifier-safe suffix, shared by scratch paths and
-    * catalog table names so the two can never diverge for the same dir. */
+    * catalog table names so the two can never diverge for the same dir.
+    * Canonicalizes first, so `dir` and `dir/` share one suffix. */
   private[graft] def sanitize(dir: String): String =
-    dir.replaceAll("[^a-zA-Z0-9]", "_")
+    canonicalDir(dir).replaceAll("[^a-zA-Z0-9]", "_")
 
   /** Scratch root for round-trip sinks: overridable via
     * -Dgraft.scratch.dir, defaulting to the JVM temp dir — a hardcoded
