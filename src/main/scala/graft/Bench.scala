@@ -157,6 +157,13 @@ object Bench {
     //    and on re-run alike — no reset needed;
     //  - every other query holds no per-JVM state.
     def prepareRerun(name: String): Unit = name match {
+      case "ann_ivf_top1" =>
+        // first query of the alphabetical battery: its pass 1 built the
+        // dim lookup + IVF centroid index inside the timed region
+        graft.operators.Similarity.invalidateIvfCaches(sfDir)
+      case "dedup_semantic" =>
+        // sole consumer of the semantic centroid index — pass 1 built it
+        graft.operators.Similarity.invalidateSemCache(sfDir)
       case "dedup_components" => graft.operators.Dedup.clearComponentLabelMemo()
       case "dedup_survivors" =>
         try { graft.operators.Dedup.dedupComponents(spark, sfDir); () }

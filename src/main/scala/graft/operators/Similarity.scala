@@ -622,6 +622,24 @@ object Similarity {
     dimCache.remove(key)
   }
 
+  /** Targeted drops for Bench's re-run memo contract (BASELINE.md §f):
+    * in the full alphabetical battery, `ann_ivf_top1` is the FIRST
+    * query of the run, so its timed first pass builds the dim lookup
+    * AND the IVF centroid index; `dedup_semantic` likewise builds the
+    * ~√N-centroid index inside its own timed pass (it is the sole
+    * consumer). A re-run must pay the same build, not a cache hit —
+    * each drops exactly what its first pass found absent, nothing
+    * more (the LSH/topk/batch queries saw warm caches in pass 1 and
+    * re-run against warm caches unchanged). */
+  def invalidateIvfCaches(dir: String): Unit = {
+    val key = graft.sources.Formats.canonicalDir(dir)
+    ivfIndex.remove(key)
+    dimCache.remove(key)
+  }
+
+  def invalidateSemCache(dir: String): Unit =
+    semIndex.remove(graft.sources.Formats.canonicalDir(dir))
+
   /** Semantic (embedding-cluster) near-dup pairs — the bucketed
     * cluster-then-prune twin of [[annPairsBruteforce]]'s tiled all-pairs
     * scan (registered as `dedup_embedding_cosine`), the shape that
