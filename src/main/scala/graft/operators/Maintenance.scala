@@ -255,6 +255,83 @@ object Maintenance {
       |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
       |GROUP BY l_returnflag""".stripMargin
 
+  /** Parquet BLOOM-FILTER indexed rewrite — the point-lookup data-
+    * skipping modality the min/max family cannot provide. Footer
+    * min/max stats ([[maintCluster]], [[maintZorder]]) prune RANGE
+    * predicates, but only on columns the layout is clustered by: in a
+    * table clustered for its dominant scan pattern (here l_orderkey —
+    * the join key), every file spans essentially the whole l_partkey
+    * domain, so `l_partkey = K` prunes NOTHING from stats. A parquet
+    * bloom filter per row group answers "might K be here?" in a few KB
+    * of footer metadata regardless of clustering: at 100 TB a single
+    * key's rows live in a handful of the table's ~10⁵ row groups, and
+    * the bloom check (parquet-mr applies it during row-group filtering
+    * under predicate pushdown, `parquet.filter.bloom.enabled`, default
+    * on) skips the rest without touching data pages — the classic
+    * secondary-index win, and the ONLY skip available for negative
+    * lookups ("is this id anywhere?"). The rewrite keeps the
+    * join-friendly l_orderkey clustering — bloom indexing is purely
+    * additive metadata, which is exactly its point: no layout tug-of-
+    * war with the range-skipping columns. Row groups are deliberately
+    * small here (256 KiB) so the sf-scale fixture has enough of them
+    * for per-row-group skipping to be observable; a production write
+    * uses default 128 MiB groups and the same two options.
+    * `BloomFilterSkipSpec` pins the footer-level property itself:
+    * every row group carries a bloom on l_partkey, absent keys are
+    * rejected by ≥99% of row-group blooms (fpp 0.01), and a present
+    * key's rows are confined to the row groups whose bloom admits it.
+    * The gated query runs point lookups + an aggregate on the
+    * rewritten copy; the oracle runs the identical lookup on the
+    * original parquet — indexing must never change results, only IO.
+    */
+  def maintBloomIndex(spark: SparkSession, dir: String): DataFrame = {
+    val dest = bloomIndexedCopy(spark, dir)
+    spark.read.parquet(dest)
+      .filter(col("l_partkey").isin(7L, 23L, 50L, 97L))
+      .groupBy("l_partkey")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** The rewrite half of [[maintBloomIndex]]: lineitem clustered on
+    * l_orderkey (the join layout), bloom-indexed on l_partkey, small
+    * row groups for test-scale observability; returns the dataset dir. */
+  private[graft] def bloomIndexedCopy(spark: SparkSession, dir: String): String = {
+    val dest = Formats.tmp("maint_bloomed", dir)
+    Tables.lineitem(spark, dir)
+      .repartition(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_partkey", "true")
+      // sized to the per-row-group distinct-key count, not the table's:
+      // each 256 KiB group holds a few thousand rows; 16k ndv at the
+      // default 0.01 fpp keeps every bloom a few KB
+      .option("parquet.bloom.filter.expected.ndv#l_partkey", "16384")
+      .option("parquet.block.size", (256 * 1024).toString)
+      // parquet-mr (correctly) omits the bloom from a chunk whose pages
+      // are ALL dictionary-encoded — the dictionary already gives exact
+      // row-group membership. At 100 TB l_partkey cardinality the
+      // dictionary page overflows and chunks fall back to plain pages
+      // (where the bloom is the only membership index); the test-scale
+      // fixture has ~2k distinct keys, so disable the dictionary on
+      // just the indexed column to exercise that exact regime — all
+      // other columns keep their dictionaries
+      .option("parquet.enable.dictionary#l_partkey", "false")
+      .parquet(dest)
+    dest
+  }
+
+  val maintBloomIndexSql: String =
+    """SELECT l_partkey,
+      |  count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_partkey IN (7, 23, 50, 97)
+      |GROUP BY l_partkey""".stripMargin
+
   /** CDC snapshot apply (MERGE/upsert): fold a change delta — updates
     * keyed on the primary key plus brand-new inserts — into a base
     * snapshot, producing the next snapshot. Parquet has no transactional
@@ -655,6 +732,7 @@ object Maintenance {
     "maint_compact" -> (maintCompact _),
     "maint_cluster" -> (maintCluster _),
     "maint_zorder" -> (maintZorder _),
+    "maint_bloom_index" -> (maintBloomIndex _),
     "maint_upsert" -> (maintUpsert _),
     "maint_scd2" -> (maintScd2 _))
 
@@ -666,6 +744,7 @@ object Maintenance {
     "maint_compact" -> maintCompactSql,
     "maint_cluster" -> maintClusterSql,
     "maint_zorder" -> maintZorderSql,
+    "maint_bloom_index" -> maintBloomIndexSql,
     "maint_upsert" -> maintUpsertSql,
     "maint_scd2" -> maintScd2Sql)
 }
