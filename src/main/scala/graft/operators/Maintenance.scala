@@ -323,6 +323,45 @@ object Maintenance {
     dest
   }
 
+  /** Stored-sketch DISTINCT rollup — the pattern that makes
+    * COUNT(DISTINCT …) incremental at 100 TB. `approx_count_distinct`
+    * (q_approx_distinct) answers one query with one scan; a pipeline
+    * that serves "distinct users for ANY day range" cannot afford a
+    * 100 TB rescan per range. Apache DataSketches HLL sketches (Spark 4
+    * builtins) make the distinct aggregate DECOMPOSABLE like
+    * [[maintIncrementalAgg]]'s sums: one pass builds a few-KB binary
+    * sketch per (day, event_type) — stored like any other column — and
+    * every later range query unions STORED sketches (`hll_union_agg`,
+    * associative and commutative, so partial unions parallelize like
+    * any agg) and estimates, touching KB of sketch state instead of TB
+    * of raw events. A new day appends one sketch row; nothing is
+    * recomputed. The estimate is the sketch family's, not SQL's, so
+    * the driver records a rows-only check; `SketchRollupSpec` bounds
+    * the estimate against exact distinct counts (lgK=14 → rsd ≈ 0.8%)
+    * and pins the union-vs-direct merge property on the same rows.
+    * The 28-day window bound derives from the data's own max(day) (one
+    * 1-row aggregate — bounded driver lookup, the zorder discipline),
+    * so testdata refreshes move the window with the data. */
+  def maintSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val snapPath = Formats.tmp("maint_hll_daily", dir)
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        hll_sketch_agg(col("user_id"), lit(14)).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(snapPath)
+    val daily = spark.read.parquet(snapPath)
+    val hi = daily.agg(max(col("day"))).collect()(0).getDate(0)
+    daily
+      .filter(col("day") > date_sub(lit(hi), 28))
+      .groupBy("event_type")
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("user_sketch"), lit(false)))
+          .as("approx_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy("event_type")
+  }
+
   val maintBloomIndexSql: String =
     """SELECT l_partkey,
       |  count(*) AS n_rows,
@@ -733,6 +772,7 @@ object Maintenance {
     "maint_cluster" -> (maintCluster _),
     "maint_zorder" -> (maintZorder _),
     "maint_bloom_index" -> (maintBloomIndex _),
+    "maint_sketch_rollup" -> (maintSketchRollup _),
     "maint_upsert" -> (maintUpsert _),
     "maint_scd2" -> (maintScd2 _))
 
