@@ -81,4 +81,66 @@ class BloomFilterSkipSpec extends AnyFunSuite {
     val fs = new Path(dest).getFileSystem(conf)
     fs.delete(new Path(dest), true); ()
   }
+
+  test("parquet-mr's own row-group filter skips via the bloom, not stats") {
+    import org.apache.parquet.filter2.compat.{FilterCompat, RowGroupFilter}
+    import org.apache.parquet.filter2.predicate.FilterApi
+    val spark = TestSpark.spark
+    val dest = Maintenance.bloomIndexedCopy(spark, TestSpark.Sf001)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dest).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dest))
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getPath)
+
+    // the exact filter2 levels a Spark scan's predicate pushdown runs
+    // for this layout (dictionary is disabled on the indexed column,
+    // so DICTIONARY-level filtering cannot participate)
+    val statsOnly = java.util.Arrays.asList(
+      RowGroupFilter.FilterLevel.STATISTICS)
+    val statsAndBloom = java.util.Arrays.asList(
+      RowGroupFilter.FilterLevel.STATISTICS,
+      RowGroupFilter.FilterLevel.BLOOMFILTER)
+
+    // IN-DOMAIN point lookups: every row group spans ~the whole partkey
+    // domain (the table is clustered on l_orderkey), so min/max stats
+    // keep every group; only the bloom can drop the groups a key is
+    // genuinely absent from. The per-(key, group) absence rate at this
+    // scale makes zero drops across 20 keys x all groups vanishingly
+    // unlikely, so assert a strict improvement in aggregate, never
+    // per-file.
+    var keptStats = 0L; var keptBloom = 0L; var totalGroups = 0L
+    // probe MID-domain keys (middle half, derived from the data): a
+    // group's min/max can clip a few edge values, which would break
+    // the stats-keep-everything premise below, but never the middle
+    // of a ~5k-draw sample
+    val mm = spark.read.parquet(dest)
+      .agg(org.apache.spark.sql.functions.min("l_partkey"),
+        org.apache.spark.sql.functions.max("l_partkey")).collect()(0)
+    val (kLo, kHi) = (mm.getLong(0), mm.getLong(1))
+    val half = math.max(2L, (kHi - kLo) / 2)
+    val probeKeys = (1L to 20L).map(i => kLo + half / 2 + (i * 9973L) % half)
+    files.foreach { path =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        totalGroups += blocks.size.toLong * probeKeys.size
+        probeKeys.foreach { k =>
+          val pred = FilterCompat.get(
+            FilterApi.eq(FilterApi.longColumn("l_partkey"), java.lang.Long.valueOf(k)))
+          keptStats += RowGroupFilter
+            .filterRowGroups(statsOnly, pred, blocks, reader).size
+          keptBloom += RowGroupFilter
+            .filterRowGroups(statsAndBloom, pred, blocks, reader).size
+        }
+      } finally reader.close()
+    }
+    assert(keptStats === totalGroups,
+      "stats alone should keep every group on the unclustered column " +
+        s"(kept $keptStats of $totalGroups) — the contrast premise broke")
+    assert(keptBloom < keptStats,
+      s"bloom level dropped nothing ($keptBloom of $keptStats kept) — " +
+        "the index is not participating in row-group filtering")
+
+    fs.delete(new Path(dest), true); ()
+  }
 }
