@@ -127,10 +127,13 @@ object Bench {
     // what the first pass timed: the fixpoint itself.
     def resetDedupState(): Unit = {
       graft.operators.Dedup.clearScratchMemos()
-      // same rationale for Q15's revenue0 memo: a REPEAT pass must
-      // re-time the materialization its first pass timed, not a
-      // parquet re-read of the pass-1 artifact
+      // same rationale for Q15's revenue0 memo and the similarity
+      // index caches: a REPEAT pass must re-time the builds its first
+      // pass timed (q15's materialization, ann_ivf_top1's dim+IVF
+      // index, dedup_semantic's centroids), not a memo hit on the
+      // pass-1 artifact
       graft.operators.Relational.clearScratchMemos()
+      graft.operators.Similarity.invalidateIndexCaches(sfDir)
       // rewarm only when a selected query actually consumes the pair
       // artifact (a SPARK_GRAFT_ONLY run of unrelated queries would
       // otherwise pay the corpus-scale shingle join for nothing)
