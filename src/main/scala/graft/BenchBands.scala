@@ -45,9 +45,10 @@ object BenchBands {
     "fmt_partition_pruning" -> 0.535, "fmt_schema_evolution" -> 0.902, "fmt_xml_roundtrip" -> 0.864,
     "lines_provenance" -> 0.925, "lines_roundtrip" -> 0.664, "lines_wordcount" -> 0.403,
     // medians from their own focused trios (queries added after the
-    // full-battery trio; 2.175/2.434/2.066 s and 2.194/2.619/2.294 s)
-    // — see §f
+    // full-battery trio; 2.175/2.434/2.066, 2.194/2.619/2.294 and
+    // 2.856/2.563/2.723 s) — see §f
     "maint_bloom_index" -> 2.175, "maint_sketch_rollup" -> 2.294,
+    "maint_recompress" -> 2.723,
     "maint_cluster" -> 2.267, "maint_compact" -> 2.703, "maint_delete_vector" -> 0.662,
     "maint_dq_audit" -> 1.183, "maint_incremental_agg" -> 0.838, "maint_profile" -> 2.595,
     "maint_scd2" -> 0.461, "maint_upsert" -> 0.470, "maint_zorder" -> 2.462,

@@ -323,6 +323,48 @@ object Maintenance {
     dest
   }
 
+  /** Storage-codec rewrite (snappy → zstd) — the cheapest 100 TB lever
+    * there is: parquet's default snappy optimizes CPU for a write-once
+    * table, but a corpus that is READ thousands of times and STORED for
+    * years wants zstd's materially smaller files (typically 25–40%
+    * under snappy at level 3) — less object-store cost AND less scan IO
+    * per query, for a decompression speed in the same class. The
+    * rewrite is a pure pass-through (no shuffle: scan partitions map
+    * straight to output files, like [[maintCompact]] without the
+    * coalesce); codec choice must never change results, so the gated
+    * query aggregates the zstd copy against the oracle's identical
+    * aggregate on the original snappy parquet. `RecompressSpec` pins
+    * the two claims the rewrite exists for: the footers actually say
+    * ZSTD, and a controlled same-writer snappy-vs-zstd comparison
+    * shrinks the bytes. */
+  def maintRecompress(spark: SparkSession, dir: String): DataFrame = {
+    val dest = recompressedCopy(spark, dir)
+    spark.read.parquet(dest)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** The rewrite half of [[maintRecompress]]; returns the dataset dir. */
+  private[graft] def recompressedCopy(spark: SparkSession, dir: String): String = {
+    val dest = Formats.tmp("maint_zstd", dir)
+    Tables.lineitem(spark, dir)
+      .write.mode("overwrite")
+      .option("compression", "zstd")
+      .parquet(dest)
+    dest
+  }
+
+  val maintRecompressSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
   /** Stored-sketch DISTINCT rollup — the pattern that makes
     * COUNT(DISTINCT …) incremental at 100 TB. `approx_count_distinct`
     * (q_approx_distinct) answers one query with one scan; a pipeline
@@ -773,6 +815,7 @@ object Maintenance {
     "maint_zorder" -> (maintZorder _),
     "maint_bloom_index" -> (maintBloomIndex _),
     "maint_sketch_rollup" -> (maintSketchRollup _),
+    "maint_recompress" -> (maintRecompress _),
     "maint_upsert" -> (maintUpsert _),
     "maint_scd2" -> (maintScd2 _))
 
@@ -785,6 +828,7 @@ object Maintenance {
     "maint_cluster" -> maintClusterSql,
     "maint_zorder" -> maintZorderSql,
     "maint_bloom_index" -> maintBloomIndexSql,
+    "maint_recompress" -> maintRecompressSql,
     "maint_upsert" -> maintUpsertSql,
     "maint_scd2" -> maintScd2Sql)
 }
