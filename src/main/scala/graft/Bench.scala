@@ -46,6 +46,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // the queries that read the per-dataset near-dup PAIR artifact —
+    // one definition shared by the startup warmup and the REPEAT
+    // rewarm, so a future consumer can't be added to one and not the
+    // other (which would silently move the corpus-scale shingle join
+    // into pass>=2 timed regions)
+    val pairConsumers = Set("dedup_near_jaccard", "dedup_components",
+      "dedup_survivors")
 
     // Warm the JVM/codegen once on the cheapest plan so the first timed
     // query doesn't absorb one-time session setup.
@@ -64,8 +71,7 @@ object Bench {
     // each query adds on top (the fixpoint rounds, the anti-join), not
     // whichever query happens to run first alphabetically. Recorded in
     // BASELINE.md §f.
-    if (selected.exists(p => Set("dedup_near_jaccard", "dedup_components",
-        "dedup_survivors").contains(p._1)))
+    if (selected.exists(p => pairConsumers.contains(p._1)))
       try graft.operators.Dedup.nearDupPairs(spark, sfDir)
       catch { case e: Throwable => System.err.println(s"[bench] pair warmup failed: ${e.getMessage}") }
     // Warm the WRITE path too: the first parquet write in a JVM pays
@@ -137,8 +143,7 @@ object Bench {
       // rewarm only when a selected query actually consumes the pair
       // artifact (a SPARK_GRAFT_ONLY run of unrelated queries would
       // otherwise pay the corpus-scale shingle join for nothing)
-      if (selected.exists(p => Set("dedup_near_jaccard", "dedup_components",
-          "dedup_survivors").contains(p._1)))
+      if (selected.exists(p => pairConsumers.contains(p._1)))
         try graft.operators.Dedup.nearDupPairs(spark, sfDir)
         catch { case e: Throwable => System.err.println(s"[bench] pair rewarm failed: ${e.getMessage}") }
     }
@@ -241,16 +246,28 @@ object Bench {
     // (committed with the round snapshot) and finish with a compact
     // trailer that always fits the tail AND parses: headline total,
     // counts, and the slowest 20 queries. BASELINE.md §f.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}") }
+    val fullArtifactWritten =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] full-artifact write failed: ${e.getMessage}")
+          false
+      }
     val slowest = finalResults.collect { case (k, v, true) => (k, v) }
       .sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // advertise the full-artifact file only when this run actually
+    // wrote it — a consumer following a stale pointer would read the
+    // previous run's numbers
+    val detail =
+      if (fullArtifactWritten) ""","detail":"BENCH_FULL_LATEST.json"""" else ""
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"slowest20":$slowest,"detail":"BENCH_FULL_LATEST.json"}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"slowest20":$slowest$detail}""")
     spark.stop()
   }
 }

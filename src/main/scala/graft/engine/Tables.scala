@@ -216,7 +216,7 @@ object Tables {
   private[graft] def longTsEncoding(
       spark: SparkSession, dir: String, table: String, column: String): LongTsEncoding =
     longTsEncodingMemo.computeIfAbsent(
-      s"${new java.io.File(dir).getCanonicalPath}#$table.$column",
+      s"${graft.sources.Formats.canonicalDir(dir)}#$table.$column",
       _ => {
         val path = s"$dir/$table.parquet"
         val fromFooter = footerLongMinMax(spark, path, column)

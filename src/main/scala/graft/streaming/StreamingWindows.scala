@@ -265,7 +265,10 @@ object StreamingWindows {
     * stream the directory with a glob.
     */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = eventSchemaCache.computeIfAbsent(dir,
+    // canonical key, like every per-(JVM, dataset) memo (CanonicalDirSpec);
+    // the canonical form of an existing dir is itself a readable path
+    val schema = eventSchemaCache.computeIfAbsent(
+      graft.sources.Formats.canonicalDir(dir),
       d => spark.read.parquet(s"$d/events.parquet").schema)
     graft.engine.Tables.normalizeEventTs(spark, dir,
       spark.readStream
