@@ -237,8 +237,23 @@ object Bench {
     // artifact, not just documented in BASELINE.md §f.
     val firstPass = results.collect { case (_, v, true) => v }.sum
     val firstPassStr = f"$firstPass%.3f"
+    // Host-drift indicator: median over banded queries of this run's
+    // FIRST-pass time over the recorded band median. ~1.0 on a calm
+    // host. The smear re-runs catch queries that individually blow
+    // their band, but a uniformly slow host phase (BASELINE.md §c)
+    // raises EVERY query 1.2-1.4x with nothing crossing max(2x median,
+    // 1s) — this field makes that mode visible per-artifact, so a high
+    // total with band_drift >> 1 reads as environment, not plan cost.
+    // First-pass times on purpose: adjudicated bests would mask the
+    // drift the field exists to show. Provenance + reading: §f.
+    val ratios = results.collect {
+      case (n, v, true) if BenchBands.medianSec.contains(n) =>
+        v / BenchBands.medianSec(n)
+    }.sorted
+    val drift = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    val driftStr = f"$drift%.2f"
     val line =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"band_drift":$driftStr,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout, which
     // truncates a 168-query line (every BENCH_r artifact since r2 has
@@ -267,7 +282,7 @@ object Bench {
     val detail =
       if (fullArtifactWritten) ""","detail":"BENCH_FULL_LATEST.json"""" else ""
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"slowest20":$slowest$detail}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"band_drift":$driftStr,"slowest20":$slowest$detail}""")
     spark.stop()
   }
 }
