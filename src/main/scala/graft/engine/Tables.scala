@@ -177,7 +177,8 @@ object Tables {
             block.getColumns.asScala
               .filter(_.getPath.toDotString.equalsIgnoreCase(column))
               .foreach { cc =>
-                val st = cc.getStatistics
+                val st: org.apache.parquet.column.statistics.Statistics[_] =
+                  cc.getStatistics
                 if (st == null || st.isEmpty) unavailable = true
                 else if (st.hasNonNullValue) {
                   (st.genericGetMin, st.genericGetMax) match {
