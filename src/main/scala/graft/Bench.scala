@@ -252,8 +252,19 @@ object Bench {
     }.sorted
     val drift = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
     val driftStr = f"$drift%.2f"
+    // Input bytes of the benched dataset: drift alone cannot tell a
+    // slow host phase from a testdata refresh that grew the tables
+    // (both raise every query against the recorded medians) — the
+    // byte count, compared across artifacts, settles which one it was
+    // (and flags when the band trio needs re-recording; §f).
+    val sfBytes =
+      try java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      catch { case _: Throwable => -1L }
     val line =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"band_drift":$driftStr,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"errors":$errors,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout, which
     // truncates a 168-query line (every BENCH_r artifact since r2 has
@@ -282,7 +293,7 @@ object Bench {
     val detail =
       if (fullArtifactWritten) ""","detail":"BENCH_FULL_LATEST.json"""" else ""
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"band_drift":$driftStr,"slowest20":$slowest$detail}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"slowest20":$slowest$detail}""")
     spark.stop()
   }
 }
