@@ -58,4 +58,29 @@ class SketchRollupSpec extends AnyFunSuite {
         s"$et: union-of-daily $approxUsers vs direct ${direct(et)}")
     }
   }
+
+  test("stored sketch state is KB-bounded regardless of group size") {
+    // the claim the operator exists for: range queries touch KB of
+    // sketch state, not the raw events — so the per-group sketch must
+    // stay bounded (an lgK=14 HLL saturates at ~2^14 registers) and
+    // must NOT grow linearly with the rows it summarizes
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{length => blen}
+    Maintenance.maintSketchRollup(spark, TestSpark.Sf001).collect()
+    val snap = spark.read.parquet(
+      graft.sources.Formats.tmp("maint_hll_daily", TestSpark.Sf001))
+    val rows = snap
+      .select(blen(col("user_sketch")).as("b"), col("n_events"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val maxBytes = rows.map(_._1).max
+    assert(maxBytes <= 64 * 1024,
+      s"sketch grew to $maxBytes bytes — not the KB-bounded state the design claims")
+    // bytes-per-summarized-row must FALL as groups grow (saturation),
+    // ruling out any linear dependence on group size
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    if (big._2 >= small._2 * 4)
+      assert(big._1.toDouble / big._2 < small._1.toDouble / small._2,
+        s"sketch bytes track row count: $small vs $big")
+  }
 }
