@@ -234,8 +234,15 @@ object Bench {
     // Single-pass sum BEFORE smear adjudication — reported alongside the
     // adjudicated headline so the best-of-rerun comparability break vs
     // pre-r10 artifacts (which were single-pass) is visible in every
-    // artifact, not just documented in BASELINE.md §f.
-    val firstPass = results.collect { case (_, v, true) => v }.sum
+    // artifact, not just documented in BASELINE.md §f. Under
+    // SPARK_GRAFT_REPEAT>1 every name carries a '#pass' tag, so restrict
+    // to pass 1 (and strip the tag for the band lookup below) — otherwise
+    // this field would sum ALL passes and the drift ratios would match
+    // nothing in the band, silently degenerating to 1.0 (ADVICE r11).
+    val pass1 = if (repeat == 1) results
+      else results.filter(_._1.endsWith("#1"))
+        .map { case (n, v, ok) => (n.stripSuffix("#1"), v, ok) }
+    val firstPass = pass1.collect { case (_, v, true) => v }.sum
     val firstPassStr = f"$firstPass%.3f"
     // Host-drift indicator: median over banded queries of this run's
     // FIRST-pass time over the recorded band median. ~1.0 on a calm
@@ -246,23 +253,37 @@ object Bench {
     // total with band_drift >> 1 reads as environment, not plan cost.
     // First-pass times on purpose: adjudicated bests would mask the
     // drift the field exists to show. Provenance + reading: §f.
-    val ratios = results.collect {
+    val ratios = pass1.collect {
       case (n, v, true) if BenchBands.medianSec.contains(n) =>
         v / BenchBands.medianSec(n)
     }.sorted
-    val drift = if (ratios.isEmpty) 1.0 else ratios(ratios.size / 2)
+    // true median: average the two middle elements when the banded-query
+    // count is even (taking ratios(size/2) alone is the upper-middle
+    // element — a small upward bias; ADVICE r11)
+    val drift =
+      if (ratios.isEmpty) 1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
     val driftStr = f"$drift%.2f"
     // Input bytes of the benched dataset: drift alone cannot tell a
     // slow host phase from a testdata refresh that grew the tables
     // (both raise every query against the recorded medians) — the
     // byte count, compared across artifacts, settles which one it was
     // (and flags when the band trio needs re-recording; §f).
+    // Recursive walk over regular files only, stream closed: a Spark-written
+    // DIRECTORY dataset named *.parquet would otherwise be counted at its
+    // inode size (and the unclosed Files.list stream leaked an fd) —
+    // defeating the grown-tables-vs-host-phase disambiguation this field
+    // exists for (ADVICE r11).
     val sfBytes =
-      try java.nio.file.Files.list(java.nio.file.Paths.get(sfDir)).toArray
-        .map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(java.nio.file.Files.size).sum
-      catch { case _: Throwable => -1L }
+      try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(sfDir))
+        try walk.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size).sum
+        finally walk.close()
+      } catch { case _: Throwable => -1L }
     val line =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"errors":$errors,"sf":"$sfDir"}"""
     println(line)

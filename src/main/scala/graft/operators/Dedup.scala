@@ -38,6 +38,26 @@ object Dedup {
   val ShingleN = 3
   val JaccardThreshold = 0.5
 
+  /** Document-frequency cap for the exact near-dup inverted index: a
+    * shingle present in MORE than this many documents is dropped from
+    * candidate generation (and from the intersection count — the score
+    * becomes a conservative lower bound of true Jaccard). Precision
+    * argument: a 3-token span shared by >1000 documents is
+    * non-discriminative boilerplate (headers, license lines, nav
+    * chrome), not evidence of duplication — a pair whose ONLY shared
+    * shingles are that common is noise, while any genuinely duplicated
+    * pair shares plenty of discriminative shingles and is unaffected.
+    * Scale argument: the candidate join's work is Σ(df²) per shingle,
+    * so one boilerplate shingle in k docs alone yields k² candidate
+    * rows; the cap bounds the worst shingle's contribution at T²
+    * regardless of corpus size — the one quadratic-risk exchange in
+    * the exact-pair family (VERDICT r11). At the test scales the
+    * corpus max df is 25, so the cap provably drops nothing there;
+    * HotShingleCapSpec plants a >T boilerplate shingle and shows it
+    * excluded. Mirrored verbatim in [[PairCtesSql]] (QUALIFY) so the
+    * DuckDB oracle computes the identical capped semantics. */
+  val MaxShingleDf = 1000
+
   /** Diagnostic only: propagation rounds the most recent
     * [[dedupComponents]] fixpoint took (≈ graph diameter in min-label
     * hops). Read by [[graft.ScaleProbe]] to confirm the round count
@@ -143,15 +163,32 @@ object Dedup {
     * shared shingles per pair, then J = inter / (|A|+|B|-inter). Work is
     * proportional to Σ(docs-per-shingle²) — bounded by shingle frequency,
     * not n². */
-  def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // explode_outer, NOT explode: plain explode makes the optimizer infer
-    // a `size(sh) > 0` filter that is pushed through the exchange into the
-    // parquet scan, re-inlining the whole tokenize+shingle pipeline as a
-    // per-row scan filter (measured 26 s vs 5 s at sf0.1). The outer
-    // variant infers nothing; the isNotNull filter drops the same rows.
-    val ex = shingleSets(spark, dir)
+  /** The df-capped inverted shingle index — (doc_id, sz, s) with
+    * shingles of document frequency > [[MaxShingleDf]] removed. `sz`
+    * stays the FULL set size (a document property), so the capped
+    * Jaccard inter/(sza+szb-inter) is a lower bound of the true score.
+    *
+    * Plan shape: the df count is a window over the shingle, so the one
+    * exchange it introduces hash-partitions by `s` — exactly the
+    * partitioning the candidate self-join needs next; both join sides
+    * reuse it (ReuseExchange), so the cap costs a sort, not an extra
+    * shuffle of the exploded table.
+    *
+    * explode_outer, NOT explode: plain explode makes the optimizer infer
+    * a `size(sh) > 0` filter that is pushed through the exchange into the
+    * parquet scan, re-inlining the whole tokenize+shingle pipeline as a
+    * per-row scan filter (measured 26 s vs 5 s at sf0.1). The outer
+    * variant infers nothing; the isNotNull filter drops the same rows. */
+  private[graft] def cappedShingleIndex(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
       .select(col("doc_id"), col("sz"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= MaxShingleDf)
+      .drop("df")
+
+  def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val ex = cappedShingleIndex(spark, dir)
     val pairs = ex.alias("a")
       .join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -183,7 +220,10 @@ object Dedup {
     * oracle, so the three can't drift apart. */
   private val PairCtesSql: String =
     s"""$ShingleCtesSql,
-      |ex AS (SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh),
+      |ex AS (
+      |  SELECT doc_id, sz, shingle FROM (
+      |    SELECT doc_id, len(s) AS sz, unnest(s) AS shingle FROM sh)
+      |  QUALIFY count(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
       |p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sz AS sza, b.sz AS szb,
       |         count(*) AS inter

@@ -393,7 +393,12 @@ object Maintenance {
         count(lit(1)).as("n_events"))
       .write.mode("overwrite").parquet(snapPath)
     val daily = spark.read.parquet(snapPath)
-    val hi = daily.agg(max(col("day"))).collect()(0).getDate(0)
+    val hiRow = daily.agg(max(col("day"))).collect()(0)
+    // an empty events table yields a null max(day); fail with a message
+    // naming the dataset instead of an opaque NPE (ADVICE r11)
+    require(!hiRow.isNullAt(0),
+      s"maint_sketch_rollup: events table at $dir is empty — no max(day) to anchor the 28-day window")
+    val hi = hiRow.getDate(0)
     daily
       .filter(col("day") > date_sub(lit(hi), 28))
       .groupBy("event_type")

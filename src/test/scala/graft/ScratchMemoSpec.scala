@@ -20,9 +20,11 @@ class ScratchMemoSpec extends AnyFunSuite {
 
   private def mtime(dir: String): Long = {
     val p = Paths.get(dir)
-    Files.list(p).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .map(Files.getLastModifiedTime(_).toMillis).max
+    scala.util.Using.resource(Files.list(p)) {
+      _.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .map(Files.getLastModifiedTime(_).toMillis).max
+    }
   }
 
   test("memo hits skip rewrites; targeted clears force them") {
