@@ -29,6 +29,12 @@ import graft.engine.Tables
   * Queries exercised end-to-end are the exact-oracle rows the verdict
   * named at risk: `dedup_embedding_cosine` (= ann_pairs_bruteforce),
   * `ann_topk_bruteforce`, `ann_topk_batch`.
+  *
+  * The half this JVM-only spec cannot cover — the actual DuckDB engine
+  * evaluating the actual oracle SQL over a genuinely-float64 file — is
+  * probed by `tools/float64_refresh_probe.py` (fixture builder) + the
+  * real Verify/oracle_check gate; recorded PASS ×3 in SURVEY.md §2c
+  * (r12).
   */
 class EmbeddingsFloat64Spec extends AnyFunSuite {
 
