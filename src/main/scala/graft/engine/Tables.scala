@@ -404,6 +404,13 @@ object Tables {
   private def loadConformed(spark: SparkSession, dir: String, name: String): DataFrame =
     conform(spark, dir, name, load(spark, dir, name))
 
+  /** Conformed accessor by table NAME — for spec-driven operators that
+    * iterate a declared table list ([[graft.operators.Maintenance]]'s
+    * ANALYZE profiler) instead of hard-coding one accessor per table.
+    * Same conform pipeline as the named accessors below. */
+  def byName(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadConformed(spark, dir, name)
+
   def region(spark: SparkSession, dir: String): DataFrame     = loadConformed(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = loadConformed(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame   = loadConformed(spark, dir, "customer")

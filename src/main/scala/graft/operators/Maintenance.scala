@@ -595,73 +595,110 @@ object Maintenance {
       |SELECT c_custkey, c_name, c_nationkey, new_seg,
       |  DATE '$Scd2Eff', NULL, TRUE FROM chg""".stripMargin
 
-  /** COLUMN PROFILE — ANALYZE-style statistics collection in ONE scan:
-    * per column, null count, exact distinct count, and min/max, emitted
-    * long-form (one row per column) for the stats catalog a
-    * cost-based optimizer or data contract reads. All stats for all
-    * profiled columns come from a single aggregation over the table —
-    * at 100 TB the scan is the cost, so collecting each column with a
-    * separate pass (the naive ANALYZE loop) multiplies it; the
-    * multi-DISTINCT aggregate plans through Catalyst's Expand (one
-    * shuffle carrying k× distinct-tagged rows), the standard trade for
-    * exact NDVs — approximate profiles swap in HLL sketches
-    * ([[graft.functions.Extensibility]]) with no shape change. Numeric
-    * min/max ride DOUBLE columns (exact for keys < 2^53 and 2-decimal
-    * money), string min/max ride VARCHAR — fixed long-form schema, no
-    * cross-engine rendering of numbers as text. Plan note: the string
-    * min/max buffers are not fixed-width, so Spark falls back from
-    * HashAggregate to SortAggregate for the whole aggregate — the
-    * measured cost is the sort of the k×-expanded rows, the price of
-    * exact mixed-type stats in one pass (numeric-only profiles hash;
-    * at 100 TB the scan still dominates either way). */
-  def maintProfile(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
-    val agg = o.agg(
-      sum(col("o_orderkey").isNull.cast("long")).as("nn_key"),
-      countDistinct(col("o_orderkey")).as("nd_key"),
-      min(col("o_orderkey")).cast("double").as("min_key"),
-      max(col("o_orderkey")).cast("double").as("max_key"),
-      sum(col("o_custkey").isNull.cast("long")).as("nn_cust"),
-      countDistinct(col("o_custkey")).as("nd_cust"),
-      min(col("o_custkey")).cast("double").as("min_cust"),
-      max(col("o_custkey")).cast("double").as("max_cust"),
-      sum(col("o_totalprice").isNull.cast("long")).as("nn_price"),
-      countDistinct(col("o_totalprice")).as("nd_price"),
-      min(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("min_price"),
-      max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("max_price"),
-      sum(col("o_orderstatus").isNull.cast("long")).as("nn_status"),
-      countDistinct(col("o_orderstatus")).as("nd_status"),
-      min(col("o_orderstatus")).as("min_status"),
-      max(col("o_orderstatus")).as("max_status"))
-    agg.selectExpr(
-      """stack(4,
-        |  'o_orderkey',   nn_key,    nd_key,    min_key,   max_key,   CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_custkey',    nn_cust,   nd_cust,   min_cust,  max_cust,  CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_totalprice', nn_price,  nd_price,  min_price, max_price, CAST(NULL AS STRING), CAST(NULL AS STRING),
-        |  'o_orderstatus',nn_status, nd_status, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min_status, max_status)
-        |AS (col, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
-  }
+  /** What the ANALYZE profiler collects for one column; the three roles
+    * fix how min/max are typed so the long-form output schema stays
+    * constant across mixed-type column lists:
+    *  - [[ProfNum]]:   min/max as DOUBLE (exact for keys < 2^53);
+    *  - [[ProfMoney]]: min/max through DECIMAL(18,2) then DOUBLE — the
+    *    2-decimal money convention every price column here uses, robust
+    *    to a refresh re-encoding prices as decimal;
+    *  - [[ProfStr]]:   min/max as VARCHAR.
+    */
+  private sealed trait ProfCol { def name: String }
+  private final case class ProfNum(name: String) extends ProfCol
+  private final case class ProfMoney(name: String) extends ProfCol
+  private final case class ProfStr(name: String) extends ProfCol
 
+  /** The table/column list [[maintProfile]] profiles — the ANALYZE
+    * argument. ONE source of truth: both the Spark plan and the DuckDB
+    * oracle are GENERATED from this spec, so adding a table or column
+    * is a one-line edit that cannot drift the two sides apart. */
+  private val ProfileSpec: Seq[(String, Seq[ProfCol])] = Seq(
+    "orders" -> Seq(ProfNum("o_orderkey"), ProfNum("o_custkey"),
+      ProfMoney("o_totalprice"), ProfStr("o_orderstatus")),
+    "lineitem" -> Seq(ProfNum("l_orderkey"), ProfNum("l_quantity"),
+      ProfMoney("l_extendedprice"), ProfStr("l_returnflag")),
+    "documents" -> Seq(ProfNum("doc_id"), ProfNum("n_chars"),
+      ProfStr("lang"), ProfStr("source")))
+
+  /** COLUMN PROFILE — table/column-driven ANALYZE-style statistics
+    * collection: for every (table, column) in [[ProfileSpec]], null
+    * count, exact distinct count, and min/max, emitted long-form (one
+    * row per column, tagged with its table) for the stats catalog a
+    * cost-based optimizer or data contract reads. All stats for all of
+    * a table's profiled columns come from a SINGLE aggregation over
+    * that table — at 100 TB the scan is the cost, so collecting each
+    * column with a separate pass (the naive ANALYZE loop) multiplies
+    * it; the multi-DISTINCT aggregate plans through Catalyst's Expand
+    * (one shuffle carrying k× distinct-tagged rows), the standard trade
+    * for exact NDVs — approximate profiles swap in HLL sketches
+    * ([[graft.functions.Extensibility]]) with no shape change. Tables
+    * union AFTER their one-row aggregates, so the plan stays exactly
+    * one scan per profiled table regardless of how many the spec
+    * lists. Numeric min/max ride DOUBLE columns, string min/max ride
+    * VARCHAR — fixed long-form schema, no cross-engine rendering of
+    * numbers as text. Plan note: the string min/max buffers are not
+    * fixed-width, so Spark falls back from HashAggregate to
+    * SortAggregate for those tables' aggregates — the measured cost is
+    * the sort of the k×-expanded rows, the price of exact mixed-type
+    * stats in one pass (at 100 TB the scan still dominates either
+    * way). */
+  def maintProfile(spark: SparkSession, dir: String): DataFrame =
+    ProfileSpec.map { case (tbl, cols) =>
+      val df = Tables.byName(spark, dir, tbl)
+      val aggs = cols.zipWithIndex.flatMap { case (pc, i) =>
+        val base = Seq(
+          sum(col(pc.name).isNull.cast("long")).as(s"nn_$i"),
+          countDistinct(col(pc.name)).as(s"nd_$i"))
+        base ++ (pc match {
+          case ProfNum(c) => Seq(
+            min(col(c)).cast("double").as(s"mn_$i"),
+            max(col(c)).cast("double").as(s"mx_$i"))
+          case ProfMoney(c) => Seq(
+            min(col(c).cast("decimal(18,2)")).cast("double").as(s"mn_$i"),
+            max(col(c).cast("decimal(18,2)")).cast("double").as(s"mx_$i"))
+          case ProfStr(c) => Seq(
+            min(col(c)).as(s"mns_$i"),
+            max(col(c)).as(s"mxs_$i"))
+        })
+      }
+      val stackArgs = cols.zipWithIndex.map {
+        case (ProfStr(c), i) =>
+          s"'$c', nn_$i, nd_$i, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_$i, mxs_$i"
+        case (pc, i) =>
+          s"'${pc.name}', nn_$i, nd_$i, mn_$i, mx_$i, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+      }.mkString(",\n")
+      df.agg(aggs.head, aggs.tail: _*).selectExpr(
+        s"'$tbl' AS tbl",
+        s"""stack(${cols.size},
+           |$stackArgs)
+           |AS (col, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+    }.reduce(_.union(_))
+
+  /** Generated from [[ProfileSpec]] — one SELECT per (table, column),
+    * mirroring the typed min/max arms of the Spark side. */
   val maintProfileSql: String =
-    """SELECT 'o_orderkey' AS col, CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_nulls,
-      |  count(DISTINCT o_orderkey) AS n_distinct,
-      |  CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
-      |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM orders
-      |UNION ALL
-      |SELECT 'o_custkey', CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT),
-      |  count(DISTINCT o_custkey),
-      |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE),
-      |  NULL, NULL FROM orders
-      |UNION ALL
-      |SELECT 'o_totalprice', CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT),
-      |  count(DISTINCT o_totalprice),
-      |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
-      |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
-      |  NULL, NULL FROM orders
-      |UNION ALL
-      |SELECT 'o_orderstatus', CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
-      |  count(DISTINCT o_orderstatus),
-      |  NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM orders""".stripMargin
+    ProfileSpec.flatMap { case (tbl, cols) =>
+      cols.map { pc =>
+        val c = pc.name
+        val minMax = pc match {
+          case ProfNum(_) =>
+            s"CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num, " +
+              "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+          case ProfMoney(_) =>
+            s"CAST(min(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS min_num, " +
+              s"CAST(max(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS max_num, " +
+              "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+          case ProfStr(_) =>
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+              s"min($c) AS min_str, max($c) AS max_str"
+        }
+        s"""SELECT '$tbl' AS tbl, '$c' AS col,
+           |  CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $minMax FROM $tbl""".stripMargin
+      }
+    }.mkString("\nUNION ALL\n")
 
   /** MERGE-ON-READ ROW DELETES — the lakehouse delete-vector pattern:
     * parquet cannot delete in place, so deletes land as a TOMBSTONE
