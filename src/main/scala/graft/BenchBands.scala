@@ -28,6 +28,9 @@ object BenchBands {
     "curation_e2e" -> 0.776, "dedup_chunks" -> 1.216, "dedup_components" -> 1.482,
     "dedup_decontaminate" -> 0.704, "dedup_embedding_cosine" -> 1.203, "dedup_exact" -> 0.328,
     "dedup_fuzzy_names" -> 2.549, "dedup_incremental" -> 0.616, "dedup_minhash_lsh" -> 1.291,
+    // provisional focused-run value for the r12 addition — replaced by
+    // the r12 full-battery trio below like everything else
+    "dedup_components_lsh" -> 2.5,
     "dedup_near_jaccard" -> 0.099, "dedup_ngram_exact" -> 0.991, "dedup_semantic" -> 1.180,
     "dedup_simhash" -> 1.127, "dedup_simhash_pairs" -> 1.651, "dedup_sketch_sources" -> 0.868,
     "dedup_survivors" -> 0.235, "doc_mixture_weights" -> 0.480, "doc_pack_shards" -> 0.616,

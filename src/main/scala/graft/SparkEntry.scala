@@ -51,6 +51,7 @@ object SparkEntry {
     * until it is either given SQL or documented here.
     */
   val rowsOnly: Set[String] = Set(
+    "dedup_components_lsh", // ComponentsLshRecallSpec: co-membership recall >= 0.95 vs exact
     "dedup_simhash",        // SimhashSpec: bit-flip bound vs brute force
     "dedup_simhash_pairs",  // SimhashPairsSpec: pigeonhole-exact banding
     "dedup_sketch_sources", // sketch union — ApproxDistinctSpec twin

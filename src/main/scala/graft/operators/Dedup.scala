@@ -329,28 +329,31 @@ object Dedup {
     // (sbt runs test suites in parallel in one JVM) — exactly one
     // fixpoint ever writes a given path
     componentsMaterialized.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), { _ =>
-      computeComponentLabels(spark, dir, out)
+      computeComponentLabels(spark,
+        nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b")), out)
       java.lang.Boolean.TRUE
     })
     spark.read.parquet(out)
   }
 
-  /** The fixpoint itself — runs the propagation rounds and writes the
-    * labels to `out`. Only [[dedupComponents]] calls this, at most once
-    * per (JVM, dataset). */
+  /** The min-label fixpoint itself over an explicit `(doc_a, doc_b)`
+    * pair relation — runs the propagation rounds and writes the labels
+    * to `out`. Callers: [[dedupComponents]] (exact shingle-join pairs,
+    * once per (JVM, dataset)) and [[dedupComponentsLsh]] (banded-LSH
+    * candidate pairs — the 100 TB edge source). */
   private def computeComponentLabels(
-      spark: SparkSession, dir: String, out: String): Unit = {
-    val pairs = nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+      spark: SparkSession, pairs: DataFrame, out: String): Unit = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     try {
-      // Trigger the pair-artifact materialization (a no-op when another
-      // consumer already paid it) at the session's own shuffle
-      // partitioning BEFORE narrowing for the rounds: nearDupPairs'
-      // first touch runs the corpus-scale shingle self-join, and
-      // letting round 1 trigger it lazily inside the 8-partition window
-      // would run that big join on 8 reducers.
+      // Materialize the pair source (for the exact path, the scratch
+      // pair artifact — a no-op when another consumer already paid it;
+      // for the LSH path, the banded candidate join) at the session's
+      // own shuffle partitioning BEFORE narrowing for the rounds:
+      // letting round 1 trigger the corpus-scale pair join lazily
+      // inside the 8-partition window would run that big join on 8
+      // reducers.
       edges.count()
       // The propagation rounds shuffle the LABEL table (one row per doc
       // in any near-dup pair — orders of magnitude smaller than the
@@ -410,6 +413,34 @@ object Dedup {
         } finally labels.unpersist() // also covers a mid-loop failure
       }
     } finally edges.unpersist()
+  }
+
+  /** [[dedupComponents]] seeded from the BANDED-LSH candidate path
+    * instead of the exact shingle self-join — the production shape at
+    * 100 TB: the exact inverted-index join is the one remaining
+    * full-corpus quadratic-risk exchange in the dedup family (work
+    * Σ df² per shingle, df-capped but still corpus-coupled), while the
+    * LSH edge source is band-key equi-join + verify-only-candidates —
+    * per-band bucket sizes are governed by the signature hash, not by
+    * shingle popularity. Same min-label fixpoint, same output schema
+    * (doc_id, component). With r=2/b=16 the probability an edge at
+    * j≥0.8 is missed is ≈10⁻⁷ (see [[dedupMinhashLsh]]), and a missed
+    * edge can only SPLIT a component, never merge two — so component
+    * co-membership recall vs the exact fixpoint is the right acceptance
+    * metric (ComponentsLshRecallSpec pins it ≥ 0.95; on this corpus the
+    * labelings are identical). Rows-only for the driver: the edge set
+    * is hash-family-dependent in general, so the exact recursive-CTE
+    * oracle is not a guaranteed twin under data refresh.
+    *
+    * No per-dataset memo, deliberately: the memoized exact labels are a
+    * shared pipeline artifact with two consumers (components +
+    * survivors); this variant has one, and an unmemoized run is what
+    * the bench should time. */
+  def dedupComponentsLsh(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Formats.tmp("dedup_cc_lsh", dir)
+    computeComponentLabels(spark,
+      dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b")), out)
+    spark.read.parquet(out)
   }
 
   /** Recursive-CTE component chain (min reachable doc_id over the
@@ -856,6 +887,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_near_jaccard" -> (nearDupPairs _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_lsh" -> (dedupComponentsLsh _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_ngram_exact" -> (dedupNgramExact _),
     "dedup_chunks" -> (dedupChunks _),

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Acceptance bound for [[Dedup.dedupComponentsLsh]] — the LSH-seeded
+  * connected-components variant the 100 TB pipeline runs instead of the
+  * exact shingle self-join. Two sides pin it to the exact fixpoint:
+  *
+  *  - RECALL: the only way the LSH labeling can differ from the exact
+  *    one is a missed candidate edge (band collision failure), which
+  *    SPLITS a component — so the metric is co-membership recall: of
+  *    all doc pairs the exact fixpoint co-labels, the fraction the LSH
+  *    fixpoint also co-labels. With r=2/b=16 at the corpus's planted
+  *    near-dup similarities (≥0.8) the per-edge miss probability is
+  *    ≈10⁻⁷; the bound is ≥ 0.95 to stay refresh-robust.
+  *  - PRECISION IS EXACT, not a bound: every LSH candidate is verified
+  *    with exact Jaccard before becoming an edge, so LSH edges are a
+  *    subset of the exact near-dup edges and the LSH components REFINE
+  *    the exact components — asserted as: every LSH-co-labeled pair is
+  *    exact-co-labeled. A false merge would be an engine bug, never
+  *    hash-family luck.
+  */
+class ComponentsLshRecallSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+
+  private def coPairs(lab: Map[Long, Long]): Set[(Long, Long)] =
+    lab.groupBy(_._2).values.flatMap { g =>
+      val ids = g.keys.toSeq.sorted
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    }.toSet
+
+  private lazy val exact = labels(Dedup.dedupComponents(spark, TestSpark.Sf001))
+  private lazy val lsh = labels(Dedup.dedupComponentsLsh(spark, TestSpark.Sf001))
+
+  test("co-membership recall vs the exact fixpoint >= 0.95") {
+    val exactPairs = coPairs(exact)
+    assert(exactPairs.nonEmpty,
+      "corpus has no multi-doc near-dup component — recall is vacuous; " +
+        "the fixture should plant near-dups")
+    val lshPairs = coPairs(lsh)
+    val recalled = exactPairs.count(lshPairs.contains)
+    val recall = recalled.toDouble / exactPairs.size
+    assert(recall >= 0.95,
+      s"component co-membership recall $recall < 0.95 " +
+        s"($recalled of ${exactPairs.size} exact co-pairs recovered)")
+  }
+
+  test("LSH components refine the exact components (no false merges)") {
+    val exactPairs = coPairs(exact)
+    val falseMerges = coPairs(lsh) -- exactPairs
+    assert(falseMerges.isEmpty,
+      s"LSH fixpoint co-labeled pairs the exact fixpoint separates: " +
+        s"${falseMerges.take(5)} — verified-candidate edges must be a " +
+        "subset of exact near-dup edges")
+  }
+
+  test("node coverage: the LSH labeling covers exactly the docs in LSH edges, all within the exact node set") {
+    // Every labeled node labels itself or a smaller co-member; labels
+    // come from the node universe of the edge list. A node the exact
+    // path labels but LSH doesn't is a (counted) recall loss, not an
+    // error; the reverse would be a phantom edge.
+    val phantom = lsh.keySet -- exact.keySet
+    assert(phantom.isEmpty,
+      s"LSH fixpoint labeled docs the exact edge set never saw: ${phantom.take(5)}")
+  }
+}
