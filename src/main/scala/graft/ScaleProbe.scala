@@ -51,7 +51,13 @@ object ScaleProbe {
       // anti-join — both must stay ~linear), and the semantic
       // cluster-then-prune dedup whose work is P²N²/2k ≈ P²·N^1.5 with
       // k ≈ √N — the sub-quadratic claim this probe exists to check
-      "curation_e2e", "dedup_incremental", "dedup_semantic")
+      "curation_e2e", "dedup_incremental", "dedup_semantic",
+      // round-12 additions: the LSH-seeded components fixpoint must
+      // scale like its banded edge join (bucket sizes governed by the
+      // signature hash), not like the exact join's Σdf²; maint_profile
+      // must stay linear in scanned rows with a constant Expand factor
+      // (sf1 carries 10× key-offset orders/lineitem replicas for it)
+      "dedup_components_lsh", "maint_profile")
 
   def main(args: Array[String]): Unit = {
     val dirs =
@@ -86,6 +92,33 @@ object ScaleProbe {
             s""","cc_rounds":${graft.operators.Dedup.lastComponentsRounds}"""
           else ""
         println(f"""{"probe":"$name","dir":"$dir","sec":$sec%.2f,"rows":$rows$extra}""")
+      }
+      // LSH-components quality at this scale: co-membership recall of
+      // the LSH-seeded fixpoint against the exact one (the
+      // ComponentsLshRecallSpec metric, re-measured where the corpus —
+      // and so the band-collision odds — have grown 10×). Label tables
+      // are component-member-bounded (≤ a few hundred rows), so the
+      // stratification is driver-side; the LSH labels re-read the
+      // scratch parquet its probe run just wrote (same dataset, same
+      // fixed path), costing a read, not a second fixpoint.
+      {
+        def lab(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+          df.collect()
+            .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
+            .toMap
+        def coPairs(m: Map[Long, Long]): Set[(Long, Long)] =
+          m.groupBy(_._2).values.flatMap { g =>
+            val ids = g.keys.toSeq.sorted
+            for { a <- ids; b <- ids if a < b } yield (a, b)
+          }.toSet
+        val exactCc =
+          coPairs(lab(SparkEntry.queries("dedup_components")(spark, dir)))
+        val lshCc = coPairs(lab(spark.read.parquet(
+          graft.sources.Formats.tmp("dedup_cc_lsh", dir))))
+        val hitCc = exactCc.count(lshCc.contains)
+        val falseMerges = (lshCc -- exactCc).size
+        if (exactCc.nonEmpty)
+          println(f"""{"probe":"dedup_components_lsh_recall","dir":"$dir","n":${exactCc.size},"recall":${hitCc.toDouble / exactCc.size}%.3f,"false_merges":$falseMerges}""")
       }
       // IVF quality at this scale: recall@10 of the scale path against
       // the exact batch scan over the SAME 32 queries — AnnRecallSpec

@@ -17,7 +17,9 @@ fixed, deterministic):
   dedup_fuzzy_names; names extend the observed `Customer#%09d`
   sequential scheme.
 
-Output: /root/repo/target/sf1/{documents,customer}.parquet.
+Output: /root/repo/target/sf1/{documents,customer,embeddings,orders,
+lineitem}.parquet (orders/lineitem are 10x key-offset replicas for the
+maint_profile volume probe — see the comment at their writer).
 This is builder tooling (driver-side python), NOT part of the Spark
 library; /root/testdata is never written.
 """
@@ -110,6 +112,30 @@ con.sql(f"""copy (select i as c_custkey,
             from range({N_CUST}) t(i))
             to '{OUT}/customer.parquet' (format parquet)""")
 
+# orders / lineitem (10x by key-offset replication): consumed only by the
+# maint_profile scale probe, whose claim is "linear in scanned rows with a
+# constant Expand factor" — replication with offset keys preserves the
+# volume law exactly (key NDVs scale ~10x, low-cardinality flag/price
+# NDVs stay ~constant), which is all a profiling scan sees.
+for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+    mx = con.sql(
+        f"select max({key}) + 1 from '{SRC}/{t}.parquet'").fetchone()[0]
+    if t == "orders":
+        # o_custkey deliberately NOT offset: its NDV stays constant like
+        # the flag columns, while o_orderkey provides the growing-NDV
+        # distinct-agg state; referential shape to customer is preserved
+        cols = ("o_orderkey + i * cast(%d as bigint) as o_orderkey, "
+                "o_custkey, o_orderstatus, o_totalprice, o_orderdate, "
+                "o_orderpriority" % mx)
+    else:
+        cols = ("l_orderkey + i * cast(%d as bigint) as l_orderkey, "
+                "l_partkey, l_suppkey, l_linenumber, l_quantity, "
+                "l_extendedprice, l_discount, l_tax, l_returnflag, "
+                "l_linestatus, l_shipdate" % mx)
+    con.sql(f"""copy (select {cols}
+                from '{SRC}/{t}.parquet', range(10) t(i))
+                to '{OUT}/{t}.parquet' (format parquet)""")
+
 print("wrote", OUT)
-for t in ("documents", "customer", "embeddings"):
+for t in ("documents", "customer", "embeddings", "orders", "lineitem"):
     print(t, con.sql(f"select count(*) from '{OUT}/{t}.parquet'").fetchone()[0])
