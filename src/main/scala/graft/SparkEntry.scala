@@ -62,6 +62,7 @@ object SparkEntry {
     "q_approx_distinct",    // ApproxDistinctSpec: HLL++ error bound
     "q_approx_percentiles", // GK sketch — ApproxDistinctSpec bound
     "text_heavy_hitters",   // Misra–Gries — superset+bound spec
+    "maint_profile_approx", // ProfileApproxSpec: non-NDV cols exact, NDV in HLL++ bound, no Expand
     "maint_sketch_rollup",  // DataSketches HLL — SketchRollupSpec bound + merge property
     "wordcount_ptb")        // PtbTokenizerSpec golden (619685/21364)
 

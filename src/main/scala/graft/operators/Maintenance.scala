@@ -643,36 +643,67 @@ object Maintenance {
     * the sort of the k×-expanded rows, the price of exact mixed-type
     * stats in one pass (at 100 TB the scan still dominates either
     * way). */
+  /** One table's profile: the single aggregation + long-form stack,
+    * parameterized by the NDV aggregate — exact `countDistinct` for
+    * [[maintProfile]], HLL `approx_count_distinct` for
+    * [[maintProfileApprox]]. Everything else (null counts, typed
+    * min/max, output schema) is shared, which IS the documented claim
+    * that approximate profiles swap in with no shape change. */
+  private def profileTable(spark: SparkSession, dir: String,
+      tbl: String, cols: Seq[ProfCol], ndv: Column => Column): DataFrame = {
+    val df = Tables.byName(spark, dir, tbl)
+    val aggs = cols.zipWithIndex.flatMap { case (pc, i) =>
+      val base = Seq(
+        sum(col(pc.name).isNull.cast("long")).as(s"nn_$i"),
+        ndv(col(pc.name)).as(s"nd_$i"))
+      base ++ (pc match {
+        case ProfNum(c) => Seq(
+          min(col(c)).cast("double").as(s"mn_$i"),
+          max(col(c)).cast("double").as(s"mx_$i"))
+        case ProfMoney(c) => Seq(
+          min(col(c).cast("decimal(18,2)")).cast("double").as(s"mn_$i"),
+          max(col(c).cast("decimal(18,2)")).cast("double").as(s"mx_$i"))
+        case ProfStr(c) => Seq(
+          min(col(c)).as(s"mns_$i"),
+          max(col(c)).as(s"mxs_$i"))
+      })
+    }
+    val stackArgs = cols.zipWithIndex.map {
+      case (ProfStr(c), i) =>
+        s"'$c', nn_$i, nd_$i, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_$i, mxs_$i"
+      case (pc, i) =>
+        s"'${pc.name}', nn_$i, nd_$i, mn_$i, mx_$i, CAST(NULL AS STRING), CAST(NULL AS STRING)"
+    }.mkString(",\n")
+    df.agg(aggs.head, aggs.tail: _*).selectExpr(
+      s"'$tbl' AS tbl",
+      s"""stack(${cols.size},
+         |$stackArgs)
+         |AS (col, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+  }
+
   def maintProfile(spark: SparkSession, dir: String): DataFrame =
     ProfileSpec.map { case (tbl, cols) =>
-      val df = Tables.byName(spark, dir, tbl)
-      val aggs = cols.zipWithIndex.flatMap { case (pc, i) =>
-        val base = Seq(
-          sum(col(pc.name).isNull.cast("long")).as(s"nn_$i"),
-          countDistinct(col(pc.name)).as(s"nd_$i"))
-        base ++ (pc match {
-          case ProfNum(c) => Seq(
-            min(col(c)).cast("double").as(s"mn_$i"),
-            max(col(c)).cast("double").as(s"mx_$i"))
-          case ProfMoney(c) => Seq(
-            min(col(c).cast("decimal(18,2)")).cast("double").as(s"mn_$i"),
-            max(col(c).cast("decimal(18,2)")).cast("double").as(s"mx_$i"))
-          case ProfStr(c) => Seq(
-            min(col(c)).as(s"mns_$i"),
-            max(col(c)).as(s"mxs_$i"))
-        })
-      }
-      val stackArgs = cols.zipWithIndex.map {
-        case (ProfStr(c), i) =>
-          s"'$c', nn_$i, nd_$i, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_$i, mxs_$i"
-        case (pc, i) =>
-          s"'${pc.name}', nn_$i, nd_$i, mn_$i, mx_$i, CAST(NULL AS STRING), CAST(NULL AS STRING)"
-      }.mkString(",\n")
-      df.agg(aggs.head, aggs.tail: _*).selectExpr(
-        s"'$tbl' AS tbl",
-        s"""stack(${cols.size},
-           |$stackArgs)
-           |AS (col, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
+      profileTable(spark, dir, tbl, cols, countDistinct(_))
+    }.reduce(_.union(_))
+
+  /** [[maintProfile]] with HLL-sketch NDVs — the scale path for
+    * profiling a 100 TB table where exact NDVs do not pay their way:
+    * `approx_count_distinct` replaces `countDistinct`, and with it the
+    * whole multi-DISTINCT machinery disappears from the plan — no
+    * Expand (rows are scanned 1×, not k×), no Sort (the aggregate is
+    * global, so the string-buffer SortAggregate fallback degenerates
+    * to an empty-key fold), and the partial pass collapses each
+    * partition to ONE sketch row before a single-partition exchange
+    * of sketches, not rows. Same output
+    * schema, same one-scan-per-table shape, same spec — the documented
+    * "approximate profiles swap in HLL sketches with no shape change",
+    * now as code. Rows-only for the driver (HLL++ estimates are
+    * engine-specific); ProfileApproxSpec pins the non-NDV columns
+    * EXACTLY equal to the exact profile's, NDV within the HLL++
+    * relative-error bound, and the no-Expand plan shape. */
+  def maintProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    ProfileSpec.map { case (tbl, cols) =>
+      profileTable(spark, dir, tbl, cols, approx_count_distinct(_))
     }.reduce(_.union(_))
 
   /** Generated from [[ProfileSpec]] — one SELECT per (table, column),
@@ -852,6 +883,7 @@ object Maintenance {
     "maint_incremental_agg" -> (maintIncrementalAgg _),
     "maint_delete_vector" -> (maintDeleteVector _),
     "maint_profile" -> (maintProfile _),
+    "maint_profile_approx" -> (maintProfileApprox _),
     "maint_compact" -> (maintCompact _),
     "maint_cluster" -> (maintCluster _),
     "maint_zorder" -> (maintZorder _),
