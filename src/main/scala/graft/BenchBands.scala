@@ -8,9 +8,11 @@ package graft
   * medians below are per-query medians of a recorded three-run trio at
   * sf0.1 / local[32] on this host, on the same code family that ships
   * them (round-12 full-battery trio, adjudicated totals
-  * 161.3 / 147.5 / 148.4 s over all 172 queries — replacing the r11
-  * trio AND its three focused mini-trio entries with full-JVM-context
-  * medians; provenance: BASELINE.md §f). They parameterize
+  * 161.3 / 147.5 / 148.4 s over 172 queries — replacing the r11 trio
+  * AND its three focused mini-trio entries with full-JVM-context
+  * medians; the one later addition, maint_profile_approx, is banded
+  * from the round-12 CLOSING full-battery trio; provenance:
+  * BASELINE.md §f). They parameterize
   * the re-run band only — they are never reported as results, so a
   * stale entry can cause a wasted (or missed) re-run, never a wrong
   * number. BenchBandsSpec pins the map to the live query battery.
@@ -49,8 +51,10 @@ object BenchBands {
     "lines_wordcount" -> 0.355, "maint_bloom_index" -> 1.428, "maint_cluster" -> 1.608,
     "maint_compact" -> 2.636, "maint_delete_vector" -> 0.635, "maint_dq_audit" -> 1.073,
     "maint_incremental_agg" -> 0.812, "maint_profile" -> 6.692,
-    // provisional for the r12 late addition — replaced by the closing trio
-    "maint_profile_approx" -> 1.5,
+    // median of the r12 CLOSING full-battery trio (1.227/2.155/1.349 s)
+    // — the query landed after the band trio, but its median still
+    // comes from full-battery JVM context, not an isolated mini-trio
+    "maint_profile_approx" -> 1.349,
     "maint_recompress" -> 1.986,
     "maint_scd2" -> 0.469, "maint_sketch_rollup" -> 1.180, "maint_upsert" -> 0.450,
     "maint_zorder" -> 2.496, "mm_decode" -> 0.265, "mm_frame_sample" -> 0.171,
