@@ -90,6 +90,8 @@ object ScaleProbe {
         val extra =
           if (name == "dedup_components")
             s""","cc_rounds":${graft.operators.Dedup.lastComponentsRounds}"""
+          else if (name == "dedup_components_lsh")
+            s""","cc_rounds":${graft.operators.Dedup.lastComponentsLshRounds}"""
           else ""
         println(f"""{"probe":"$name","dir":"$dir","sec":$sec%.2f,"rows":$rows$extra}""")
       }
@@ -102,18 +104,10 @@ object ScaleProbe {
       // scratch parquet its probe run just wrote (same dataset, same
       // fixed path), costing a read, not a second fixpoint.
       {
-        def lab(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-          df.collect()
-            .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component"))
-            .toMap
-        def coPairs(m: Map[Long, Long]): Set[(Long, Long)] =
-          m.groupBy(_._2).values.flatMap { g =>
-            val ids = g.keys.toSeq.sorted
-            for { a <- ids; b <- ids if a < b } yield (a, b)
-          }.toSet
-        val exactCc =
-          coPairs(lab(SparkEntry.queries("dedup_components")(spark, dir)))
-        val lshCc = coPairs(lab(spark.read.parquet(
+        import graft.operators.Dedup.{componentCoPairs, componentLabelMap}
+        val exactCc = componentCoPairs(componentLabelMap(
+          SparkEntry.queries("dedup_components")(spark, dir)))
+        val lshCc = componentCoPairs(componentLabelMap(spark.read.parquet(
           graft.sources.Formats.tmp("dedup_cc_lsh", dir))))
         val hitCc = exactCc.count(lshCc.contains)
         val falseMerges = (lshCc -- exactCc).size

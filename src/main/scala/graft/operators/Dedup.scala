@@ -64,6 +64,12 @@ object Dedup {
     * stays flat as the corpus scales; no query logic reads it. */
   @volatile var lastComponentsRounds: Int = 0
 
+  /** [[lastComponentsRounds]]'s twin for the most recent
+    * [[dedupComponentsLsh]] fixpoint — a separate counter, so neither
+    * caller of the shared fixpoint can overwrite the other's
+    * diagnostic (the probe attributes each to its own operator). */
+  @volatile var lastComponentsLshRounds: Int = 0
+
   /** doc_id → (shingle set, size), materialized behind one exchange.
     * Deliberately NO `sz > 0` filter: a filter above the repartition gets
     * pushed back through the exchange and re-inlines the whole shingle
@@ -329,7 +335,7 @@ object Dedup {
     // (sbt runs test suites in parallel in one JVM) — exactly one
     // fixpoint ever writes a given path
     componentsMaterialized.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), { _ =>
-      computeComponentLabels(spark,
+      lastComponentsRounds = computeComponentLabels(spark,
         nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b")), out)
       java.lang.Boolean.TRUE
     })
@@ -337,12 +343,13 @@ object Dedup {
   }
 
   /** The min-label fixpoint itself over an explicit `(doc_a, doc_b)`
-    * pair relation — runs the propagation rounds and writes the labels
-    * to `out`. Callers: [[dedupComponents]] (exact shingle-join pairs,
-    * once per (JVM, dataset)) and [[dedupComponentsLsh]] (banded-LSH
-    * candidate pairs — the 100 TB edge source). */
+    * pair relation — runs the propagation rounds, writes the labels
+    * to `out`, and RETURNS the round count so each caller records its
+    * own diagnostic. Callers: [[dedupComponents]] (exact shingle-join
+    * pairs, once per (JVM, dataset)) and [[dedupComponentsLsh]]
+    * (banded-LSH candidate pairs — the 100 TB edge source). */
   private def computeComponentLabels(
-      spark: SparkSession, pairs: DataFrame, out: String): Unit = {
+      spark: SparkSession, pairs: DataFrame, out: String): Int = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
@@ -398,7 +405,6 @@ object Dedup {
             labels.unpersist()
             labels = next
           }
-          lastComponentsRounds = rounds
           // Materialize the fixpoint to scratch so EVERY cache can be
           // released before returning (returning the persisted frame
           // directly would leak one cached RDD per invocation — the
@@ -410,6 +416,7 @@ object Dedup {
           // returned by earlier calls on the same dataset.
           labels.select(col("node").as("doc_id"), col("label").as("component"))
             .write.mode("overwrite").parquet(out)
+          rounds
         } finally labels.unpersist() // also covers a mid-loop failure
       }
     } finally edges.unpersist()
@@ -438,10 +445,28 @@ object Dedup {
     * the bench should time. */
   def dedupComponentsLsh(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Formats.tmp("dedup_cc_lsh", dir)
-    computeComponentLabels(spark,
+    lastComponentsLshRounds = computeComponentLabels(spark,
       dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b")), out)
     spark.read.parquet(out)
   }
+
+  /** A component labeling collected to a (doc_id → component) map —
+    * the driver-side form the acceptance metric works on. Label tables
+    * are component-member-bounded (a few hundred rows at test scales),
+    * so the collect is safe by construction. ONE definition shared by
+    * ComponentsLshRecallSpec and ScaleProbe so the gate and the sf1
+    * probe can never measure different "recall". */
+  def componentLabelMap(df: DataFrame): Map[Long, Long] =
+    df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+
+  /** All co-membership pairs (a < b) of a labeling — the unit the
+    * LSH-vs-exact recall/precision metrics count. */
+  def componentCoPairs(labels: Map[Long, Long]): Set[(Long, Long)] =
+    labels.groupBy(_._2).values.flatMap { g =>
+      val ids = g.keys.toSeq.sorted
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    }.toSet
 
   /** Recursive-CTE component chain (min reachable doc_id over the
     * undirected pair graph; UNION dedups rows, so the recursion reaches
@@ -642,8 +667,27 @@ object Dedup {
         call_function("minhash_sigs", col("sh"), lit(MinHashK)).as("mh"))
   }
 
+  /** Per-document CAPPED shingle set — the df-capped index re-grouped
+    * to (doc_id, full sz, array of surviving shingles), so array-level
+    * consumers (the LSH verify step) can compute the SAME capped
+    * intersection the exact pair join and the DuckDB oracle compute.
+    * `sz` stays the FULL set size, exactly as in [[cappedShingleIndex]];
+    * a document whose every shingle is hot (or empty) has no row here —
+    * such a doc can never be a capped-semantics candidate anyway. */
+  private def cappedShingleSets(spark: SparkSession, dir: String): DataFrame =
+    cappedShingleIndex(spark, dir)
+      .groupBy("doc_id", "sz")
+      .agg(collect_list(col("s")).as("shc"))
+
   /** MinHash-LSH near-dup: band the signature, bucket-join on
-    * (band, band-key), then verify candidates with exact Jaccard.
+    * (band, band-key), then verify candidates with the CAPPED exact
+    * Jaccard — intersection over df-capped shingle sets, full-set
+    * sizes in the denominator — i.e. bit-identical scoring to
+    * [[dedupNearJaccard]] and to the shared oracle CTE (an uncapped
+    * verify here would diverge from the oracle, and could out-score
+    * the exact path, the moment a refresh introduces a hot shingle;
+    * candidate GENERATION stays uncapped — banding over the full
+    * signature only ever widens recall, and verification prunes).
     * With r=2, b=16 the probability of missing a pair at j=0.5 is
     * (1-0.25)¹⁶ ≈ 1%, and ≈10⁻⁷ at j=0.8, so on this corpus (planted
     * near-dups all ≥0.8, next population ≤0.2) the output equals the
@@ -660,15 +704,17 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sets = shingleSets(spark, dir)
+    val sets = cappedShingleSets(spark, dir)
     cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shc").as("sha"), col("sz").as("sza")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shc").as("shb"), col("sz").as("szb")), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sha"), col("shb"))).cast("double"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+        (col("inter") / (col("sza") + col("szb") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Corpus-level similarity via UNION sketches: per-source MinHash

@@ -26,15 +26,13 @@ class ComponentsLshRecallSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  // metric helpers live next to the operator (Dedup.componentLabelMap /
+  // componentCoPairs) — ONE definition for this spec and ScaleProbe
   private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
-    df.collect().map(r =>
-      r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    Dedup.componentLabelMap(df)
 
   private def coPairs(lab: Map[Long, Long]): Set[(Long, Long)] =
-    lab.groupBy(_._2).values.flatMap { g =>
-      val ids = g.keys.toSeq.sorted
-      for { a <- ids; b <- ids if a < b } yield (a, b)
-    }.toSet
+    Dedup.componentCoPairs(lab)
 
   private lazy val exact = labels(Dedup.dedupComponents(spark, TestSpark.Sf001))
   private lazy val lsh = labels(Dedup.dedupComponentsLsh(spark, TestSpark.Sf001))

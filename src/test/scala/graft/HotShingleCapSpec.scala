@@ -81,4 +81,22 @@ class HotShingleCapSpec extends AnyFunSuite {
     // bound of the true Jaccard 1.0 and still well over the 0.5 gate
     assert(math.abs(pairs(1)._3 - 4.0 / 6.0) < 1e-12)
   }
+
+  test("LSH path scores with the SAME capped semantics as the exact join") {
+    // identical docs band-collide with probability 1 (equal signatures),
+    // so both planted pairs are guaranteed candidates; what this pins is
+    // the VERIFY step — an uncapped verify would score the mixed pair at
+    // its true Jaccard 1.0 and diverge from the exact join and the
+    // shared oracle CTE the moment a hot shingle exists.
+    val dir = plantDocs()
+    val pairs = Dedup.dedupMinhashLsh(TestSpark.spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq === Seq((9001L, 9002L), (9003L, 9004L)),
+      s"expected exactly the two planted dup pairs, got ${pairs.length} pairs")
+    assert(pairs(0)._3 === 1.0)
+    assert(math.abs(pairs(1)._3 - 4.0 / 6.0) < 1e-12,
+      "LSH verify must use the capped intersection — uncapped scoring " +
+        "would report 1.0 here and out-score the exact path")
+  }
 }

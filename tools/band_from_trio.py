@@ -31,6 +31,11 @@ def main():
         if len(vals) != len(runs):
             print(f"// WARNING: {n} present in only {len(vals)} runs",
                   file=sys.stderr)
+        if not vals:  # errored (-1) in every run: skip, don't crash
+            print(f"// WARNING: {n} has no successful run — omitted "
+                  "from the band (3 s fallback will apply)",
+                  file=sys.stderr)
+            continue
         medians[n] = statistics.median(vals)
 
     entries = [f'"{n}" -> {medians[n]:.3f}' for n in sorted(medians)]
@@ -46,10 +51,10 @@ def main():
     sm = [len(r.get("smears", {})) for r in runs]
     drift = [r.get("band_drift") for r in runs]
     errs = [len(r.get("errors", [])) for r in runs]
-    print(f"// adjudicated totals: {' / '.join(f'{t:.1f}' for t in tot)} s",
-          file=sys.stderr)
-    print(f"// first-pass sums:    {' / '.join(f'{t:.1f}' for t in fp)} s",
-          file=sys.stderr)
+    def fmt(xs):  # pre-r10 artifacts lack total_firstpass — print n/a
+        return " / ".join("n/a" if x is None else f"{x:.1f}" for x in xs)
+    print(f"// adjudicated totals: {fmt(tot)} s", file=sys.stderr)
+    print(f"// first-pass sums:    {fmt(fp)} s", file=sys.stderr)
     print(f"// smears per run: {sm}; band_drift per run: {drift}; "
           f"errors per run: {errs}", file=sys.stderr)
     print(f"// queries: {len(medians)}; median sum: "
