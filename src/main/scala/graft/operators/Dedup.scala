@@ -52,10 +52,31 @@ object Dedup {
     * rows; the cap bounds the worst shingle's contribution at T²
     * regardless of corpus size — the one quadratic-risk exchange in
     * the exact-pair family (VERDICT r11). At the test scales the
-    * corpus max df is 25, so the cap provably drops nothing there;
-    * HotShingleCapSpec plants a >T boilerplate shingle and shows it
-    * excluded. Mirrored verbatim in [[PairCtesSql]] (QUALIFY) so the
-    * DuckDB oracle computes the identical capped semantics. */
+    * corpus max df is 25 (136 at the derived sf1), so the cap provably
+    * drops nothing there; HotShingleCapSpec plants a >T boilerplate
+    * shingle and shows it excluded. Mirrored verbatim in
+    * [[PairCtesSql]] (QUALIFY) so the DuckDB oracle computes the
+    * identical capped semantics.
+    *
+    * DECLARED LIMIT of capped pairwise scoring: a duplication cluster
+    * with MORE than T members inflates the df of its own shared
+    * shingles past the cap, so the pairwise near-dup family
+    * (near_jaccard / components / survivors / the LSH twins) cannot
+    * see a mega-cluster of > T mutually-near-duplicate documents —
+    * pairwise output for such a cluster would be ≥ T² rows, which is
+    * exactly the blow-up the cap bounds, so this is the trade, not an
+    * accident. The regimes a real corpus hits it in are covered by the
+    * OTHER family members, which have no df cap: exact copies collapse
+    * under [[dedupExact]]'s content hash whatever the multiplicity,
+    * and mega-replicated boilerplate passages are first-occurrence
+    * deduped by [[dedupChunks]] at the chunk level (chunk repeats are
+    * the signal there, not a nuisance). A deployment needing PAIRWISE
+    * scores inside > T-sized near-dup clusters raises T for that run
+    * and pays the Σdf² it implies. Secondary effect at any
+    * multiplicity: the capped score is a lower bound, so a borderline
+    * pair whose shared set includes a hot shingle can fall below the
+    * JaccardThreshold gate — conservative in the keep-more direction
+    * (dedup drops fewer docs), never silently merging. */
   val MaxShingleDf = 1000
 
   /** Diagnostic only: propagation rounds the most recent
@@ -169,16 +190,38 @@ object Dedup {
     * shared shingles per pair, then J = inter / (|A|+|B|-inter). Work is
     * proportional to Σ(docs-per-shingle²) — bounded by shingle frequency,
     * not n². */
+  /** The shingles whose document frequency exceeds [[MaxShingleDf]] —
+    * by construction a TINY relation (≤ total shingle instances / cap
+    * rows), which is what makes it the BROADCAST side of every cap
+    * application. Derived with groupBy, not a window: partial
+    * aggregation collapses a hot shingle to one count row per input
+    * partition before the exchange, so the hottest shingle costs ~32
+    * partial rows on one reducer — a window partitioned by the shingle
+    * would instead route all k exploded rows of the hottest shingle to
+    * ONE task just to count them, a straggler/spill hotspot growing
+    * with exactly the skew the cap exists to bound. */
+  private def hotShingles(spark: SparkSession, dir: String): DataFrame =
+    shingleSets(spark, dir)
+      .select(explode_outer(col("sh")).as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select("s")
+
   /** The df-capped inverted shingle index — (doc_id, sz, s) with
-    * shingles of document frequency > [[MaxShingleDf]] removed. `sz`
-    * stays the FULL set size (a document property), so the capped
-    * Jaccard inter/(sza+szb-inter) is a lower bound of the true score.
+    * [[hotShingles]] removed via a BROADCAST anti-join. `sz` stays the
+    * FULL set size (a document property), so the capped Jaccard
+    * inter/(sza+szb-inter) is a lower bound of the true score.
     *
-    * Plan shape: the df count is a window over the shingle, so the one
-    * exchange it introduces hash-partitions by `s` — exactly the
-    * partitioning the candidate self-join needs next; both join sides
-    * reuse it (ReuseExchange), so the cap costs a sort, not an extra
-    * shuffle of the exploded table.
+    * Plan shape: the cap adds NO exchange and NO sort to the exploded
+    * table — the anti-join is broadcast (hot set is tiny by
+    * construction) and the exploded rows keep [[shingleSets]]'s doc_id
+    * partitioning, which is what lets [[cappedShingleSets]] re-group
+    * without a shuffle; the candidate self-join downstream introduces
+    * its own by-`s` exchange exactly as it would uncapped (identical
+    * on both sides → ReuseExchange). The hot-set derivation itself is
+    * one partial-aggregated groupBy over the corpus.
     *
     * explode_outer, NOT explode: plain explode makes the optimizer infer
     * a `size(sh) > 0` filter that is pushed through the exchange into the
@@ -189,9 +232,8 @@ object Dedup {
     shingleSets(spark, dir)
       .select(col("doc_id"), col("sz"), explode_outer(col("sh")).as("s"))
       .filter(col("s").isNotNull)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= MaxShingleDf)
-      .drop("df")
+      .join(broadcast(hotShingles(spark, dir)), Seq("s"), "left_anti")
+      .select(col("doc_id"), col("sz"), col("s"))
 
   def dedupNearJaccard(spark: SparkSession, dir: String): DataFrame = {
     val ex = cappedShingleIndex(spark, dir)
@@ -442,13 +484,28 @@ object Dedup {
     * No per-dataset memo, deliberately: the memoized exact labels are a
     * shared pipeline artifact with two consumers (components +
     * survivors); this variant has one, and an unmemoized run is what
-    * the bench should time. */
+    * the bench should time. Writes ARE still serialized per dataset
+    * (the memo gave the exact path write-exclusivity as a side effect;
+    * an unmemoized fixed-path writer must provide it explicitly or two
+    * in-JVM callers could interleave an overwrite with a lazy read).
+    * The cross-CALL contract stays the documented fmt_* one: a new
+    * call invalidates DataFrames returned by earlier calls on the same
+    * dataset. */
   def dedupComponentsLsh(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Formats.tmp("dedup_cc_lsh", dir)
-    lastComponentsLshRounds = computeComponentLabels(spark,
-      dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b")), out)
+    val lock = lshWriteLocks.computeIfAbsent(
+      graft.sources.Formats.canonicalDir(dir), _ => new Object)
+    lock.synchronized {
+      lastComponentsLshRounds = computeComponentLabels(spark,
+        dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b")), out)
+    }
     spark.read.parquet(out)
   }
+
+  /** Per-dataset write locks for [[dedupComponentsLsh]]'s fixed scratch
+    * path — see its doc. */
+  private val lshWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** A component labeling collected to a (doc_id → component) map —
     * the driver-side form the acceptance metric works on. Label tables
@@ -461,12 +518,25 @@ object Dedup {
       r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
 
   /** All co-membership pairs (a < b) of a labeling — the unit the
-    * LSH-vs-exact recall/precision metrics count. */
-  def componentCoPairs(labels: Map[Long, Long]): Set[(Long, Long)] =
-    labels.groupBy(_._2).values.flatMap { g =>
+    * LSH-vs-exact recall/precision metrics count. Enumeration is
+    * O(Σ m²) over component sizes m, so a LOUD guard refuses a
+    * pathological labeling (one m=10⁴ component is ~5×10⁷ boxed
+    * tuples — a driver OOM after the expensive runs already finished)
+    * instead of degrading; the diagnostic then needs a sampled metric,
+    * not a bigger driver. */
+  def componentCoPairs(labels: Map[Long, Long]): Set[(Long, Long)] = {
+    val groups = labels.groupBy(_._2).values
+    groups.foreach { g =>
+      require(g.size <= 2000,
+        s"component of ${g.size} members: co-pair enumeration would " +
+          s"materialize ~${g.size.toLong * g.size / 2} driver-side tuples; " +
+          "switch the metric to a sampled pair set for this corpus")
+    }
+    groups.flatMap { g =>
       val ids = g.keys.toSeq.sorted
       for { a <- ids; b <- ids if a < b } yield (a, b)
     }.toSet
+  }
 
   /** Recursive-CTE component chain (min reachable doc_id over the
     * undirected pair graph; UNION dedups rows, so the recursion reaches
@@ -673,7 +743,12 @@ object Dedup {
     * intersection the exact pair join and the DuckDB oracle compute.
     * `sz` stays the FULL set size, exactly as in [[cappedShingleIndex]];
     * a document whose every shingle is hot (or empty) has no row here —
-    * such a doc can never be a capped-semantics candidate anyway. */
+    * such a doc can never be a capped-semantics candidate anyway.
+    *
+    * Costs NO exchange: the capped index preserves [[shingleSets]]'s
+    * doc_id partitioning (explode and the broadcast anti-join are both
+    * narrow), so this groupBy's ClusteredDistribution(doc_id, sz) is
+    * already satisfied and the re-group aggregates in place. */
   private def cappedShingleSets(spark: SparkSession, dir: String): DataFrame =
     cappedShingleIndex(spark, dir)
       .groupBy("doc_id", "sz")

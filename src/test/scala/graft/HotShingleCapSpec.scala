@@ -23,9 +23,22 @@ import graft.operators.Dedup
   *    found (its discriminative shingles suffice), with the capped
   *    score a lower bound of the true Jaccard.
   */
-class HotShingleCapSpec extends AnyFunSuite {
+class HotShingleCapSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   private val Hot = Dedup.MaxShingleDf + 50 // docs carrying the boilerplate shingle
+
+  // planted ONCE for the whole suite (the three tests read the same
+  // corpus; re-planting would triple the pipeline work and leak a temp
+  // dir per test), deleted in afterAll
+  private lazy val plantedDir: String = plantDocs()
+
+  override def afterAll(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(plantedDir)
+    p.getFileSystem(TestSpark.spark.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    super.afterAll()
+  }
 
   private def plantDocs(): String = {
     val spark = TestSpark.spark
@@ -56,7 +69,7 @@ class HotShingleCapSpec extends AnyFunSuite {
   }
 
   test("df cap drops the boilerplate shingle, keeps discriminative ones") {
-    val dir = plantDocs()
+    val dir = plantedDir
     val idx = Dedup.cappedShingleIndex(TestSpark.spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(2)))
     assert(!idx.exists(_._2 == "boiler plate line"),
@@ -68,7 +81,7 @@ class HotShingleCapSpec extends AnyFunSuite {
   }
 
   test("pair output is bounded: only genuine duplicates survive the cap") {
-    val dir = plantDocs()
+    val dir = plantedDir
     val pairs = Dedup.dedupNearJaccard(TestSpark.spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(p => (p._1, p._2))
@@ -88,7 +101,7 @@ class HotShingleCapSpec extends AnyFunSuite {
     // the VERIFY step — an uncapped verify would score the mixed pair at
     // its true Jaccard 1.0 and diverge from the exact join and the
     // shared oracle CTE the moment a hot shingle exists.
-    val dir = plantDocs()
+    val dir = plantedDir
     val pairs = Dedup.dedupMinhashLsh(TestSpark.spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .sortBy(p => (p._1, p._2))
