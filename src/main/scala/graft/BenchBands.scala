@@ -50,7 +50,11 @@ object BenchBands {
     "fmt_xml_roundtrip" -> 0.755, "lines_provenance" -> 0.864, "lines_roundtrip" -> 0.563,
     "lines_wordcount" -> 0.355, "maint_bloom_index" -> 1.428, "maint_cluster" -> 1.608,
     "maint_compact" -> 2.636, "maint_delete_vector" -> 0.635, "maint_dq_audit" -> 1.073,
-    "maint_incremental_agg" -> 0.812, "maint_profile" -> 6.692,
+    "maint_incremental_agg" -> 0.812,
+    // STALE-HIGH: recorded on the pre-split one-aggregate shape; the
+    // shipped zero-sort split measures ~2.1 s in full-battery context
+    // (final-gate run, §f) — refresh with the r13 trio
+    "maint_profile" -> 6.692,
     // median of the r12 CLOSING full-battery trio (1.227/2.155/1.349 s)
     // — the query landed after the band trio, but its median still
     // comes from full-battery JVM context, not an isolated mini-trio

@@ -621,89 +621,103 @@ object Maintenance {
     "documents" -> Seq(ProfNum("doc_id"), ProfNum("n_chars"),
       ProfStr("lang"), ProfStr("source")))
 
-  /** COLUMN PROFILE — table/column-driven ANALYZE-style statistics
-    * collection: for every (table, column) in [[ProfileSpec]], null
-    * count, exact distinct count, and min/max, emitted long-form (one
-    * row per column, tagged with its table) for the stats catalog a
-    * cost-based optimizer or data contract reads. All stats for all of
-    * a table's profiled columns come from a SINGLE aggregation over
-    * that table — at 100 TB the scan is the cost, so collecting each
-    * column with a separate pass (the naive ANALYZE loop) multiplies
-    * it; the multi-DISTINCT aggregate plans through Catalyst's Expand
-    * (one shuffle carrying k× distinct-tagged rows), the standard trade
-    * for exact NDVs — approximate profiles swap in HLL sketches
-    * ([[graft.functions.Extensibility]]) with no shape change. Tables
-    * union AFTER their one-row aggregates, so the plan stays exactly
-    * one scan per profiled table regardless of how many the spec
-    * lists. Numeric min/max ride DOUBLE columns, string min/max ride
-    * VARCHAR — fixed long-form schema, no cross-engine rendering of
-    * numbers as text. Plan note: the string min/max buffers are not
-    * fixed-width, so Spark falls back from HashAggregate to
-    * SortAggregate for those tables' aggregates — the measured cost is
-    * the sort of the k×-expanded rows, the price of exact mixed-type
-    * stats in one pass (at 100 TB the scan still dominates either
-    * way). */
-  /** One table's profile: the single aggregation + long-form stack,
-    * parameterized by the NDV aggregate — exact `countDistinct` for
-    * [[maintProfile]], HLL `approx_count_distinct` for
-    * [[maintProfileApprox]]. Everything else (null counts, typed
-    * min/max, output schema) is shared, which IS the documented claim
-    * that approximate profiles swap in with no shape change. */
-  private def profileTable(spark: SparkSession, dir: String,
-      tbl: String, cols: Seq[ProfCol], ndv: Column => Column): DataFrame = {
-    val df = Tables.byName(spark, dir, tbl)
-    val aggs = cols.zipWithIndex.flatMap { case (pc, i) =>
-      val base = Seq(
-        sum(col(pc.name).isNull.cast("long")).as(s"nn_$i"),
-        ndv(col(pc.name)).as(s"nd_$i"))
-      base ++ (pc match {
-        case ProfNum(c) => Seq(
-          min(col(c)).cast("double").as(s"mn_$i"),
-          max(col(c)).cast("double").as(s"mx_$i"))
-        case ProfMoney(c) => Seq(
-          min(col(c).cast("decimal(18,2)")).cast("double").as(s"mn_$i"),
-          max(col(c).cast("decimal(18,2)")).cast("double").as(s"mx_$i"))
-        case ProfStr(c) => Seq(
-          min(col(c)).as(s"mns_$i"),
-          max(col(c)).as(s"mxs_$i"))
-      })
-    }
+  /** The FOLD-half aggregates for one profiled column: null count plus
+    * the typed min/max arms. All global (no grouping), so whatever
+    * aggregate node carries them — including the SortAggregate the
+    * variable-width string buffers force — degenerates to a per-
+    * partition fold: no Sort operator, one row per partition into the
+    * final exchange. Shared by both profile variants. */
+  private def foldAggs(pc: ProfCol, i: Int): Seq[Column] =
+    sum(col(pc.name).isNull.cast("long")).as(s"nn_$i") +: (pc match {
+      case ProfNum(c) => Seq(
+        min(col(c)).cast("double").as(s"mn_$i"),
+        max(col(c)).cast("double").as(s"mx_$i"))
+      case ProfMoney(c) => Seq(
+        min(col(c).cast("decimal(18,2)")).cast("double").as(s"mn_$i"),
+        max(col(c).cast("decimal(18,2)")).cast("double").as(s"mx_$i"))
+      case ProfStr(c) => Seq(
+        min(col(c)).as(s"mns_$i"),
+        max(col(c)).as(s"mxs_$i"))
+    })
+
+  /** The long-form projection over a table's one-row stats frame:
+    * `(tbl literal, stack(k, ...))` — shared by both variants so the
+    * output schema cannot drift between them. */
+  private def stackSelect(tbl: String, cols: Seq[ProfCol]): Seq[String] = {
     val stackArgs = cols.zipWithIndex.map {
       case (ProfStr(c), i) =>
         s"'$c', nn_$i, nd_$i, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_$i, mxs_$i"
       case (pc, i) =>
         s"'${pc.name}', nn_$i, nd_$i, mn_$i, mx_$i, CAST(NULL AS STRING), CAST(NULL AS STRING)"
     }.mkString(",\n")
-    df.agg(aggs.head, aggs.tail: _*).selectExpr(
+    Seq(
       s"'$tbl' AS tbl",
       s"""stack(${cols.size},
          |$stackArgs)
          |AS (col, n_nulls, n_distinct, min_num, max_num, min_str, max_str)""".stripMargin)
   }
 
+  /** COLUMN PROFILE — table/column-driven ANALYZE-style statistics
+    * collection: for every (table, column) in [[ProfileSpec]], null
+    * count, exact distinct count, and min/max, emitted long-form (one
+    * row per column, tagged with its table) for the stats catalog a
+    * cost-based optimizer or data contract reads — never the naive
+    * per-column ANALYZE loop (2k scans for k columns).
+    *
+    * Plan shape — ZERO sorts, everything hash or fold: each table
+    * contributes TWO aggregates over the same column-pruned scan,
+    * joined as one-row frames —
+    *  - the NDV half: the k-way exact multi-DISTINCT through
+    *    Catalyst's Expand. Alone in its aggregate, every aggregation
+    *    buffer is fixed-width, so the whole Expand pipeline
+    *    HashAggregates (distinct values are GROUPING keys, which hash
+    *    fine as strings);
+    *  - the fold half ([[foldAggs]]): null counts + mixed-type
+    *    min/max, global, so the string-buffer SortAggregate fallback
+    *    is an empty-key per-partition fold.
+    * Combining both halves in ONE aggregate — the tempting
+    * "single-scan" form — forces that aggregate to SortAggregate (the
+    * string min/max buffers disqualify hashing) and therefore to SORT
+    * the k×-expanded corpus: measured 2.6 s (orders alone, r11) and
+    * 6.7–8.3 s (three tables, r12) vs ~3 s for this split shape. The
+    * second streaming scan of a 4-column projection is the cheaper
+    * price at every scale — scans stream, external sorts of a
+    * k×-expanded 100 TB table spill. Approximate profiles go further:
+    * [[maintProfileApprox]] drops the Expand too. */
   def maintProfile(spark: SparkSession, dir: String): DataFrame =
     ProfileSpec.map { case (tbl, cols) =>
-      profileTable(spark, dir, tbl, cols, countDistinct(_))
+      val df = Tables.byName(spark, dir, tbl)
+      val ndvAggs = cols.zipWithIndex.map { case (pc, i) =>
+        countDistinct(col(pc.name)).as(s"nd_$i")
+      }
+      val fa = cols.zipWithIndex.flatMap { case (pc, i) => foldAggs(pc, i) }
+      val folded = df.agg(fa.head, fa.tail: _*)
+      val ndvs = df.agg(ndvAggs.head, ndvAggs.tail: _*)
+      folded.crossJoin(broadcast(ndvs))
+        .selectExpr(stackSelect(tbl, cols): _*)
     }.reduce(_.union(_))
 
   /** [[maintProfile]] with HLL-sketch NDVs — the scale path for
     * profiling a 100 TB table where exact NDVs do not pay their way:
     * `approx_count_distinct` replaces `countDistinct`, and with it the
-    * whole multi-DISTINCT machinery disappears from the plan — no
-    * Expand (rows are scanned 1×, not k×), no Sort (the aggregate is
-    * global, so the string-buffer SortAggregate fallback degenerates
-    * to an empty-key fold), and the partial pass collapses each
-    * partition to ONE sketch row before a single-partition exchange
-    * of sketches, not rows. Same output
-    * schema, same one-scan-per-table shape, same spec — the documented
-    * "approximate profiles swap in HLL sketches with no shape change",
-    * now as code. Rows-only for the driver (HLL++ estimates are
-    * engine-specific); ProfileApproxSpec pins the non-NDV columns
-    * EXACTLY equal to the exact profile's, NDV within the HLL++
-    * relative-error bound, and the no-Expand plan shape. */
+    * multi-DISTINCT machinery AND the second scan disappear — the
+    * sketch NDVs ride the fold aggregate itself (no Expand, no Sort,
+    * ONE scan per table; each partition collapses to one sketch row
+    * before a single-partition exchange of sketches, not rows). Same
+    * output schema, same spec — the documented "approximate profiles
+    * swap in HLL sketches with no shape change", now as code.
+    * Rows-only for the driver (HLL++ estimates are engine-specific);
+    * ProfileApproxSpec pins the non-NDV columns EXACTLY equal to the
+    * exact profile's, NDV within the HLL++ relative-error bound, and
+    * the no-Expand/no-Sort plan shape. */
   def maintProfileApprox(spark: SparkSession, dir: String): DataFrame =
     ProfileSpec.map { case (tbl, cols) =>
-      profileTable(spark, dir, tbl, cols, approx_count_distinct(_))
+      val df = Tables.byName(spark, dir, tbl)
+      val aggs = cols.zipWithIndex.flatMap { case (pc, i) =>
+        approx_count_distinct(col(pc.name)).as(s"nd_$i") +: foldAggs(pc, i)
+      }
+      df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(stackSelect(tbl, cols): _*)
     }.reduce(_.union(_))
 
   /** Generated from [[ProfileSpec]] — one SELECT per (table, column),

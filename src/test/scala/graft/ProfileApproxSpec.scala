@@ -13,13 +13,14 @@ import graft.operators.Maintenance
   *  - every NDV estimate is within the HLL++ relative-error bound of
   *    the exact NDV (default rsd 0.05 → spec allows 3×rsd = 15 %, the
   *    same 3-sigma posture as ApproxDistinctSpec);
-  *  - the PLAN has no Expand and no Sort operator — the shape claim
-  *    the approximate variant exists for (the exact profile pays
-  *    Expand×(k+1) rows and a sort of the expanded rows under its
-  *    distinct aggregation; the sketch profile must pay neither, or
-  *    it is not the scale path). The aggregate node itself may print
-  *    as SortAggregate — with an EMPTY grouping key that is a plain
-  *    fold, costing no sort; what the assertion bans is the Sort.
+  *  - the PLAN has no Expand and no Sort operator — the sketch swap
+  *    must remove the multi-DISTINCT expansion entirely (the exact
+  *    profile still pays Expand×k scanned rows; both variants must be
+  *    SORT-free — the exact one because its NDV half hash-aggregates
+  *    alone and its mixed-type fold half is global). An aggregate node
+  *    may print as SortAggregate — with an EMPTY grouping key that is
+  *    a plain fold, costing no sort; what the assertions ban is the
+  *    Sort operator.
   */
 class ProfileApproxSpec extends AnyFunSuite {
 
@@ -59,10 +60,22 @@ class ProfileApproxSpec extends AnyFunSuite {
     assert(!plan.contains("Sort ["),
       "approx profile plans a Sort — rows are being ordered somewhere, " +
         "which the no-distinct global aggregate should never need")
+  }
+
+  test("exact profile plan: Expand for the NDV half, but NO Sort anywhere") {
+    // the exact profiler's split shape: the multi-DISTINCT Expand is
+    // inherent to exact NDVs, but isolating it from the string min/max
+    // buffers lets the whole Expand pipeline HashAggregate — a Sort
+    // reappearing means the two halves were re-merged into one
+    // SortAggregate over the k×-expanded corpus (the r12 6.7→3 s bug
+    // shape)
     val exactPlan = Maintenance.maintProfile(spark, TestSpark.Sf001)
       .queryExecution.executedPlan.toString
-    assert(exactPlan.contains("Expand") && exactPlan.contains("Sort ["),
-      "the exact profile no longer pays Expand+Sort — if its plan " +
-        "improved, update this contrast (and the operator docs)")
+    assert(exactPlan.contains("Expand"),
+      "exact profile lost its Expand — exact multi-DISTINCT NDVs " +
+        "cannot plan without it; if this improved for real, update docs")
+    assert(!exactPlan.contains("Sort ["),
+      "exact profile plans a Sort — the NDV half is no longer hash-" +
+        "aggregating alone (see the maintProfile plan-shape doc)")
   }
 }
