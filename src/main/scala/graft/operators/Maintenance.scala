@@ -679,11 +679,20 @@ object Maintenance {
     * "single-scan" form — forces that aggregate to SortAggregate (the
     * string min/max buffers disqualify hashing) and therefore to SORT
     * the k×-expanded corpus: measured 2.6 s (orders alone, r11) and
-    * 6.7–8.3 s (three tables, r12) vs ~3 s for this split shape. The
-    * second streaming scan of a 4-column projection is the cheaper
-    * price at every scale — scans stream, external sorts of a
-    * k×-expanded 100 TB table spill. Approximate profiles go further:
-    * [[maintProfileApprox]] drops the Expand too. */
+    * 6.7–8.3 s (three tables, r12) vs 2.1 s at sf0.1 / 4.2 s at sf1
+    * for this split shape (final-gate run + §e probe — ~3× faster at
+    * both scales). The second streaming scan of a 4-column projection
+    * is the cheaper price at every scale — scans stream, external
+    * sorts of a k×-expanded 100 TB table spill. Approximate profiles
+    * go further: [[maintProfileApprox]] drops the Expand too.
+    *
+    * Snapshot contract: the two halves are two scans, so each is
+    * internally consistent but a table REWRITTEN between them (a
+    * concurrent compaction/upsert) could mix snapshots in one output
+    * row — the same exposure any multi-statement ANALYZE has, and the
+    * same already-true caveat across the three profiled tables.
+    * Profile runs belong between maintenance rewrites, not racing
+    * them; all corpus dirs here are immutable during a session. */
   def maintProfile(spark: SparkSession, dir: String): DataFrame =
     ProfileSpec.map { case (tbl, cols) =>
       val df = Tables.byName(spark, dir, tbl)

@@ -752,8 +752,9 @@ object TextAnalysis {
     * Winner-per-hash is min(struct(doc_id, …)): partially aggregable,
     * so map-side combine collapses most duplicates before the wire
     * (struct buffers aren't UnsafeRow-mutable, so it plans as partial
-    * SortAggregate over a local spillable sort — the same adjudicated
-    * shape as maint_profile's string min/max); the per-source rollup is
+    * SortAggregate over a local spillable sort — here the grouping key
+    * is the content hash, so unlike maint_profile's empty-key fold the
+    * sort is real, local, and spill-bounded); the per-source rollup is
     * a second tiny exchange at source cardinality.
     */
   def curationE2e(spark: SparkSession, dir: String): DataFrame = {
