@@ -97,22 +97,38 @@ object ScaleProbe {
       }
       // LSH-components quality at this scale: co-membership recall of
       // the LSH-seeded fixpoint against the exact one (the
-      // ComponentsLshRecallSpec metric, re-measured where the corpus —
-      // and so the band-collision odds — have grown 10×). Label tables
-      // are component-member-bounded (≤ a few hundred rows), so the
-      // stratification is driver-side; the LSH labels re-read the
-      // scratch parquet its probe run just wrote (same dataset, same
-      // fixed path), costing a read, not a second fixpoint.
-      {
-        import graft.operators.Dedup.{componentCoPairs, componentLabelMap}
-        val exactCc = componentCoPairs(componentLabelMap(
-          SparkEntry.queries("dedup_components")(spark, dir)))
-        val lshCc = componentCoPairs(componentLabelMap(spark.read.parquet(
-          graft.sources.Formats.tmp("dedup_cc_lsh", dir))))
-        val hitCc = exactCc.count(lshCc.contains)
-        val falseMerges = (lshCc -- exactCc).size
-        if (exactCc.nonEmpty)
-          println(f"""{"probe":"dedup_components_lsh_recall","dir":"$dir","n":${exactCc.size},"recall":${hitCc.toDouble / exactCc.size}%.3f,"false_merges":$falseMerges}""")
+      // ComponentsLshRecallSpec metric — pair COUNTS via the
+      // contingency table, never enumerated pair sets — re-measured
+      // where the corpus, and so the band-collision odds, have grown
+      // 10×). Label tables are component-member-bounded (≤ a few
+      // hundred rows), so the stats are driver-side; the LSH labels
+      // re-read the scratch parquet the dedup_components_lsh probe
+      // normally just wrote (same dataset, same fixed path) — a read,
+      // not a second fixpoint — and FALL BACK to computing the
+      // fixpoint when that artifact is absent (the probe errored, or
+      // Probes was reordered/subset in a future edit), so a missing
+      // file cannot abort every remaining probe for every dir
+      // (ADVICE r12). The whole block is likewise non-fatal: a failed
+      // quality metric logs and the probe run continues.
+      try {
+        import graft.operators.Dedup.{coMembershipStats, componentLabelMap}
+        val exactLabels = componentLabelMap(
+          SparkEntry.queries("dedup_components")(spark, dir))
+        val lshPath = graft.sources.Formats.tmp("dedup_cc_lsh", dir)
+        val hp = new org.apache.hadoop.fs.Path(lshPath)
+        val lshDf =
+          if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+            spark.read.parquet(lshPath)
+          else graft.operators.Dedup.dedupComponentsLsh(spark, dir)
+        val (nExact, hitCc, falseMerges) =
+          coMembershipStats(exactLabels, componentLabelMap(lshDf))
+        if (nExact > 0)
+          println(f"""{"probe":"dedup_components_lsh_recall","dir":"$dir","n":$nExact,"recall":${hitCc.toDouble / nExact}%.3f,"false_merges":$falseMerges}""")
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\]", "'").replaceAll("\\s+", " ").take(200)
+          println(s"""{"probe":"dedup_components_lsh_recall","dir":"$dir","error":"$msg"}""")
       }
       // IVF quality at this scale: recall@10 of the scale path against
       // the exact batch scan over the SAME 32 queries — AnnRecallSpec

@@ -70,7 +70,10 @@ object Dedup {
     * under [[dedupExact]]'s content hash whatever the multiplicity,
     * and mega-replicated boilerplate passages are first-occurrence
     * deduped by [[dedupChunks]] at the chunk level (chunk repeats are
-    * the signal there, not a nuisance). A deployment needing PAIRWISE
+    * the signal there, not a nuisance). That division of labor is
+    * SPEC-PINNED, not prose: HotShingleCapSpec plants a > T near-dup
+    * (not exact-copy) cluster and asserts it pairwise-invisible yet
+    * chunk-collapsed. A deployment needing PAIRWISE
     * scores inside > T-sized near-dup clusters raises T for that run
     * and pays the Σdf² it implies. Secondary effect at any
     * multiplicity: the capped score is a lower bound, so a borderline
@@ -517,25 +520,36 @@ object Dedup {
     df.collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
 
-  /** All co-membership pairs (a < b) of a labeling — the unit the
-    * LSH-vs-exact recall/precision metrics count. Enumeration is
-    * O(Σ m²) over component sizes m, so a LOUD guard refuses a
-    * pathological labeling (one m=10⁴ component is ~5×10⁷ boxed
-    * tuples — a driver OOM after the expensive runs already finished)
-    * instead of degrading; the diagnostic then needs a sampled metric,
-    * not a bigger driver. */
-  def componentCoPairs(labels: Map[Long, Long]): Set[(Long, Long)] = {
-    val groups = labels.groupBy(_._2).values
-    groups.foreach { g =>
-      require(g.size <= 2000,
-        s"component of ${g.size} members: co-pair enumeration would " +
-          s"materialize ~${g.size.toLong * g.size / 2} driver-side tuples; " +
-          "switch the metric to a sampled pair set for this corpus")
-    }
-    groups.flatMap { g =>
-      val ids = g.keys.toSeq.sorted
-      for { a <- ids; b <- ids if a < b } yield (a, b)
-    }.toSet
+  /** Pair-counting co-membership stats of a CANDIDATE labeling (the
+    * LSH-seeded fixpoint) against a REFERENCE one (the exact fixpoint),
+    * WITHOUT enumerating pairs: counted from the (reference label,
+    * candidate label) contingency table, where a cell of m docs
+    * contributes C(m,2) recalled pairs. Returns
+    * `(referencePairs, hitPairs, falseMergePairs)` —
+    *  - referencePairs = Σ C(m,2) over reference components (the
+    *    recall denominator);
+    *  - hitPairs = Σ C(m,2) over contingency cells (pairs co-labeled
+    *    by BOTH sides — the recall numerator);
+    *  - falseMergePairs = candidate co-pairs that are not hits,
+    *    including pairs with a node the reference never labeled
+    *    (such a node pairs in no cell, so its candidate pairs land
+    *    here — exactly what enumerate-and-subtract counted).
+    * Identical numbers to the old enumerate-both-pair-sets-and-
+    * intersect metric, at O(#distinct labels) driver memory: one
+    * 10⁴-member component costs one counter, not ~5×10⁷ boxed tuples
+    * materialized — or a hard `require` thrown — AFTER the expensive
+    * distributed runs already finished (ADVICE r12). ONE definition
+    * shared by ComponentsLshRecallSpec and ScaleProbe, like
+    * [[componentLabelMap]]. */
+  def coMembershipStats(
+      reference: Map[Long, Long], candidate: Map[Long, Long]): (Long, Long, Long) = {
+    def c2(n: Long): Long = n * (n - 1) / 2
+    def totalPairs(m: Map[Long, Long]): Long =
+      m.groupBy(_._2).valuesIterator.map(g => c2(g.size.toLong)).sum
+    val hitPairs = reference.iterator
+      .flatMap { case (k, refLabel) => candidate.get(k).map((refLabel, _)) }
+      .toSeq.groupBy(identity).valuesIterator.map(g => c2(g.size.toLong)).sum
+    (totalPairs(reference), hitPairs, totalPairs(candidate) - hitPairs)
   }
 
   /** Recursive-CTE component chain (min reachable doc_id over the

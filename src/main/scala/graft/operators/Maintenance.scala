@@ -595,19 +595,32 @@ object Maintenance {
       |SELECT c_custkey, c_name, c_nationkey, new_seg,
       |  DATE '$Scd2Eff', NULL, TRUE FROM chg""".stripMargin
 
-  /** What the ANALYZE profiler collects for one column; the three roles
+  /** What the ANALYZE profiler collects for one column; the four roles
     * fix how min/max are typed so the long-form output schema stays
     * constant across mixed-type column lists:
     *  - [[ProfNum]]:   min/max as DOUBLE (exact for keys < 2^53);
     *  - [[ProfMoney]]: min/max through DECIMAL(18,2) then DOUBLE — the
     *    2-decimal money convention every price column here uses, robust
     *    to a refresh re-encoding prices as decimal;
-    *  - [[ProfStr]]:   min/max as VARCHAR.
-    */
+    *  - [[ProfStr]]:   min/max as VARCHAR;
+    *  - [[ProfTs]]:    timestamp min/max rendered as microsecond-
+    *    precision VARCHAR (`yyyy-MM-dd HH:mm:ss.SSSSSS`, the pinned-UTC
+    *    session zone) into the string arm. Formatting happens AFTER the
+    *    min/max aggregate — the buffer stays a fixed-width timestamp —
+    *    so only the RENDERING must agree with the oracle's strftime
+    *    (`%f` is DuckDB's zero-padded microseconds, matching `SSSSSS`);
+    *    both sides truncate sub-microsecond digits identically if a
+    *    refresh ships nanos again, and truncation is monotone, so
+    *    format(min(ts)) is min(format(ts)) either way. */
   private sealed trait ProfCol { def name: String }
   private final case class ProfNum(name: String) extends ProfCol
   private final case class ProfMoney(name: String) extends ProfCol
   private final case class ProfStr(name: String) extends ProfCol
+  private final case class ProfTs(name: String) extends ProfCol
+
+  /** The [[ProfTs]] rendering, Spark side; its DuckDB twin is
+    * `strftime(…, '%Y-%m-%d %H:%M:%S.%f')` in [[maintProfileSql]]. */
+  private val ProfTsFormat = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
   /** The table/column list [[maintProfile]] profiles — the ANALYZE
     * argument. ONE source of truth: both the Spark plan and the DuckDB
@@ -619,7 +632,12 @@ object Maintenance {
     "lineitem" -> Seq(ProfNum("l_orderkey"), ProfNum("l_quantity"),
       ProfMoney("l_extendedprice"), ProfStr("l_returnflag")),
     "documents" -> Seq(ProfNum("doc_id"), ProfNum("n_chars"),
-      ProfStr("lang"), ProfStr("source")))
+      ProfStr("lang"), ProfStr("source")),
+    // the one timestamp-typed column in the corpus (VERDICT r12 §residuals):
+    // ts exercises the ProfTs arm; event_id is the growing-NDV key,
+    // user_id the bounded-NDV key, event_type the low-cardinality flag
+    "events" -> Seq(ProfNum("event_id"), ProfTs("ts"),
+      ProfNum("user_id"), ProfStr("event_type")))
 
   /** The FOLD-half aggregates for one profiled column: null count plus
     * the typed min/max arms. All global (no grouping), so whatever
@@ -638,6 +656,9 @@ object Maintenance {
       case ProfStr(c) => Seq(
         min(col(c)).as(s"mns_$i"),
         max(col(c)).as(s"mxs_$i"))
+      case ProfTs(c) => Seq(
+        date_format(min(col(c)), ProfTsFormat).as(s"mns_$i"),
+        date_format(max(col(c)), ProfTsFormat).as(s"mxs_$i"))
     })
 
   /** The long-form projection over a table's one-row stats frame:
@@ -645,8 +666,8 @@ object Maintenance {
     * output schema cannot drift between them. */
   private def stackSelect(tbl: String, cols: Seq[ProfCol]): Seq[String] = {
     val stackArgs = cols.zipWithIndex.map {
-      case (ProfStr(c), i) =>
-        s"'$c', nn_$i, nd_$i, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_$i, mxs_$i"
+      case (pc @ (_: ProfStr | _: ProfTs), i) => // both land in the string arm
+        s"'${pc.name}', nn_$i, nd_$i, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mns_$i, mxs_$i"
       case (pc, i) =>
         s"'${pc.name}', nn_$i, nd_$i, mn_$i, mx_$i, CAST(NULL AS STRING), CAST(NULL AS STRING)"
     }.mkString(",\n")
@@ -746,6 +767,10 @@ object Maintenance {
           case ProfStr(_) =>
             "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
               s"min($c) AS min_str, max($c) AS max_str"
+          case ProfTs(_) =>
+            "CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num, " +
+              s"strftime(min($c), '%Y-%m-%d %H:%M:%S.%f') AS min_str, " +
+              s"strftime(max($c), '%Y-%m-%d %H:%M:%S.%f') AS max_str"
         }
         s"""SELECT '$tbl' AS tbl, '$c' AS col,
            |  CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls,

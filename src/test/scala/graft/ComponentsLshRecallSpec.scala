@@ -27,36 +27,32 @@ class ComponentsLshRecallSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   // metric helpers live next to the operator (Dedup.componentLabelMap /
-  // componentCoPairs) — ONE definition for this spec and ScaleProbe
+  // coMembershipStats) — ONE definition for this spec and ScaleProbe;
+  // pair COUNTS from the contingency table, never enumerated pair sets
+  // (a mega-component would OOM the driver enumerating them; ADVICE r12)
   private def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
     Dedup.componentLabelMap(df)
-
-  private def coPairs(lab: Map[Long, Long]): Set[(Long, Long)] =
-    Dedup.componentCoPairs(lab)
 
   private lazy val exact = labels(Dedup.dedupComponents(spark, TestSpark.Sf001))
   private lazy val lsh = labels(Dedup.dedupComponentsLsh(spark, TestSpark.Sf001))
 
   test("co-membership recall vs the exact fixpoint >= 0.95") {
-    val exactPairs = coPairs(exact)
-    assert(exactPairs.nonEmpty,
+    val (exactPairs, recalled, _) = Dedup.coMembershipStats(exact, lsh)
+    assert(exactPairs > 0,
       "corpus has no multi-doc near-dup component — recall is vacuous; " +
         "the fixture should plant near-dups")
-    val lshPairs = coPairs(lsh)
-    val recalled = exactPairs.count(lshPairs.contains)
-    val recall = recalled.toDouble / exactPairs.size
+    val recall = recalled.toDouble / exactPairs
     assert(recall >= 0.95,
       s"component co-membership recall $recall < 0.95 " +
-        s"($recalled of ${exactPairs.size} exact co-pairs recovered)")
+        s"($recalled of $exactPairs exact co-pairs recovered)")
   }
 
   test("LSH components refine the exact components (no false merges)") {
-    val exactPairs = coPairs(exact)
-    val falseMerges = coPairs(lsh) -- exactPairs
-    assert(falseMerges.isEmpty,
-      s"LSH fixpoint co-labeled pairs the exact fixpoint separates: " +
-        s"${falseMerges.take(5)} — verified-candidate edges must be a " +
-        "subset of exact near-dup edges")
+    val (_, _, falseMerges) = Dedup.coMembershipStats(exact, lsh)
+    assert(falseMerges === 0L,
+      s"LSH fixpoint co-labeled $falseMerges pair(s) the exact fixpoint " +
+        "separates — verified-candidate edges must be a subset of exact " +
+        "near-dup edges")
   }
 
   test("node coverage: the LSH labeling covers exactly the docs in LSH edges, all within the exact node set") {

@@ -22,11 +22,29 @@ import graft.operators.Dedup
   *  - a duplicate pair that ALSO carries the hot shingle is still
   *    found (its discriminative shingles suffice), with the capped
   *    score a lower bound of the true Jaccard.
+  *
+  * It ALSO pins the cap doc's compensating-coverage claim (the two
+  * tests at the bottom): a planted > T NEAR-DUP cluster — whose own
+  * shared shingles exceed the cap, the one regime declared invisible
+  * to capped pairwise scoring — is provably (a) not an exact-copy
+  * case, (b) emitted as zero pairs by the pairwise family, and (c)
+  * collapsed at chunk level by dedupChunks, the family member the doc
+  * assigns that regime to (VERDICT r12 ask #4).
   */
 class HotShingleCapSpec extends AnyFunSuite
     with org.scalatest.BeforeAndAfterAll {
 
   private val Hot = Dedup.MaxShingleDf + 50 // docs carrying the boilerplate shingle
+
+  // the > T NEAR-DUP (not exact-copy) cluster for the compensating-
+  // coverage tests (VERDICT r12 ask #4): Mega docs that pairwise share
+  // a full 10-token passage (true Jaccard 8/10 = 0.8 ≥ the 0.5 gate)
+  // plus one unique tail token each — the regime the MaxShingleDf doc
+  // DECLARES invisible to capped pairwise scoring (the cluster inflates
+  // its own shared shingles' df past T) and assigns to dedup_chunks
+  private val Mega = Dedup.MaxShingleDf + 50
+  private val MegaBase = 20000L
+  private val MegaPassage = (0 until 10).map(i => s"mega$i").mkString(" ")
 
   // planted ONCE for the whole suite (the three tests read the same
   // corpus; re-planting would triple the pipeline work and leak a temp
@@ -59,7 +77,16 @@ class HotShingleCapSpec extends AnyFunSuite
     val mixedDup = Seq(
       (9003L, "boiler plate line zeta eta theta iota"),
       (9004L, "boiler plate line zeta eta theta iota"))
-    val rows = (boiler ++ cleanDup ++ mixedDup).map { case (id, text) =>
+    // MegaBase..: the > T near-dup cluster — every doc = the shared
+    // 10-token passage + a unique tail token (11 tokens → the passage
+    // is exactly one ChunkTokens chunk, the tail a second). Each doc's
+    // 9 shingles: 8 fully inside the passage (df = Mega > MaxShingleDf,
+    // capped out) + 1 tail shingle (df = 1). Pairwise true Jaccard
+    // 8/10; capped intersection 0.
+    val megaCluster = (0 until Mega).map { i =>
+      (MegaBase + i, s"$MegaPassage tail${i}x")
+    }
+    val rows = (boiler ++ cleanDup ++ mixedDup ++ megaCluster).map { case (id, text) =>
       (id, text, "en", "planted", text.length.toLong)
     }
     TestSpark.plantParquetFileInto(
@@ -111,5 +138,62 @@ class HotShingleCapSpec extends AnyFunSuite
     assert(math.abs(pairs(1)._3 - 4.0 / 6.0) < 1e-12,
       "LSH verify must use the capped intersection — uncapped scoring " +
         "would report 1.0 here and out-score the exact path")
+  }
+
+  // ---- compensating coverage for the DECLARED pairwise blindness ------
+  // The MaxShingleDf doc (Dedup.scala) argues the one regime capped
+  // pairwise scoring cannot see — a near-dup cluster of > T members,
+  // whose own shared shingles exceed the cap — is covered by the
+  // UNCAPPED family members: exact copies by dedupExact's content hash,
+  // replicated passages by dedupChunks' first-occurrence chunk dedup.
+  // These two tests turn that prose division of labor into assertions
+  // over the planted Mega cluster (VERDICT r12 ask #4).
+
+  test(">T near-dup cluster: invisible to the capped pairwise family, and NOT an exact-copy case") {
+    val dir = plantedDir
+    val inMega = (id: Long) => id >= MegaBase && id < MegaBase + Mega
+    // the pairwise path emits NO pair touching the cluster — its 551k+
+    // true near-dup pairs (J = 0.8 each) are the declared trade, not a
+    // bug; the two planted control pairs in the same corpus still
+    // surface (pinned exactly by the pair-output test above)
+    val pairs = Dedup.dedupNearJaccard(TestSpark.spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => inMega(p._1) || inMega(p._2)),
+      "capped pairwise scoring saw inside the > T cluster — the cap is " +
+        "not applying to the cluster's own shared shingles")
+    // and dedupExact does NOT collapse it (each member's text is
+    // distinct) — pinning that this fixture is the NEAR-dup regime the
+    // content hash can't cover, so chunk-level coverage below is what
+    // actually compensates
+    val exact = Dedup.dedupExact(TestSpark.spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(r => inMega(r._3))
+    assert(exact.length === Mega)
+    assert(exact.forall(_._2 === 1L),
+      "exact dedup merged near-dup cluster members — fixture texts must " +
+        "be distinct for the compensating-coverage claim to mean anything")
+  }
+
+  test(">T near-dup cluster: collapsed at chunk level by dedupChunks (the compensating member)") {
+    val dir = plantedDir
+    val out = Dedup.dedupChunks(TestSpark.spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val mega = out.filter(r => r._1 >= MegaBase && r._1 < MegaBase + Mega)
+      .sortBy(_._1)
+    // every member survives (its unique tail chunk), so chunk dedup
+    // scrubs the replicated passage without deleting documents
+    assert(mega.length === Mega)
+    // first occurrence keeps the shared passage exactly once,
+    // corpus-wide: the min-doc_id member holds both its chunks...
+    assert(mega.head === ((MegaBase, 2L, s"$MegaPassage tail0x")))
+    // ...and every other member is reduced to its unique tail
+    mega.tail.zipWithIndex.foreach { case ((id, nKept, text), i) =>
+      assert(id === MegaBase + i + 1)
+      assert(nKept === 1L, s"doc $id kept $nKept chunks, expected the tail only")
+      assert(text === s"tail${i + 1}x")
+    }
+    // the passage survives in exactly ONE reassembled document anywhere
+    // in the corpus — the chunk-level collapse the df-cap doc promises
+    assert(out.count(_._3.contains(MegaPassage)) === 1)
   }
 }

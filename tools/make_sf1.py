@@ -18,8 +18,9 @@ fixed, deterministic):
   sequential scheme.
 
 Output: /root/repo/target/sf1/{documents,customer,embeddings,orders,
-lineitem}.parquet (orders/lineitem are 10x key-offset replicas for the
-maint_profile volume probe — see the comment at their writer).
+lineitem,events}.parquet (orders/lineitem/events are 10x key-offset
+replicas for the maint_profile volume probe — see the comments at
+their writers).
 This is builder tooling (driver-side python), NOT part of the Spark
 library; /root/testdata is never written.
 """
@@ -117,9 +118,15 @@ con.sql(f"""copy (select i as c_custkey,
 # constant Expand factor" — replication with offset keys preserves the
 # volume law exactly (key NDVs scale ~10x, low-cardinality flag/price
 # NDVs stay ~constant), which is all a profiling scan sees.
+# ONE offset for both tables, from orders' max(o_orderkey)+1: lineitem's
+# l_orderkey values are a subset of o_orderkey, so a per-table offset
+# (max(l_orderkey)+1 <= max(o_orderkey)+1) would shift the two key spaces
+# apart and silently break orders<->lineitem referential joins in any
+# future sf1 probe (ADVICE r12); the shared offset keeps replica i of
+# lineitem joining replica i of orders exactly as the base tables do.
+mx = con.sql(
+    f"select max(o_orderkey) + 1 from '{SRC}/orders.parquet'").fetchone()[0]
 for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-    mx = con.sql(
-        f"select max({key}) + 1 from '{SRC}/{t}.parquet'").fetchone()[0]
     if t == "orders":
         # o_custkey deliberately NOT offset: its NDV stays constant like
         # the flag columns, while o_orderkey provides the growing-NDV
@@ -136,6 +143,21 @@ for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
                 from '{SRC}/{t}.parquet', range(10) t(i))
                 to '{OUT}/{t}.parquet' (format parquet)""")
 
+# events (10x by key-offset replication): consumed only by the
+# maint_profile probe's events arm (the ProfTs timestamp column). Same
+# law as orders/lineitem: event_id offsets (growing-NDV key state),
+# everything else — ts included — repeats verbatim, so ts NDV and its
+# min/max stay constant like the flag columns while scanned rows grow
+# 10x. The repeated ts makes replicas non-causal as an event LOG, which
+# is fine: no sf1 probe reads events as a timeline, only as profiler
+# volume.
+ev_mx = con.sql(
+    f"select max(event_id) + 1 from '{SRC}/events.parquet'").fetchone()[0]
+con.sql(f"""copy (select event_id + i * cast({ev_mx} as bigint) as event_id,
+                   ts, user_id, event_type, value, props
+            from '{SRC}/events.parquet', range(10) t(i))
+            to '{OUT}/events.parquet' (format parquet)""")
+
 print("wrote", OUT)
-for t in ("documents", "customer", "embeddings", "orders", "lineitem"):
+for t in ("documents", "customer", "embeddings", "orders", "lineitem", "events"):
     print(t, con.sql(f"select count(*) from '{OUT}/{t}.parquet'").fetchone()[0])
