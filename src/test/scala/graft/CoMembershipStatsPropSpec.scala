@@ -1,7 +1,6 @@
 package graft
 
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup.coMembershipStats
@@ -18,13 +17,12 @@ import graft.operators.Dedup.coMembershipStats
   * doc calls out (a candidate co-pair touching a node the reference
   * never labeled must count as a false merge, never a hit) is hit
   * constantly, alongside label collisions, singleton components, and
-  * empty maps. Deterministic ScalaCheck sampling, repo convention
-  * (NativeExprPropSpec): fixed seeds, no Spark session needed.
+  * empty maps. Deterministic ScalaCheck sampling via the shared
+  * [[TestSpark.sample]] helper: fixed seeds, no Spark session needed.
   */
 class CoMembershipStatsPropSpec extends AnyFunSuite {
 
-  private def sample[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
+  import TestSpark.sample
 
   /** The definitional metric: enumerate unordered pairs, classify each. */
   private def bruteForce(
@@ -54,18 +52,25 @@ class CoMembershipStatsPropSpec extends AnyFunSuite {
   test("property: contingency counts == brute-force pair enumeration on partially-overlapping labelings") {
     val cases = sample(Gen.zip(labeling, labeling), 500)
     // the falseMerge edge case must actually occur in the sample, or
-    // the property is vacuous on the one branch that motivated it
-    var candOnlyNodeSeen = false
+    // the property is vacuous on the one branch that motivated it —
+    // and "occur" means an actual candidate CO-PAIR touching a node
+    // the reference never labeled (a candidate-only SINGLETON pairs
+    // with nothing and exercises no branch at all)
+    var unlabeledCoPairSeen = false
     cases.foreach { case (ref, cand) =>
       val fast = coMembershipStats(ref, cand)
       val slow = bruteForce(ref, cand)
       assert(fast === slow,
         s"contingency ($fast) != enumeration ($slow) for ref=$ref cand=$cand")
-      if ((cand.keySet -- ref.keySet).nonEmpty) candOnlyNodeSeen = true
+      val coPairTouchesUnlabeled = cand.groupBy(_._2).values.exists { cell =>
+        cell.size > 1 && cell.keysIterator.exists(!ref.contains(_))
+      }
+      if (coPairTouchesUnlabeled) unlabeledCoPairSeen = true
     }
-    assert(candOnlyNodeSeen,
-      "sample never produced a candidate-only node — the unlabeled-in-" +
-        "reference false-merge branch went unexercised")
+    assert(unlabeledCoPairSeen,
+      "sample never produced a candidate co-pair touching an unlabeled-" +
+        "in-reference node — the false-merge branch the doc calls out " +
+        "went unexercised")
   }
 
   test("directed corners: empty, identical, disjoint-domain, all-one-label") {

@@ -2,22 +2,19 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property tests for the native expressions against the HOF forms they
   * replace, over RANDOM inputs (the NativeExprSpec equivalences run on
   * corpus data, which can't reach ragged/empty/adversarial shapes).
-  * Raw ScalaCheck generators sampled deterministically, one Spark job
-  * per property — the per-row comparison happens on collected results.
+  * Raw ScalaCheck generators sampled deterministically (the shared
+  * [[TestSpark.sample]]), one Spark job per property — the per-row
+  * comparison happens on collected results.
   */
 class NativeExprPropSpec extends AnyFunSuite {
 
-  import TestSpark.spark
+  import TestSpark.{sample, spark}
   import spark.implicits._
-
-  private def sample[T](g: Gen[T], n: Int): Seq[T] =
-    (0 until n).map(i => g.apply(Gen.Parameters.default, Seed(i.toLong)).get)
 
   test("property: dot_l == HOF aggregate(zip_with) incl. ragged pairs") {
     graft.functions.DotProduct.register(spark)

@@ -52,4 +52,13 @@ object TestSpark {
     plantParquetFileInto(df, dataDir, fileName)
     dataDir.toString
   }
+
+  /** Deterministic ScalaCheck sampling — one value per fixed seed
+    * 0..n-1, so property specs replay identically on every run. ONE
+    * definition shared by the property specs (NativeExprPropSpec,
+    * CoMembershipStatsPropSpec), so the seed scheme cannot drift
+    * between them. */
+  def sample[T](g: org.scalacheck.Gen[T], n: Int): Seq[T] =
+    (0 until n).map(i => g.apply(org.scalacheck.Gen.Parameters.default,
+      org.scalacheck.rng.Seed(i.toLong)).get)
 }
