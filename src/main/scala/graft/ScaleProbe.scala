@@ -102,24 +102,20 @@ object ScaleProbe {
       // where the corpus, and so the band-collision odds, have grown
       // 10×). Label tables are component-member-bounded (≤ a few
       // hundred rows), so the stats are driver-side; the LSH labels
-      // re-read the scratch parquet the dedup_components_lsh probe
-      // normally just wrote (same dataset, same fixed path) — a read,
-      // not a second fixpoint — and FALL BACK to computing the
-      // fixpoint when that artifact is absent (the probe errored, or
-      // Probes was reordered/subset in a future edit), so a missing
-      // file cannot abort every remaining probe for every dir
-      // (ADVICE r12). The whole block is likewise non-fatal: a failed
-      // quality metric logs and the probe run continues.
+      // come through Dedup.lshComponentLabels — the scratch-or-
+      // recompute guarded load (normally a re-read of what the
+      // dedup_components_lsh probe just wrote; the fallback fixpoint
+      // covers an errored probe or a reordered/subset Probes list, so
+      // a missing file cannot abort every remaining probe for every
+      // dir — ADVICE r12; both arms spec-pinned equal by
+      // ComponentsLshRecallSpec). The whole block is likewise
+      // non-fatal: a failed quality metric logs and the probe run
+      // continues.
       try {
         import graft.operators.Dedup.{coMembershipStats, componentLabelMap}
         val exactLabels = componentLabelMap(
           SparkEntry.queries("dedup_components")(spark, dir))
-        val lshPath = graft.sources.Formats.tmp("dedup_cc_lsh", dir)
-        val hp = new org.apache.hadoop.fs.Path(lshPath)
-        val lshDf =
-          if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
-            spark.read.parquet(lshPath)
-          else graft.operators.Dedup.dedupComponentsLsh(spark, dir)
+        val lshDf = graft.operators.Dedup.lshComponentLabels(spark, dir)
         val (nExact, hitCc, falseMerges) =
           coMembershipStats(exactLabels, componentLabelMap(lshDf))
         if (nExact > 0)

@@ -510,6 +510,23 @@ object Dedup {
   private val lshWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** The LSH component labeling for `dir`, read from the fixed scratch
+    * artifact [[dedupComponentsLsh]] writes when it exists, recomputed
+    * otherwise — the guarded load behind ScaleProbe's recall receipt.
+    * The probe normally just re-reads what the timing probe wrote
+    * moments earlier (a read, not a second fixpoint); the fallback
+    * keeps a missing or errored artifact from aborting every remaining
+    * probe for the dir (ADVICE r12). Deterministic either way: the
+    * fixpoint recompute writes the same labels the read arm would have
+    * served (ComponentsLshRecallSpec pins the two arms equal). */
+  def lshComponentLabels(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.sources.Formats.tmp("dedup_cc_lsh", dir)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+      spark.read.parquet(path)
+    else dedupComponentsLsh(spark, dir)
+  }
+
   /** A component labeling collected to a (doc_id → component) map —
     * the driver-side form the acceptance metric works on. Label tables
     * are component-member-bounded (a few hundred rows at test scales),

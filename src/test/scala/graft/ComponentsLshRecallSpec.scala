@@ -64,4 +64,29 @@ class ComponentsLshRecallSpec extends AnyFunSuite {
     assert(phantom.isEmpty,
       s"LSH fixpoint labeled docs the exact edge set never saw: ${phantom.take(5)}")
   }
+
+  test("guarded label load: the fallback recompute serves the same labels as the scratch read") {
+    // Dedup.lshComponentLabels is the load behind ScaleProbe's recall
+    // receipt: read the fixed scratch artifact when present, recompute
+    // the fixpoint when absent. Exercise BOTH arms against the same
+    // dataset — first force the fallback by deleting the artifact,
+    // then the read arm against what the fallback re-wrote — and pin
+    // them label-identical (the fixpoint is deterministic, so a probe
+    // that loses its scratch file must still report the same recall).
+    val reference = lsh // materializes the labeling (and the artifact)
+    val path = new org.apache.hadoop.fs.Path(
+      graft.sources.Formats.tmp("dedup_cc_lsh", TestSpark.Sf001))
+    val fs = path.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val recomputed =
+      labels(Dedup.lshComponentLabels(spark, TestSpark.Sf001))
+    assert(recomputed === reference,
+      "fallback recompute diverged from the labeling the scratch read served")
+    assert(fs.exists(path),
+      "fallback recompute did not restore the scratch artifact")
+    val reread = labels(Dedup.lshComponentLabels(spark, TestSpark.Sf001))
+    assert(reread === reference,
+      "read arm diverged from the fallback's labels on the same artifact")
+  }
 }
