@@ -112,10 +112,10 @@ object ScaleProbe {
       // non-fatal: a failed quality metric logs and the probe run
       // continues.
       try {
-        import graft.operators.Dedup.{coMembershipStats, componentLabelMap}
+        import graft.operators.Dedup.{coMembershipStats, componentLabelMap, lshComponentLabels}
         val exactLabels = componentLabelMap(
           SparkEntry.queries("dedup_components")(spark, dir))
-        val lshDf = graft.operators.Dedup.lshComponentLabels(spark, dir)
+        val lshDf = lshComponentLabels(spark, dir)
         val (nExact, hitCc, falseMerges) =
           coMembershipStats(exactLabels, componentLabelMap(lshDf))
         if (nExact > 0)

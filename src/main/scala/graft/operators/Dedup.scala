@@ -518,13 +518,27 @@ object Dedup {
     * keeps a missing or errored artifact from aborting every remaining
     * probe for the dir (ADVICE r12). Deterministic either way: the
     * fixpoint recompute writes the same labels the read arm would have
-    * served (ComponentsLshRecallSpec pins the two arms equal). */
+    * served (ComponentsLshRecallSpec pins the two arms equal).
+    *
+    * The exists check + frame construction take the dataset's write
+    * lock, so neither can observe [[dedupComponentsLsh]] mid-overwrite
+    * (exists() returning true on a half-rewritten dir would hand back
+    * a frame that fails — or worse, partially reads — at action time).
+    * The returned frame then carries the standard fmt_* invalidation
+    * contract the writer documents: a later call on the same dataset
+    * invalidates frames returned earlier. */
   def lshComponentLabels(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.Formats.tmp("dedup_cc_lsh", dir)
-    val hp = new org.apache.hadoop.fs.Path(path)
-    if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
-      spark.read.parquet(path)
-    else dedupComponentsLsh(spark, dir)
+    val lock = lshWriteLocks.computeIfAbsent(
+      graft.sources.Formats.canonicalDir(dir), _ => new Object)
+    lock.synchronized {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
+        spark.read.parquet(path)
+      // monitor locks are reentrant, so the recompute's own
+      // lock.synchronized re-entry is safe on this thread
+      else dedupComponentsLsh(spark, dir)
+    }
   }
 
   /** A component labeling collected to a (doc_id → component) map —

@@ -78,7 +78,9 @@ class ComponentsLshRecallSpec extends AnyFunSuite {
       graft.sources.Formats.tmp("dedup_cc_lsh", TestSpark.Sf001))
     val fs = path.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    assert(fs.delete(path, true),
+      "could not delete the scratch artifact — the fallback arm would " +
+        "go unexercised and the test would pass vacuously")
     val recomputed =
       labels(Dedup.lshComponentLabels(spark, TestSpark.Sf001))
     assert(recomputed === reference,
