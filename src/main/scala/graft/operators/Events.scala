@@ -147,7 +147,15 @@ object Events {
 
   // ---- session window ------------------------------------------------------
 
-  val SessionGap = "30 minutes"
+  /** Session inactivity gap — ONE source of truth for every session
+    * twin: the interval string feeds the `session_window` paths (batch
+    * + both streaming window twins) and the micros form feeds the
+    * stateful flatMapGroupsWithState twin, so a gap change can never
+    * move one twin without the others (they are hash-checked against
+    * the same gaps-and-islands oracle). */
+  private val SessionGapMinutes = 30L
+  val SessionGap = s"$SessionGapMinutes minutes"
+  val SessionGapUs: Long = SessionGapMinutes * 60L * 1000L * 1000L
 
   /** Per-user sessions with a 30-minute inactivity gap
     * (`session_window` — Spark's merging session windows in batch mode).

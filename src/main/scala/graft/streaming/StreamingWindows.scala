@@ -111,7 +111,28 @@ object StreamingWindows {
     * to its key cardinality, and the choice cannot change results, only
     * parallelism. */
   private def runToMemory(spark: SparkSession, df: DataFrame,
-      mode: String, prefix: String, watermarkFlush: Boolean = true): DataFrame = {
+      mode: String, prefix: String, watermarkFlush: Boolean = true): DataFrame =
+    // The whole run holds ONE object-wide lock: the sweep, both conf
+    // windows (noDataMicroBatches, shuffle partitions) and the run
+    // itself mutate SESSION-global state (catalog temp views, SQL
+    // conf), and the shared test session IS driven concurrently —
+    // sbt runs suites in parallel in one JVM (Dedup.scala's memo
+    // comment; 16 of 53 suites overlap in the junit timestamps).
+    // Unserialized, a concurrent same-prefix caller's sweep could
+    // drop this run's live sink view between start() and
+    // spark.table(), and ANY concurrent caller could start a stream
+    // inside this run's conf window (a query that needs the terminal
+    // no-data batch silently losing its held-back output is a WRONG
+    // RESULT, not a flake). Serializing costs nothing where it
+    // matters: Bench and Verify are single-threaded drivers.
+    memoryRunLock.synchronized {
+      runToMemoryLocked(spark, df, mode, prefix, watermarkFlush)
+    }
+
+  private val memoryRunLock = new Object
+
+  private def runToMemoryLocked(spark: SparkSession, df: DataFrame,
+      mode: String, prefix: String, watermarkFlush: Boolean): DataFrame = {
     // Sweep THIS query's earlier memory-sink tables before registering a
     // new one: the nanoTime-suffixed names otherwise accumulate temp
     // views (and their cached rows) without bound over a long session.
@@ -393,7 +414,7 @@ object StreamingWindows {
     */
   def streamSessionsStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val gapUs = 30L * 60 * 1000 * 1000
+    val gapUs = graft.operators.Events.SessionGapUs
     val typed = eventStream(spark, dir)
       .selectExpr("user_id", "unix_micros(ts) AS us")
       .as[(Long, Long)]
@@ -514,10 +535,19 @@ object StreamingWindows {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     val base = Tables.orders(spark, dir).select(cols.map(col): _*)
     base.write.mode("overwrite").parquet(snap)
-    val stream = spark.readStream
-      .schema(base.schema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(dir)
+    // The stream leg reads with the RAW file schema and then conforms,
+    // exactly like eventStream: handing readStream the already-conformed
+    // base.schema would ask the parquet reader itself to bridge any
+    // refresh drift (e.g. a DECIMAL-re-encoded key), which fails the
+    // scan — or silently diverges from the conformed batch leg — instead
+    // of going through the one drift-hardening layer both legs share.
+    val rawSchema = spark.read.parquet(
+      s"${graft.sources.Formats.canonicalDir(dir)}/orders.parquet").schema
+    val stream = Tables.conform(spark, dir, "orders",
+        spark.readStream
+          .schema(rawSchema)
+          .option("pathGlobFilter", "orders.parquet")
+          .parquet(dir))
       .select(cols.map(col): _*)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
