@@ -31,9 +31,22 @@ object Formats {
 
   /** Dataset dir → identifier-safe suffix, shared by scratch paths and
     * catalog table names so the two can never diverge for the same dir.
-    * Canonicalizes first, so `dir` and `dir/` share one suffix. */
-  private[graft] def sanitize(dir: String): String =
-    canonicalDir(dir).replaceAll("[^a-zA-Z0-9]", "_")
+    * Canonicalizes first, so `dir` and `dir/` share one suffix. The
+    * readable sanitized form alone is COLLISION-PRONE — character
+    * replacement maps distinct dirs like `/a/b` and `/a_b` to one
+    * suffix, which would share one scratch path / Derby DB between two
+    * datasets while every canonicalDir-keyed memo believes it owns it
+    * (ScaleProbe worked around exactly this locally with a path hash)
+    * — so a short hash of the canonical path is appended: readable
+    * prefix for humans, hash for uniqueness, one definition for all
+    * consumers. */
+  private[graft] def sanitize(dir: String): String = {
+    val c = canonicalDir(dir)
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+    c.replaceAll("[^a-zA-Z0-9]", "_") + "_" + h
+  }
 
   /** Scratch root for round-trip sinks: overridable via
     * -Dgraft.scratch.dir, defaulting to the JVM temp dir — a hardcoded
@@ -49,6 +62,13 @@ object Formats {
   def fmtCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("supplier_csv", dir)
     Tables.supplier(spark, dir)
+      // CSV is the one POSITIONAL format here (the explicit re-read
+      // schema binds by column order; enforceSchema=true skips the
+      // header check), so the write pins the order explicitly — a
+      // refresh that reorders supplier columns must not silently bind
+      // s_acctbal text into s_nationkey. XML and JDBC already do this.
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"))
       .write.mode("overwrite").option("header", "true").csv(path)
     spark.read
       .option("header", "true")
@@ -79,9 +99,13 @@ object Formats {
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     val backfill = ev.filter(col("day") === "2024-01-05")
       .withColumn("value", col("value") * 2.0)
-    Tables.withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
-      backfill.write.mode("overwrite").partitionBy("day").parquet(path)
-    }
+    // per-WRITE option, not a session-conf window: it scopes dynamic
+    // overwrite to exactly this write (DataFrameWriter options take
+    // precedence over the session conf), so no concurrently-planned
+    // write can inherit dynamic semantics from a mutation window
+    backfill.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(path)
     spark.read.parquet(path)
       // partition-type inference reads the day dirs back as DATE;
       // re-render to the written string form for the oracle compare
@@ -218,7 +242,7 @@ object Formats {
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
     val maxKey = src.agg(max(col("c_custkey"))).collect()(0).getLong(0)
     src.write.mode("overwrite").jdbc(url, "customer_jdbc", props)
-    spark.read
+    val agg = spark.read
       .option("partitionColumn", "c_custkey")
       .option("lowerBound", "0")
       .option("upperBound", (maxKey + 1).toString)
@@ -227,6 +251,23 @@ object Formats {
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
       .agg(count(lit(1)).as("n"),
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    // Materialize the (25-row) aggregate, then DROP the in-memory Derby
+    // DB: each memory:db otherwise lives until JVM exit holding a full
+    // customer-table copy per dataset dir — a heap leak no harness
+    // check sees. The lazy JDBC read must be spent before the drop, so
+    // the result is parked in scratch parquet and re-read from there
+    // (the documented fmt_* invalidation contract covers the frame).
+    val out = tmp("customer_jdbc_out", dir)
+    agg.write.mode("overwrite").parquet(out)
+    try {
+      java.sql.DriverManager.getConnection(
+        s"jdbc:derby:memory:graft_${sanitize(dir)};drop=true")
+      ()
+    } catch {
+      // 08006 is Derby's SUCCESSFUL single-database shutdown signal
+      case e: java.sql.SQLException if e.getSQLState == "08006" => ()
+    }
+    spark.read.parquet(out)
   }
 
   val fmtJdbcRoundtripSql: String =
@@ -279,17 +320,58 @@ object Formats {
     * listing, glob filtering, bin-packing, and content fidelity fully. */
   val BinaryFixtureDocs = 500L
 
+  /** Fingerprint of the binary fixture's INPUTS — the source parquet's
+    * (total length, max mtime) plus the doc-count constant. Stored as
+    * the marker's CONTENT: the fixture directory is a persistent
+    * artifact (java.io.tmpdir survives the JVM, unlike every in-JVM
+    * memo, whose staleness contract is "dies with the JVM"), so a bare
+    * existence check would keep serving files built from PRE-REFRESH
+    * text after an in-place testdata refresh (FIXTURES.md documents
+    * exactly such refreshes) or from a different BinaryFixtureDocs —
+    * the query would then read stale bytes while the oracle reads the
+    * refreshed table, failing the hash-compare for every later round
+    * with no hint why. */
+  private def binaryFixtureFingerprint(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(
+      s"${canonicalDir(dir)}/documents.parquet")
+    val sfs = src.getFileSystem(conf)
+    val statuses =
+      if (sfs.getFileStatus(src).isDirectory) sfs.listStatus(src).toSeq
+      else Seq(sfs.getFileStatus(src))
+    val len = statuses.map(_.getLen).sum
+    val mtime = statuses.map(_.getModificationTime).max
+    s"v1 docs=$BinaryFixtureDocs len=$len mtime=$mtime"
+  }
+
   def fmtBinary(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("docs_bin", dir)
-    val hconf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
     // Raw assets are a SOURCE: build the file fixture once per dataset
     // dir (marker committed only after every file is written — a torn
     // earlier attempt rebuilds), then every query run just reads it.
+    // The marker carries the input fingerprint; a mismatch (testdata
+    // refreshed in place, BinaryFixtureDocs changed) rebuilds from
+    // scratch, deleting the directory FIRST so files from the old
+    // generation can never survive into the doc_*.bin glob.
     val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(root, "_FIXTURE_OK")
-    if (!fs.exists(marker)) {
+    val wanted = binaryFixtureFingerprint(conf, dir)
+    val current =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+          Some(new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8))
+        } finally in.close()
+      }
+    if (!current.contains(wanted)) {
+      fs.delete(root, true)
+      val hconf = new org.apache.spark.util.SerializableConfiguration(conf)
       Tables.documents(spark, dir)
         .filter(col("doc_id") < BinaryFixtureDocs)
         .select(col("doc_id"), col("text"))
@@ -304,7 +386,9 @@ object Formats {
             finally out.close()
           }
         }
-      fs.create(marker, true).close()
+      val out = fs.create(marker, true)
+      try out.write(wanted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "doc_*.bin")
@@ -374,9 +458,19 @@ object Formats {
     val path = tmp("documents_bylang", dir)
     Tables.documents(spark, dir)
       .write.mode("overwrite").partitionBy("lang").parquet(path)
+    // The raw path token is the Hive-ESCAPED form of the value (%XX
+    // escapes; nulls become the __HIVE_DEFAULT_PARTITION__ sentinel),
+    // while the oracle groups by the VALUE — decode before grouping so
+    // a lang of NULL or one carrying an escaped character attributes to
+    // the same group key on both sides. url_decode inverts %XX exactly
+    // once literal '+' is pre-escaped (form-decoding would otherwise
+    // read it as a space; Hive escaping leaves '+' literal).
+    val rawLang = regexp_extract(
+      col("_metadata.file_path"), "lang=([^/]+)/", 1)
     spark.read.parquet(path)
       .select(col("n_chars"),
-        regexp_extract(col("_metadata.file_path"), "lang=([^/]+)/", 1)
+        when(rawLang === "__HIVE_DEFAULT_PARTITION__", lit(null))
+          .otherwise(url_decode(regexp_replace(rawLang, "\\+", "%2B")))
           .as("lang"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

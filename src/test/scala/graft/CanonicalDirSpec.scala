@@ -31,4 +31,19 @@ class CanonicalDirSpec extends AnyFunSuite {
     val b = Formats.canonicalDir("/no/such/dir")
     assert(a === b)
   }
+
+  test("distinct dirs get distinct suffixes even when character sanitization collides") {
+    // /a/b and /a_b both sanitize to a_b by character replacement
+    // alone — without the appended canonical-path hash they would
+    // share one scratch path / Derby DB / catalog suffix while every
+    // canonicalDir-keyed memo believed it owned them separately.
+    val pairs = Seq(
+      ("/root/testdata/sf-1", "/root/testdata/sf_1"),
+      ("/a/b", "/a_b"),
+      ("/a/b", "/a/b/c"))
+    pairs.foreach { case (x, y) =>
+      assert(Formats.sanitize(x) !== Formats.sanitize(y), s"$x vs $y")
+      assert(Formats.tmp("x", x) !== Formats.tmp("x", y), s"$x vs $y")
+    }
+  }
 }
