@@ -209,6 +209,11 @@ object Maintenance {
     val b = li.agg(
       min("l_partkey"), max("l_partkey"),
       min("l_shipdate"), max("l_shipdate")).collect()(0)
+    // the ADVICE-r11 empty-fixture pattern (maintSketchRollup): fail
+    // with a dataset-named message, not an opaque NPE from getLong
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"maint_zorder: lineitem table at $dir is empty (or all-null on " +
+        "l_partkey/l_shipdate) — no bounds to normalize the z-curve over")
     val (pkMin, pkMax) = (b.getLong(0), b.getLong(1))
     // l_shipdate is session-zone TIMESTAMP after Tables.conform
     // (java.sql.Timestamp externally; UTC is pinned) — accept the NTZ
@@ -475,7 +480,20 @@ object Maintenance {
     val base = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     val (updates, inserts) = upsertDelta(base)
-    applyUpsert(base, updates, inserts)
+    // Park the derived delta halves in scratch and apply from the
+    // read-back: lazily inlining them would rescan the base FIVE times
+    // in the applied plan (snapshot leg + both delta legs + both
+    // deltaKeys legs — Spark reuses broadcast exchanges, not file
+    // scans), where the apply contract is "one read + one write". This
+    // is also the true CDC shape: deltas arrive AS FILES; deriving them
+    // from the base is only this fixture's determinism trick. Same
+    // park-then-apply pattern as maintDeleteVector's tombstone file.
+    val updPath = Formats.tmp("maint_upsert_upd", dir)
+    val insPath = Formats.tmp("maint_upsert_ins", dir)
+    updates.write.mode("overwrite").parquet(updPath)
+    inserts.write.mode("overwrite").parquet(insPath)
+    applyUpsert(base,
+      spark.read.parquet(updPath), spark.read.parquet(insPath))
   }
 
   val maintUpsertSql: String =
@@ -490,7 +508,8 @@ object Maintenance {
       |    'N' AS o_orderstatus, o_totalprice
       |  FROM base WHERE o_orderkey % 101 = 0)
       |SELECT * FROM base
-      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd
+      |WHERE o_orderkey IS NULL
+      |   OR o_orderkey NOT IN (SELECT o_orderkey FROM upd
       |                         UNION ALL SELECT o_orderkey FROM ins)
       |UNION ALL SELECT * FROM upd
       |UNION ALL SELECT * FROM ins""".stripMargin
@@ -542,11 +561,21 @@ object Maintenance {
     * empty (`Scd2Spec` pins this idempotence, plus one-open-version-
     * per-key and interval continuity).
     */
-  private[graft] def applyScd2(current: DataFrame, batch: DataFrame,
-      eff: String): DataFrame = {
-    val open = current.filter(col("is_current"))
-    val changed = open.join(broadcast(batch), Seq("c_custkey"))
+  /** The change-detection join alone — open versions × broadcast batch,
+    * filtered to genuine diffs. Split out so [[maintScd2]] can park its
+    * result and apply from the read-back (see there). */
+  private[graft] def scd2Changed(current: DataFrame, batch: DataFrame): DataFrame =
+    current.filter(col("is_current"))
+      .join(broadcast(batch), Seq("c_custkey"))
       .filter(col("new_seg") =!= col("c_mktsegment"))
+
+  private[graft] def applyScd2(current: DataFrame, batch: DataFrame,
+      eff: String): DataFrame =
+    applyScd2Changed(current, scd2Changed(current, batch), eff)
+
+  /** The apply half over an ALREADY-DETECTED change set. */
+  private[graft] def applyScd2Changed(current: DataFrame, changed: DataFrame,
+      eff: String): DataFrame = {
     val closed = changed.select(
       col("c_custkey"), col("c_name"), col("c_nationkey"),
       col("c_mktsegment"),
@@ -566,7 +595,15 @@ object Maintenance {
 
   def maintScd2(spark: SparkSession, dir: String): DataFrame = {
     val current = scd2Current(spark, dir)
-    applyScd2(current, scd2Batch(Tables.customer(spark, dir)), Scd2Eff)
+    // Park the detected change set (change-cardinality rows) so the
+    // three apply legs (closed, opened, anti-join keys) read it back
+    // instead of each re-running the detection join — lazily inlined,
+    // the applied plan re-scans the dimension once per leg (same
+    // rescan class as maintUpsert's, fixed the same way).
+    val chgPath = Formats.tmp("maint_scd2_changed", dir)
+    scd2Changed(current, scd2Batch(Tables.customer(spark, dir)))
+      .write.mode("overwrite").parquet(chgPath)
+    applyScd2Changed(current, spark.read.parquet(chgPath), Scd2Eff)
   }
 
   val maintScd2Sql: String =
@@ -587,7 +624,8 @@ object Maintenance {
       |  WHERE b.new_seg <> c.c_mktsegment)
       |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
       |  valid_from, valid_to, is_current
-      |FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |FROM cur WHERE c_custkey IS NULL
+      |           OR c_custkey NOT IN (SELECT c_custkey FROM chg)
       |UNION ALL
       |SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
       |  valid_from, DATE '$Scd2Eff', FALSE FROM chg
@@ -646,7 +684,10 @@ object Maintenance {
     * partition fold: no Sort operator, one row per partition into the
     * final exchange. Shared by both profile variants. */
   private def foldAggs(pc: ProfCol, i: Int): Seq[Column] =
-    sum(col(pc.name).isNull.cast("long")).as(s"nn_$i") +: (pc match {
+    // count(when), not sum(cast): sum over ZERO rows is NULL where the
+    // oracle's count(*) FILTER is 0 — an empty table must profile as
+    // 0 nulls, not NULL nulls
+    count(when(col(pc.name).isNull, 1)).as(s"nn_$i") +: (pc match {
       case ProfNum(c) => Seq(
         min(col(c)).cast("double").as(s"mn_$i"),
         max(col(c)).cast("double").as(s"mx_$i"))
@@ -772,9 +813,20 @@ object Maintenance {
               s"strftime(min($c), '%Y-%m-%d %H:%M:%S.%f') AS min_str, " +
               s"strftime(max($c), '%Y-%m-%d %H:%M:%S.%f') AS max_str"
         }
+        // ProfTs NDV counts DISTINCT over the MICROS-truncated value:
+        // Spark's side conforms a nanos refresh down to microsecond
+        // timestamps before countDistinct, so the oracle must truncate
+        // identically (CAST TIMESTAMP_NS AS TIMESTAMP drops nanos; a
+        // no-op on already-micros data) or two events inside one micro
+        // would count 1 vs 2 across the sides — the min/max strings
+        // were truncation-aligned in r13, NDV gets the same treatment
+        val ndv = pc match {
+          case ProfTs(_) => s"count(DISTINCT CAST($c AS TIMESTAMP))"
+          case _ => s"count(DISTINCT $c)"
+        }
         s"""SELECT '$tbl' AS tbl, '$c' AS col,
            |  CAST(count(*) FILTER ($c IS NULL) AS BIGINT) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
+           |  $ndv AS n_distinct,
            |  $minMax FROM $tbl""".stripMargin
       }
     }.mkString("\nUNION ALL\n")
@@ -840,7 +892,12 @@ object Maintenance {
     val ev = Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     val snapPath = Formats.tmp("maint_incr_snapshot", dir)
-    ev.filter(col("day") < CutoffDay)
+    // day IS NULL (a NULL-ts refresh row) routes to the snapshot side:
+    // both `< cutoff` and `>= cutoff` are three-valued NULL for it, so
+    // without an explicit arm the row would vanish from BOTH partitions
+    // — breaking merge-equals-full-recompute and diverging from the
+    // oracle, which counts every events row
+    ev.filter(col("day") < CutoffDay || col("day").isNull)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("val_sum"))
@@ -881,7 +938,9 @@ object Maintenance {
     val customer = Tables.customer(spark, dir)
     val events = Tables.events(spark, dir)
     def rule(name: String, df: DataFrame, bad: Column): DataFrame =
-      df.agg(sum(bad.cast("long")).as("n_violations"),
+      // count(when), not sum(cast): an empty fact table must audit as
+      // 0 violations (the oracle's count(*) FILTER), not NULL
+      df.agg(count(when(bad, 1)).as("n_violations"),
         count(lit(1)).as("n_checked"))
         .select(lit(name).as("rule"), col("n_violations"), col("n_checked"))
     val r1 = rule("lineitem_quantity_positive", li,
