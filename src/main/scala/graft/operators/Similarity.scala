@@ -65,9 +65,37 @@ object Similarity {
   private def quantizedPlain(spark: SparkSession, dir: String): DataFrame = {
     DotProduct.register(spark)
     Tables.embeddings(spark, dir)
+      // a NULL embedding cannot participate in similarity (its quantized
+      // form and norm are undefined) — filter here, at the ONE entry
+      // point every ANN/semantic path quantizes through, instead of
+      // letting the typed decodes downstream throw 'Null value appeared
+      // in non-nullable field' on the first refresh that ships one. The
+      // oracles exclude the same rows explicitly (WHERE embedding IS NOT
+      // NULL); only lshBuckets deliberately keeps NULLs (bucket 0).
+      .filter(col("embedding").isNotNull)
       .select(col("vec_id"), quant(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), normSqL(col("qe")).as("nsq"))
   }
+
+  /** Guarded integer dot product over quantized arrays — ONE definition
+    * for every primitive similarity loop (tiled pair scan, IVF
+    * assignment + rerank, semantic assignment + rerank), so the
+    * ragged-row guard (iterate to the SHORTER length; a truncated row
+    * degrades, never throws) cannot drift between siblings. */
+  private def dotQ(a: Array[Long], b: Array[Long]): Long = {
+    var dot = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    dot
+  }
+
+  /** Centroid probe scores for one vector — (|c|²−2x·c, cluster),
+    * ascending = cosine order for unit centroids. ONE definition shared
+    * by the IVF and semantic assignment loops. */
+  private def centroidScores(qe: Array[Long],
+      cs: Array[(Int, Array[Long], Long)]): Array[(Long, Int)] =
+    cs.map { case (ci, qc, qcn) => (qcn - 2L * dotQ(qe, qc), ci) }.sorted
 
   /** [[quantizedPlain]] behind a repartition barrier — for consumers
     * that read the relation MORE THAN ONCE in a self-join (pair scans,
@@ -102,10 +130,10 @@ object Similarity {
   val annTopkBruteforceSql: String =
     s"""WITH q AS (
       |  SELECT $QuantSql AS qb
-      |  FROM embeddings WHERE vec_id = 0),
+      |  FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL),
       |v AS (
       |  SELECT vec_id, $QuantSql AS qa
-      |  FROM embeddings WHERE vec_id <> 0),
+      |  FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
       |s AS (
       |  SELECT vec_id,
       |    CAST(CAST(list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
@@ -146,7 +174,8 @@ object Similarity {
 
   val annTopkBatchSql: String =
     s"""WITH e AS (
-      |  SELECT vec_id, $QuantSql AS qe FROM embeddings),
+      |  SELECT vec_id, $QuantSql AS qe
+      |  FROM embeddings WHERE embedding IS NOT NULL),
       |v AS (
       |  SELECT vec_id, qe,
       |    CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nsq
@@ -193,8 +222,17 @@ object Similarity {
     try {
       val n = q.count()
       val numBlocks = math.max(1L, (n + PairBlockRows - 1) / PairBlockRows)
-      // block b holds ids ≡ b (mod numBlocks); each pair (x<y) is emitted
-      // by exactly the block containing y. TRUE tiling: each block is its
+      // Block membership is a multiplicative (Fibonacci) HASH of the id,
+      // not `id % numBlocks`: residue classes are uniform only for dense
+      // sequential ids — a refresh that re-keys vec_ids with a stride
+      // sharing a factor with numBlocks piles several blocks' rows into
+      // one collect (degenerate case: the whole corpus onto the driver,
+      // the exact OOM this tiling exists to prevent). The hash spreads
+      // ANY id structure ~uniformly, so the per-block bound holds by
+      // construction, not by luck of the key space.
+      def blockOf(id: Long): Long = ((id * -7046029254386353131L) >>> 1) % numBlocks
+      // each pair (x<y) is emitted by exactly the block containing y
+      // (blockOf is deterministic). TRUE tiling: each block is its
       // own job — collect ≤~PairBlockRows rows, broadcast, stream the full
       // scan against it, append the thresholded pairs to a scratch sink,
       // DESTROY the broadcast — so driver and executor footprint is one
@@ -225,7 +263,7 @@ object Similarity {
         s"ann_pairs_${java.util.UUID.randomUUID().toString.take(8)}", dir)
       (0L until numBlocks).foreach { b =>
         val bc = spark.sparkContext.broadcast(
-          q.filter(r => r._1 % numBlocks == b).collect())
+          q.filter(r => blockOf(r._1) == b).collect())
         try {
           q.mapPartitions { it =>
             val arr = bc.value
@@ -233,10 +271,7 @@ object Similarity {
               arr.iterator
                 .filter(_._1 > ida)
                 .flatMap { case (idb, qb, nb) =>
-                  var dot = 0L
-                  var i = 0
-                  while (i < qa.length) { dot += qa(i) * qb(i); i += 1 }
-                  val sim = dot.toDouble / math.sqrt((na * nb).toDouble)
+                  val sim = dotQ(qa, qb).toDouble / math.sqrt((na * nb).toDouble)
                   if (sim >= 0.35) Iterator.single((ida, idb, sim)) else Iterator.empty
                 }
             }
@@ -251,7 +286,7 @@ object Similarity {
   val annPairsBruteforceSql: String =
     s"""WITH v AS (
       |  SELECT vec_id, $QuantSql AS qe
-      |  FROM embeddings)
+      |  FROM embeddings WHERE embedding IS NOT NULL)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
       |  / sqrt(CAST(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS BIGINT)
@@ -313,9 +348,13 @@ object Similarity {
 
   private def embeddingDim(spark: SparkSession, dir: String): Int =
     dimCache.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), _ => {
+      // skip NULL embeddings: size(NULL) is NULL and getInt would NPE if
+      // the arbitrary limit(1) row happened to be a NULL-embedding row
       val head = Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull)
         .select(size(col("embedding"))).limit(1).collect()
-      require(head.nonEmpty, s"no embeddings at $dir — cannot derive dimensionality")
+      require(head.nonEmpty,
+        s"no non-null embeddings at $dir — cannot derive dimensionality")
       head(0).getInt(0)
     })
 
@@ -382,13 +421,14 @@ object Similarity {
       if (n == 0.0) x else x.map(_ / n)
     }
     val sample: Array[Array[Double]] = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull) // NULLs can't be sampled points
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(IvfSampleRows)
       .select(col("embedding"))
       .as[Array[Float]]
       .collect()
       .map(e => unit(e.map(_.toDouble)))
-    require(sample.nonEmpty, s"no embeddings to index at $dir")
+    require(sample.nonEmpty, s"no non-null embeddings to index at $dir")
     val k = math.min(kTarget, sample.length)
     val dim = sample.head.length
     var cents = Array.tabulate(k)(i => sample(i).clone())
@@ -495,13 +535,7 @@ object Similarity {
       .mapPartitions { it =>
         val cs = bcCents.value
         it.flatMap { case (id, qe, nsq) =>
-          val scored = cs.map { case (ci, qc, qcn) =>
-            var dot = 0L
-            var i = 0
-            val n = math.min(qe.length, qc.length)
-            while (i < n) { dot += qe(i) * qc(i); i += 1 }
-            (qcn - 2L * dot, ci) // |c|²-2x·c: cosine order, unit centroids
-          }.sorted
+          val scored = centroidScores(qe, cs)
           val member = Iterator.single((scored.head._2, false, id, qe, nsq))
           val queries =
             if (queryLimit.forall(id < _))
@@ -512,50 +546,60 @@ object Similarity {
       }
     tagged
       .toDF("cluster", "is_q", "vec_id", "qe", "nsq")
-      .repartition(col("cluster")) // whole inverted lists per partition
+      // ONE exchange on cluster id, then a local sort so the rerank can
+      // stream ONE cluster's rows at a time — the same consecutive-group
+      // shape dedupSemantic uses. Buffering the whole partition into
+      // per-cluster HashMaps (the earlier form) made peak executor
+      // memory the SUM of all co-resident inverted lists (+ ~nprobe
+      // query copies per vector); under the skewed centroid assignment
+      // real corpora have, that is the partition, not the largest list
+      // — the opposite of the documented 100 TB story.
+      .repartition(col("cluster"))
+      .sortWithinPartitions("cluster")
       .as[(Int, Boolean, Long, Array[Long], Long)]
       .mapPartitions { it =>
-        import scala.collection.mutable
-        val members = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
-        val queries = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Long, Array[Long], Long)]]
-        it.foreach { case (c, isQ, id, qe, nsq) =>
-          (if (isQ) queries else members)
-            .getOrElseUpdate(c, mutable.ArrayBuffer.empty) += ((id, qe, nsq))
-        }
-        queries.iterator.flatMap { case (c, qs) =>
-          val ms = members.getOrElse(c, mutable.ArrayBuffer.empty)
-          qs.iterator.flatMap { case (qid, qqe, qnsq) =>
-            // bounded top-k insertion buffer: (sim desc, id asc) order
-            val simB = Array.fill(k)(Double.NegativeInfinity)
-            val idB = Array.fill(k)(Long.MaxValue)
-            var used = 0
-            ms.foreach { case (mid, mqe, mnsq) =>
-              // nsq == 0 (a vector that quantized to all zeros) makes the
-              // cosine 0/0 = NaN; every comparison against NaN is false,
-              // so a NaN entry would be admitted while the buffer fills
-              // and could never be displaced — skip zero-norm vectors on
-              // either side (cosine is undefined for them)
-              if (mid != qid && mnsq > 0L && qnsq > 0L) {
-                var dot = 0L
-                var i = 0
-                val n = math.min(qqe.length, mqe.length)
-                while (i < n) { dot += qqe(i) * mqe(i); i += 1 }
-                val sim = dot.toDouble / math.sqrt((qnsq * mnsq).toDouble)
-                var pos = used
-                while (pos > 0 && (sim > simB(pos - 1) ||
-                  (sim == simB(pos - 1) && mid < idB(pos - 1)))) pos -= 1
-                if (pos < k) {
-                  val last = math.min(used, k - 1)
-                  var j = last
-                  while (j > pos) { simB(j) = simB(j - 1); idB(j) = idB(j - 1); j -= 1 }
-                  simB(pos) = sim; idB(pos) = mid
-                  if (used < k) used += 1
+        val rows = it.buffered
+        new Iterator[Iterator[(Long, Long, Double)]] {
+          def hasNext: Boolean = rows.hasNext
+          def next(): Iterator[(Long, Long, Double)] = {
+            // buffer exactly one cluster's members + its probing queries,
+            // emit its candidates, release, advance
+            val c = rows.head._1
+            val ms = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+            val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+            while (rows.hasNext && rows.head._1 == c) {
+              val (_, isQ, id, qe, nsq) = rows.next()
+              (if (isQ) qs else ms) += ((id, qe, nsq))
+            }
+            qs.iterator.flatMap { case (qid, qqe, qnsq) =>
+              // bounded top-k insertion buffer: (sim desc, id asc) order
+              val simB = Array.fill(k)(Double.NegativeInfinity)
+              val idB = Array.fill(k)(Long.MaxValue)
+              var used = 0
+              ms.foreach { case (mid, mqe, mnsq) =>
+                // nsq == 0 (a vector that quantized to all zeros) makes the
+                // cosine 0/0 = NaN; every comparison against NaN is false,
+                // so a NaN entry would be admitted while the buffer fills
+                // and could never be displaced — skip zero-norm vectors on
+                // either side (cosine is undefined for them)
+                if (mid != qid && mnsq > 0L && qnsq > 0L) {
+                  val sim = dotQ(qqe, mqe).toDouble / math.sqrt((qnsq * mnsq).toDouble)
+                  var pos = used
+                  while (pos > 0 && (sim > simB(pos - 1) ||
+                    (sim == simB(pos - 1) && mid < idB(pos - 1)))) pos -= 1
+                  if (pos < k) {
+                    val last = math.min(used, k - 1)
+                    var j = last
+                    while (j > pos) { simB(j) = simB(j - 1); idB(j) = idB(j - 1); j -= 1 }
+                    simB(pos) = sim; idB(pos) = mid
+                    if (used < k) used += 1
+                  }
                 }
               }
+              (0 until used).iterator.map(i => (qid, idB(i), simB(i)))
             }
-            (0 until used).iterator.map(i => (qid, idB(i), simB(i)))
           }
-        }
+        }.flatten
       }
       .toDF("query_id", "vec_id", "sim")
   }
@@ -623,22 +667,33 @@ object Similarity {
   }
 
   /** Targeted drops for Bench's re-run memo contract (BASELINE.md §f):
-    * in the full alphabetical battery, `ann_ivf_top1` is the FIRST
-    * query of the run, so its timed first pass builds the dim lookup
-    * AND the IVF centroid index; `dedup_semantic` likewise builds the
-    * ~√N-centroid index inside its own timed pass (it is the sole
-    * consumer). A re-run must pay the same build, not a cache hit —
-    * each drops exactly what its first pass found absent, nothing
-    * more (the LSH/topk/batch queries saw warm caches in pass 1 and
-    * re-run against warm caches unchanged). */
+    * in the full alphabetical battery, `ann_ivf_top1` (first query of
+    * the run) builds the IVF centroid index inside its timed pass —
+    * and ONLY that: nothing on its path calls [[embeddingDim]];
+    * `ann_lsh_top1` is the first (and among queries, only) consumer of
+    * the dim lookup, so ITS pass 1 pays that cold limit(1) job;
+    * `dedup_semantic` builds the ~√N-centroid index (sole consumer).
+    * A re-run must pay the same build, not a cache hit — each drops
+    * exactly what its own first pass found absent, nothing more (the
+    * topk/batch queries saw warm caches in pass 1 and re-run against
+    * warm caches unchanged). An earlier revision had invalidateIvfCaches
+    * also drop dimCache while no re-run path dropped it for
+    * ann_lsh_top1 — a no-op for the IVF query and a falsely-rescuing
+    * warm cache for a smeared LSH re-run. */
   def invalidateIvfCaches(dir: String): Unit = {
-    val key = graft.sources.Formats.canonicalDir(dir)
-    ivfIndex.remove(key)
-    dimCache.remove(key)
+    ivfIndex.remove(graft.sources.Formats.canonicalDir(dir))
+    ()
   }
 
-  def invalidateSemCache(dir: String): Unit =
+  def invalidateDimCache(dir: String): Unit = {
+    dimCache.remove(graft.sources.Formats.canonicalDir(dir))
+    ()
+  }
+
+  def invalidateSemCache(dir: String): Unit = {
     semIndex.remove(graft.sources.Formats.canonicalDir(dir))
+    ()
+  }
 
   /** Semantic (embedding-cluster) near-dup pairs — the bucketed
     * cluster-then-prune twin of [[annPairsBruteforce]]'s tiled all-pairs
@@ -692,14 +747,8 @@ object Similarity {
       .mapPartitions { it =>
         val cs = bcCents.value
         it.flatMap { case (id, qe, nsq) =>
-          val scored = cs.map { case (ci, qc, qcn) =>
-            var dot = 0L
-            var i = 0
-            val n = math.min(qe.length, qc.length)
-            while (i < n) { dot += qe(i) * qc(i); i += 1 }
-            (qcn - 2L * dot, ci) // |c|²-2x·c: cosine order, unit centroids
-          }.sorted
-          scored.iterator.take(probesN).map { case (_, c) => (c, id, qe, nsq) }
+          centroidScores(qe, cs).iterator
+            .take(probesN).map { case (_, c) => (c, id, qe, nsq) }
         }
       }
     probed
@@ -736,11 +785,7 @@ object Similarity {
                 // the exact twin's behavior (its sim is NaN ≱ 0.35)
                 if (ida == idb || na == 0L || nb == 0L) Iterator.empty
                 else {
-                  var dot = 0L
-                  var x = 0
-                  val n = math.min(qa.length, qb.length)
-                  while (x < n) { dot += qa(x) * qb(x); x += 1 }
-                  val sim = dot.toDouble / math.sqrt((na * nb).toDouble)
+                  val sim = dotQ(qa, qb).toDouble / math.sqrt((na * nb).toDouble)
                   if (sim >= 0.35)
                     Iterator.single((math.min(ida, idb), math.max(ida, idb), sim))
                   else Iterator.empty
