@@ -129,6 +129,15 @@ object Tables {
     * by magnitude alone; documented residual). */
   private val MicrosSanityCeil = 7258118400000000L
 
+  /** Magnitude below which an int64 "timestamp" is a missing-value
+    * sentinel, not a real instant, in EITHER encoding: 1e12 is
+    * ~1970-01-12 as micros and ~17 minutes as nanos — generator data
+    * lives decades above both. Lets a genuinely-nanos column carry
+    * 0/-1/small-epsilon sentinels without tripping the mixed-range
+    * ambiguity failure (the tolerance the magnitude rule already
+    * extends to sentinels in a micros column). */
+  private val SentinelCeil = 1000000000000L
+
   /** Per-(dataset, column) memo of the encoding decision, so the ~37
     * events consumers (batch + streaming + SQL views) pay the footer
     * metadata read (or its probe-job fallback) once per JVM, not once
@@ -159,11 +168,23 @@ object Tables {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
     val files =
-      if (fs.getFileStatus(root).isDirectory)
-        fs.listStatus(root).filter(_.isFile).map(_.getPath)
-          .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
-          .toSeq
-      else Seq(root)
+      if (fs.getFileStatus(root).isDirectory) {
+        // RECURSIVE listing: a partitioned table (the documented 100 TB
+        // layout) nests its part files under key=... subdirectories — a
+        // one-level listStatus would see only directories, produce an
+        // empty file list, and the empty list MUST read as "stats
+        // unavailable" (probe job decides), never as complete-stats-
+        // with-no-values, which the caller maps to a silent MicrosLong
+        val it = fs.listFiles(root, true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += s.getPath
+        }
+        buf.toSeq
+      } else Seq(root)
+    if (files.isEmpty) return None // nothing listable — let the probe job decide
     var lo = Long.MaxValue
     var hi = Long.MinValue
     var seen = false
@@ -237,14 +258,30 @@ object Tables {
               else math.min(math.abs(lo), math.abs(hi))
             if (maxAbs < NanosFloor) {
               if (maxAbs >= MicrosSanityCeil) throw new IllegalStateException(
-                s"$table.$column: raw int64 timestamp max $hi decides MICROS " +
-                  s"by magnitude but decodes past year 2200 — either corrupt " +
-                  "micros or an all-nanos column from the pre-mid-1973 blind " +
-                  "window being misread; refusing to guess. Fix the data or " +
+                s"$table.$column: raw int64 timestamp range [$lo, $hi] " +
+                  s"decides MICROS by magnitude but its extreme (|$maxAbs|) " +
+                  "decodes past year 2200 — either corrupt micros or an " +
+                  "all-nanos column from the pre-mid-1973 blind window " +
+                  "being misread; refusing to guess. Fix the data or " +
                   "extend Tables.longTsEncoding for the new encoding.")
               MicrosLong
             }
             else if (minAbs > NanosFloor) NanosLong
+            else if (minAbs < SentinelCeil) {
+              // mixed magnitudes where the small side is not a plausible
+              // real timestamp in EITHER encoding (|v| below ~1970-01-12
+              // as micros / ~17 minutes as nanos): those are missing-value
+              // sentinels (0, -1, small epsilons — the same tolerance the
+              // magnitude rule already gives an otherwise-micros column),
+              // and the high side is impossible as micros (≥ NanosFloor ≫
+              // the year-2200 ceiling), so nanos is the only consistent
+              // reading, not a guess. Residual: a half-converted column
+              // whose micros half sits entirely BETWEEN SentinelCeil and
+              // the footer min/max extremes is invisible to min/max
+              // evidence — the ambiguity throw below still catches every
+              // mix whose small side is a real timestamp.
+              NanosLong
+            }
             else throw new IllegalStateException(
               s"$table.$column: raw int64 timestamp range [$lo, $hi] has " +
                 s"values on both sides of the nanos/micros magnitude frontier " +
@@ -326,7 +363,14 @@ object Tables {
           s"narrowing data-refresh drift from $observed — not a benign widening"))
 
       // -- floating point / decimal → double: what DuckDB reads from the
-      //    same file is the same widened value
+      //    same file is the same widened value. The decimal arm is
+      //    deliberately UNCHECKED, unlike int64→double below: fractional
+      //    decimals (xx.45 money values) are never exactly representable
+      //    in binary at ANY magnitude, so "exact" is the wrong criterion
+      //    — the parity argument is that both engines perform the same
+      //    correctly-rounded decimal→double conversion on the same
+      //    stored value, so the two sides still compare equal; an
+      //    exactness guard here would reject every routine money value.
       case (FloatType, DoubleType) => Some(col(name).cast(DoubleType))
       case (_: DecimalType, DoubleType) => Some(col(name).cast(DoubleType))
       case (o, DoubleType) if intWidth(o).isDefined =>
