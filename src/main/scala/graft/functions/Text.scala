@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * Tokenizer spec (the engine's documented contract, mirrored 1:1 in the
   * DuckDB oracle SQL so correctness is judged engine-vs-oracle):
   *
-  *   1. split on runs of whitespace (`\s+`)
+  *   1. split on runs of whitespace (Java `\s+`, i.e. ` \t\n\x0B\f\r` —
+  *      the oracle spells the class out because RE2's `\s` lacks `\x0B`)
   *   2. strip leading/trailing ASCII punctuation (Python
   *      `string.punctuation`, i.e. the three ASCII ranges `!-/`, `:-@`,
   *      `[-`` ` `` and `{-~`); interior punctuation survives
@@ -30,11 +31,24 @@ object Text {
   /** ASCII `string.punctuation` as a Java-regex character class. */
   val PunctClass = "[!-/:-@\\[-`{-~]"
 
+  /** The whitespace characters of the split rule (Java `\s`'s set),
+    * spelled explicitly because DuckDB/RE2's `\s` lacks `\x0B` (vertical
+    * tab) — a bare `\s` in the oracle would diverge from the native
+    * tokenizer on any text containing a VT. Every escape here is valid
+    * in BOTH Java regex and RE2, so [[WsClassRe2]] is interpolated by
+    * engine-side `normalize` and oracle-side SQL alike — ONE definition,
+    * one edit if the whitespace set ever changes; [[Tokenize.isWs]] is
+    * property-pinned to the same set (NativeExprPropSpec). */
+  val WsChars = """ \t\n\x0B\f\r"""
+
+  /** [[WsChars]] as a character class (Java-regex- and RE2-valid). */
+  val WsClassRe2 = s"[$WsChars]"
+
   /** DuckDB twin of `tokens` for oracle SQL — the single definition every
     * oracle interpolates, so a tokenizer-spec change is one edit. */
   val TokensOracleSql: String =
-    """list_filter(list_transform(string_split_regex(text, '\s+'),
-      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$', ''))),
+    raw"""list_filter(list_transform(string_split_regex(text, '$WsClassRe2+'),
+      |    t -> lower(regexp_replace(regexp_replace(t, '^[!-/:-@\[-`{-~]+', ''), '[!-/:-@\[-`{-~]+$$', ''))),
       |    t -> length(t) > 0)""".stripMargin
 
   /** Strip leading+trailing ASCII punctuation then lowercase. The
@@ -76,7 +90,7 @@ object Text {
     * as the reference twin [[Tokenize]] is pinned bit-identical to
     * (NativeExprPropSpec random-input property + corpus golden counts). */
   def tokensHof(c: Column): Column =
-    filter(transform(split(c, "\\s+"), cleanToken _), t => length(t) > 0)
+    filter(transform(split(c, s"$WsClassRe2+"), cleanToken _), t => length(t) > 0)
 
   /** Reference bucket function: codepoint of first char mod M
     * (reference: src/worker.py:76). `ascii` returns the codepoint of the
@@ -86,8 +100,11 @@ object Text {
     */
   def bucket(word: Column, m: Int): Column = pmod(ascii(word), lit(m)).cast("long")
 
-  /** Whitespace-collapse + trim + lowercase — dedup normalization. */
-  def normalize(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+  /** Whitespace-collapse + trim + lowercase — dedup normalization. The
+    * collapse regex interpolates [[WsClassRe2]] (not Java `\s`), so the
+    * engine and the oracle twin ([[graft.operators.Dedup.ContentHashSql]])
+    * share the whitespace set BY CONSTRUCTION. */
+  def normalize(c: Column): Column = lower(trim(regexp_replace(c, s"$WsClassRe2+", " ")))
 
   /** Array of word-level n-gram shingles (space-joined) from a token
     * array; empty array when the doc has fewer than n tokens. Native

@@ -124,7 +124,7 @@ object Dedup {
     * edit if the normalization ever changes; three copies would let the
     * hash-compatible stages silently drift apart. */
   private[operators] val ContentHashSql: String =
-    """md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"""
+    s"""md5(lower(trim(regexp_replace(text, '${Text.WsClassRe2}+', ' ', 'g'))))"""
 
   /** Exact dedup: md5 over whitespace-normalized lowercase text; one
     * shuffle on the 128-bit content hash regardless of document size —

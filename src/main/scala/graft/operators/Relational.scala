@@ -278,16 +278,16 @@ object Relational {
     * never by `k IS NOT NULL`, so the planner cannot strengthen the
     * plan to a non-null plain anti join. */
   def qJoinAntiNullaware(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.events(spark, dir).createOrReplaceTempView("anw_events")
     spark.sql(
       """WITH probe AS (
         |  SELECT event_type,
         |    CASE WHEN event_id % 7 = 3 THEN CAST(NULL AS BIGINT)
         |         ELSE CAST(get_json_object(props, '$.k') AS BIGINT) END AS k
-        |  FROM events),
+        |  FROM anw_events),
         |blocked AS (
         |  SELECT CAST(get_json_object(props, '$.k') AS BIGINT) AS k
-        |  FROM events WHERE event_type = 'error' AND value >= 490.0)
+        |  FROM anw_events WHERE event_type = 'error' AND value >= 490.0)
         |SELECT event_type, count(*) AS n
         |FROM probe
         |WHERE k NOT IN (SELECT k FROM blocked)
@@ -1223,6 +1223,14 @@ object Relational {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
   }
 
+  val qGroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+      |  sum(l_quantity) AS sum_qty, count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+
   /** UNPIVOT (wide → long reshape): two per-flag measures melted into
     * (flag, measure, value) rows — the normalization step feature
     * pipelines run before generic per-metric processing. `Dataset
@@ -1278,14 +1286,6 @@ object Relational {
       |LATERAL (SELECT c_name, c_acctbal FROM customer
       |         WHERE c_nationkey = n_nationkey
       |         ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t""".stripMargin
-
-  val qGroupingSetsSql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
-      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-      |  sum(l_quantity) AS sum_qty, count(*) AS n
-      |FROM lineitem
-      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
 
   /** Set ops: nations that have customers vs suppliers (INTERSECT /
     * EXCEPT / UNION branches tagged into one relation). */
@@ -1351,28 +1351,32 @@ object Relational {
       .select(
         col("o_orderkey"),
         coalesce(col("status_or_null"), lit("OPEN")).as("status_filled"),
-        col("status_or_null").isNull.as("was_open"))
+        col("status_or_null").isNull.cast("long").as("was_open"))
       .groupBy("status_filled", "was_open")
       .agg(count(lit(1)).as("n"))
 
   val qNullFnsSql: String =
     """WITH s AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null FROM orders)
       |SELECT coalesce(status_or_null, 'OPEN') AS status_filled,
-      |  status_or_null IS NULL AS was_open, count(*) AS n
+      |  CAST(status_or_null IS NULL AS BIGINT) AS was_open, count(*) AS n
       |FROM s GROUP BY 1, 2""".stripMargin
 
   /** Multiset set ops (ALL variants keep duplicates): order-quantity
-    * multisets per returnflag status. */
+    * multisets per returnflag status. Each branch is summarized with a
+    * GLOBAL aggregate (no groupBy) so an empty INTERSECT ALL / EXCEPT
+    * ALL still emits its one (n=0, qty_sum NULL) row — the oracle's
+    * `SELECT count(*) ... FROM (empty)` does, and `groupBy(lit(...))`
+    * over zero rows would not. */
   def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
     val a = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "A")
       .select(col("l_quantity").cast("long").as("qty"))
     val n = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "N")
       .select(col("l_quantity").cast("long").as("qty"))
-    a.intersectAll(n).groupBy(lit("intersect_all").as("op"))
-      .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
-      .unionAll(
-        a.exceptAll(n).groupBy(lit("except_all").as("op"))
-          .agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum")))
+    def branch(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), sum(col("qty")).as("qty_sum"))
+        .select(lit(label).as("op"), col("n"), col("qty_sum"))
+    branch(a.intersectAll(n), "intersect_all")
+      .unionAll(branch(a.exceptAll(n), "except_all"))
   }
 
   val qSetOpsAllSql: String =
@@ -1564,11 +1568,6 @@ object Relational {
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
 
-  /** Pure-SQL interface: every table registered as a view, the query
-    * written as SQL text — the "a reference user could switch and keep
-    * their SQL" demonstration. Same Catalyst plan as the DataFrame
-    * equivalent; the oracle is literally the same SQL modulo dialect.
-    */
   /** GROUPING FLAGS — `grouping()` over ROLLUP: the only way a consumer
     * can tell a subtotal row's NULL from a real NULL in the data (the
     * classic reporting-layer trap; [[qRollup]] shows the hierarchy,
@@ -1579,15 +1578,17 @@ object Relational {
     * plan as every grouping-sets query — one scan fans out per set
     * before one exchange. */
   def qGroupingId(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.customer(spark, dir).createOrReplaceTempView("gid_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("gid_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("gid_region")
     spark.sql(
       """SELECT r_name, n_name,
         |  CAST(2 * grouping(r_name) + grouping(n_name) AS BIGINT) AS gid,
         |  count(*) AS n_cust,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
+        |FROM gid_customer
+        |JOIN gid_nation ON c_nationkey = n_nationkey
+        |JOIN gid_region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
@@ -1648,8 +1649,16 @@ object Relational {
       |FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY o.o_orderkey, o.o_totalprice""".stripMargin
 
+  /** Pure-SQL interface: the referenced tables registered as views under
+    * their canonical names, the query written as SQL text — the "a
+    * reference user could switch and keep their SQL" demonstration. Same
+    * Catalyst plan as the DataFrame equivalent; the oracle is literally
+    * the same SQL modulo dialect (which is why these views, uniquely,
+    * keep the canonical un-prefixed names). */
   def qSqlInterface(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
     spark.sql(
       """SELECT n_name,
         |  count(*) AS n_orders,

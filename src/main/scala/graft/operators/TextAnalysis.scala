@@ -49,6 +49,28 @@ object TextAnalysis {
   private val MinStopRatio = 0.01
   private val MinDistinctRatio = 0.2
 
+  // ---- shared quality features ----------------------------------------------
+
+  /** The per-document quality-feature expressions over a token array —
+    * ONE Scala-side definition projected by [[textStats]],
+    * [[textQualityFilter]] and [[curationE2e]] (the thresholds above are
+    * shared the same way), so a formula edit in one consumer can never
+    * silently diverge from the others. Ratios are guarded to NULL on a
+    * zero-token document: unguarded `0.0 / 0.0` is NaN in Spark but NULL
+    * in DuckDB (whose `list_sum([])` is NULL too), an engine-vs-oracle
+    * divergence on any all-punctuation text. */
+  private def featNTokens(w: Column): Column = size(w).cast("long")
+  private def featRatio(num: Column, w: Column): Column =
+    when(size(w) > 0, num / size(w).cast("double"))
+  // Σ token lengths == length of the separator-free join (tokens are
+  // non-null), and ArrayJoin is codegen'd where aggregate is not
+  private def featAvgTokLen(w: Column): Column =
+    featRatio(length(array_join(w, "")).cast("double"), w)
+  private def featStopRatio(w: Column): Column =
+    featRatio(hits(w, StopEn).cast("double"), w)
+  private def featDistinctRatio(w: Column): Column =
+    featRatio(size(array_distinct(w)).cast("double"), w)
+
   // ---- quality scoring -----------------------------------------------------
 
   /** Per-document quality features: token counts, type/token ratio, mean
@@ -59,16 +81,11 @@ object TextAnalysis {
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))
       .select(
         col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
+        featNTokens(col("w")).as("n_tokens"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct"),
-        (size(array_distinct(col("w"))).cast("double") /
-          size(col("w")).cast("double")).as("distinct_ratio"),
-        // Σ token lengths == length of the separator-free join (tokens
-        // are non-null), and ArrayJoin is codegen'd where aggregate is not
-        (length(array_join(col("w"), "")).cast("double") /
-          size(col("w")).cast("double")).as("avg_token_len"),
-        (hits(col("w"), StopEn).cast("double") /
-          size(col("w")).cast("double")).as("stop_ratio"))
+        featDistinctRatio(col("w")).as("distinct_ratio"),
+        featAvgTokLen(col("w")).as("avg_token_len"),
+        featStopRatio(col("w")).as("stop_ratio"))
   }
 
   private val TokSql = Text.TokensOracleSql
@@ -136,13 +153,10 @@ object TextAnalysis {
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))
       .select(
         col("doc_id"),
-        size(col("w")).cast("long").as("n_tokens"),
-        (length(array_join(col("w"), "")).cast("double") /
-          size(col("w")).cast("double")).as("avg_token_len"),
-        (hits(col("w"), StopEn).cast("double") /
-          size(col("w")).cast("double")).as("stop_ratio"),
-        (size(array_distinct(col("w"))).cast("double") /
-          size(col("w")).cast("double")).as("distinct_ratio"))
+        featNTokens(col("w")).as("n_tokens"),
+        featAvgTokLen(col("w")).as("avg_token_len"),
+        featStopRatio(col("w")).as("stop_ratio"),
+        featDistinctRatio(col("w")).as("distinct_ratio"))
       .select(
         col("doc_id"),
         (col("n_tokens") >= MinTokens).as("len_ok"),
@@ -182,6 +196,8 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_ws"),
+        // Java \s here; the oracle twin spells the class out (RE2 \s
+        // lacks \x0B) so both engines count the same "other" chars
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
           .cast("long").as("n_bpe"),
         length(col("text")).cast("long").as("n_chars"))
@@ -189,7 +205,7 @@ object TextAnalysis {
   val textTokenCountSql: String =
     s"""SELECT doc_id,
       |  CAST(len($TokSql) AS BIGINT) AS n_ws,
-      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9${Text.WsChars}]')) AS BIGINT) AS n_bpe,
       |  CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents""".stripMargin
 
@@ -352,23 +368,33 @@ object TextAnalysis {
 
   /** Array primitives over token arrays: sort, distinct, slice, flatten,
     * element-wise transform + array_max. Scalar outputs only (arrays are
-    * stringified) so the hash-compare stays engine-neutral. */
+    * stringified) so the hash-compare stays engine-neutral. Two NULL/empty
+    * guards keep the oracle parity off the fixture's happy path:
+    * `try_element_at` (plain `element_at` THROWS under Spark 4's default
+    * ANSI mode on a zero-token document, where the oracle's `w[1]` is
+    * NULL), and `first3` is NULL on a NULL *or empty* token array —
+    * Spark's `concat_ws` skips null inputs and joins [] to '', but
+    * DuckDB's `array_to_string` is NULL for BOTH (probed live;
+    * tools/edge_oracle_probe.py re-checks), so the engine gates on
+    * `size(w) > 0` to match. */
   def textArrayFns(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Text.tokens(col("text")).as("w"))
       .select(
         col("doc_id"),
-        concat_ws(" ", slice(array_sort(array_distinct(col("w"))), 1, 3)).as("first3"),
+        when(size(col("w")) > 0,
+          concat_ws(" ", slice(array_sort(array_distinct(col("w"))), 1, 3))).as("first3"),
         array_max(transform(col("w"), t => length(t))).cast("long").as("max_tok_len"),
         size(flatten(array(col("w"), col("w")))).cast("long").as("n_doubled"),
-        element_at(col("w"), 1).as("first_tok"))
+        try_element_at(col("w"), lit(1)).as("first_tok"))
 
   val textArrayFnsSql: String =
     s"""WITH tok AS (SELECT doc_id, $TokSql AS w FROM documents)
       |SELECT doc_id,
       |  array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS first3,
       |  CAST(list_max(list_transform(w, t -> length(t))) AS BIGINT) AS max_tok_len,
-      |  CAST(len(flatten([w, w])) AS BIGINT) AS n_doubled,
+      |  CASE WHEN w IS NULL THEN NULL  -- DuckDB flatten DROPS null sublists ([]→0); Spark propagates NULL
+      |       ELSE CAST(len(flatten([w, w])) AS BIGINT) END AS n_doubled,
       |  w[1] AS first_tok
       |FROM tok""".stripMargin
 
@@ -427,11 +453,18 @@ object TextAnalysis {
   // ---- fingerprinting --------------------------------------------------------
 
   /** Order-insensitive document fingerprint: md5 over the sorted distinct
-    * token set (a set-similarity-stable content signature). */
+    * token set (a set-similarity-stable content signature). NULL text and
+    * ZERO-TOKEN documents fingerprint as NULL, not as md5('') — Spark's
+    * `concat_ws` skips null inputs and joins [] to '', but DuckDB's
+    * `array_to_string` is NULL for both (probed live;
+    * tools/edge_oracle_probe.py re-checks), and a contentless document
+    * colliding on the md5('') constant would be wrong for dedup anyway. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
       .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(Text.tokens(col("text"))))))
+        when(size(col("w")) > 0,
+          md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
           .as("fingerprint"))
 
   val textFingerprintSql: String =
@@ -615,7 +648,11 @@ object TextAnalysis {
   /** Sequence packing: assign documents (in stable doc_id order) to
     * fixed-token-budget shards — the pre-tokenization packing step of a
     * training pipeline (fill each 4096-token shard with consecutive
-    * docs; a doc straddling the boundary opens the next shard). The
+    * docs; a doc belongs to the shard its START offset falls in, so a
+    * straddling doc stays with the shard it began — shards may run over
+    * the budget by up to that doc's tail, and the next shard opens at
+    * the first doc starting past the boundary; trainer buffers must
+    * size to budget + max-doc-tokens, not budget). The
     * shard id is `floor(exclusive-prefix-sum(n_tokens) / budget)` — a
     * GLOBAL running total, which as a `sum over (ORDER BY …)` window is
     * the same single-partition scale-killer [[docStableIds]] documents.
@@ -765,11 +802,9 @@ object TextAnalysis {
         Text.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("source"), col("content_hash"),
         explode_outer(array(struct(
-          size(col("w")).cast("long").as("n_tokens"),
-          (length(array_join(col("w"), "")).cast("double") /
-            size(col("w")).cast("double")).as("avg_token_len"),
-          (size(array_distinct(col("w"))).cast("double") /
-            size(col("w")).cast("double")).as("distinct_ratio"),
+          featNTokens(col("w")).as("n_tokens"),
+          featAvgTokLen(col("w")).as("avg_token_len"),
+          featDistinctRatio(col("w")).as("distinct_ratio"),
           hits(col("w"), StopEn).as("en_hits"), hits(col("w"), StopEs).as("es_hits"),
           hits(col("w"), StopDe).as("de_hits"), hits(col("w"), StopFr).as("fr_hits"))))
           .as("f"))

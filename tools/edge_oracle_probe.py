@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Edge-case oracle probe: run the REAL engine-vs-DuckDB gate on a planted
+degenerate documents corpus the shipped fixtures never contain — a
+zero-token (all-punctuation) document, a NULL body, and vertical-tab
+(U+000B) whitespace.
+
+TextEdgeCasesSpec pins the ENGINE half of these semantics; this probe
+executes the ORACLE half (the rewritten explicit whitespace classes in
+Text.WsClassRe2 / ContentHashSql / textTokenCountSql, NULL propagation,
+empty-list sums) through DuckDB on the same rows and diffs the two with
+tools/oracle_check.py — the exact compare the driver runs.
+
+Usage: python3 tools/edge_oracle_probe.py   (needs target/scala-2.13/classes
+built; writes scratch under /tmp/graft_edge_probe)
+"""
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRATCH = "/tmp/graft_edge_probe"
+DATA = f"{SCRATCH}/data"
+OUT = f"{SCRATCH}/verify"
+
+# document-reading queries whose oracle SQL the probe must exercise on
+# the degenerate rows (everything that interpolates TokensOracleSql,
+# ContentHashSql or the n_bpe class)
+QUERIES = ["dedup_exact", "text_token_count", "text_fingerprint",
+           "text_stats", "text_quality_filter", "text_array_fns",
+           "text_langid", "curation_e2e"]
+
+ROWS = [
+    # ≥20 tokens of English prose: the one row the curation gate keeps
+    (1, "the cat sat on the mat and the dog lay by the door "
+        "while the bird flew over the tall tree in the yard"),
+    (2, "!!! ??? ... --- !!!"),          # zero tokens after punct strip
+    (3, None),                             # NULL body
+    (4, "alpha\x0bbeta gamma"),           # VT whitespace (Java \s, not RE2 \s)
+    (5, "tab\tand\nnewline\x0cform feed"),  # the rest of the \s set
+]
+
+
+def main():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(DATA)
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in ROWS], pa.int64()),
+        "text": pa.array([r[1] for r in ROWS], pa.string()),
+        "lang": pa.array(["en"] * len(ROWS), pa.string()),
+        "source": pa.array(["planted"] * len(ROWS), pa.string()),
+        "n_chars": pa.array([len(r[1]) if r[1] else 0 for r in ROWS], pa.int64()),
+    })
+    pq.write_table(tbl, f"{DATA}/documents.parquet")
+
+    cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
+        glob.glob("/opt/spark/jars/*.jar"))
+    r = subprocess.run(
+        ["java", "-cp", cp, "-Xmx4g", "graft.Verify", DATA, OUT,
+         ",".join(QUERIES)],
+        capture_output=True, text=True)
+    failed = [l for l in r.stderr.splitlines() if "[verify] " in l]
+    if r.returncode != 0 or failed:
+        print("\n".join(failed) or r.stderr[-2000:])
+        sys.exit(f"engine Verify failed (exit {r.returncode})")
+
+    r = subprocess.run(
+        [sys.executable, f"{ROOT}/tools/oracle_check.py", DATA, OUT],
+        capture_output=True, text=True)
+    print(r.stdout, end="")
+    if r.returncode != 0 or " fail" not in r.stdout.splitlines()[-1] \
+            or not r.stdout.splitlines()[-1].startswith(f"{len(QUERIES)} pass, 0 fail"):
+        sys.exit("EDGE PROBE FAILED — engine and oracle diverge on degenerate rows")
+    print("edge probe OK: engine == DuckDB oracle on zero-token/NULL/VT rows")
+
+
+if __name__ == "__main__":
+    main()
