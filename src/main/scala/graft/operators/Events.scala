@@ -48,9 +48,9 @@ object Events {
 
   val eventsJsonKvSql: String =
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
-      |  max(CAST(props->>'k' AS BIGINT)) AS k_max,
-      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS k_avg
+      |  CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+      |  max(TRY_CAST(props->>'k' AS BIGINT)) AS k_max,
+      |  CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS k_avg
       |FROM events GROUP BY event_type""".stripMargin
 
   /** The same extraction through Spark 4's VARIANT type — the
@@ -61,15 +61,18 @@ object Events {
     * difference between parsing JSON text per field access and walking a
     * compact binary tree. Same aggregate domain as eventsJsonKv, so the
     * two extraction routes are verified against each other through the
-    * shared DuckDB oracle shape. `try_parse_json`, not `parse_json`:
-    * the from_json twin nulls malformed props rows, and the strict
-    * variant parser would instead abort the whole query on one bad
-    * record — lenient keeps the two routes behaviorally identical.
+    * shared DuckDB oracle shape. `try_parse_json` + `try_variant_get`,
+    * not the strict forms: the from_json twin nulls BOTH malformed
+    * props rows and type-mismatched values (PERMISSIVE mode), while
+    * strict parse/extract would abort the whole query on one bad
+    * record (`variant_get` raises INVALID_VARIANT_CAST on e.g.
+    * {"k": "abc"}) — lenient keeps the two routes behaviorally
+    * identical; the oracle's TRY_CAST is the same contract.
     */
   def eventsVariant(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
+        try_variant_get(try_parse_json(col("props")), "$.k", "bigint").as("k"))
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
@@ -78,8 +81,8 @@ object Events {
 
   val eventsVariantSql: String =
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
-      |  max(CAST(props->>'k' AS BIGINT)) AS k_max
+      |  CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+      |  max(TRY_CAST(props->>'k' AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type""".stripMargin
 
   // ---- tumbling window -----------------------------------------------------
@@ -197,28 +200,37 @@ object Events {
 
   // ---- as-of join ----------------------------------------------------------
 
-  /** As-of join: for each purchase, the most recent click at-or-before it
-    * by the same user. Implemented as union-tag + last(ignoreNulls) over
-    * an ordered window — ONE shuffle on user_id, the plan shape that
-    * survives 100 TB (a naive range join explodes; DuckDB's ASOF JOIN is
-    * the oracle's native form).
-    */
-  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val tagged = ev.filter(col("event_type").isin("purchase", "click"))
+  /** The union-tag + running `last(ignoreNulls)` machinery BOTH as-of
+    * directions share (one definition, so a tie-break or tagging fix can
+    * never land in one direction and not the other): tag click rows with
+    * their own ts, scan each user's events in `tsOrder`, carry the most
+    * recent non-null click ts, keep purchases. Clicks sort before
+    * purchases at equal ts (`event_type` asc) so ties resolve INCLUSIVE
+    * of the purchase instant in both directions. ONE shuffle on user_id,
+    * the plan shape that survives 100 TB (a naive range join explodes). */
+  private def asofClickForPurchase(spark: SparkSession, dir: String,
+      tsOrder: Column): DataFrame = {
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         when(col("event_type") === "click", col("ts")).as("click_ts"))
-    // clicks sort before purchases at equal ts so ties resolve to "<= ts"
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, col("event_type").asc)
+      .orderBy(tsOrder, col("event_type").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         fmtUs(col("ts")).as("purchase_ts"),
-        fmtUs(col("last_click_ts")).as("click_ts"))
+        fmtUs(col("asof_click_ts")).as("click_ts"))
   }
+
+  /** As-of join: for each purchase, the most recent click at-or-before it
+    * by the same user — [[asofClickForPurchase]] in ascending time
+    * (DuckDB's ASOF JOIN is the oracle's native form).
+    */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame =
+    asofClickForPurchase(spark, dir, col("ts").asc)
 
   val eventsAsofSql: String =
     """SELECT p.event_id, p.user_id,
@@ -234,24 +246,12 @@ object Events {
     * Same union-tag machinery, time-reversed: process per-user events
     * in DESCENDING ts (clicks before purchases at equal ts so "at-or-
     * after" includes ties) and carry the running `last` non-null click
-    * timestamp — one shuffle on user_id, no range join. The oracle is
-    * a correlated min-subquery, deliberately a different algorithm from
-    * the window form so the semantics, not the plan, are what match. */
-  def eventsAsofForward(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val tagged = ev.filter(col("event_type").isin("purchase", "click"))
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        when(col("event_type") === "click", col("ts")).as("click_ts"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_type").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("next_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"),
-        fmtUs(col("ts")).as("purchase_ts"),
-        fmtUs(col("next_click_ts")).as("click_ts"))
-  }
+    * timestamp — [[asofClickForPurchase]] in DESCENDING time, nothing
+    * else differs. The oracle is a correlated min-subquery, deliberately
+    * a different algorithm from the window form so the semantics, not
+    * the plan, are what match. */
+  def eventsAsofForward(spark: SparkSession, dir: String): DataFrame =
+    asofClickForPurchase(spark, dir, col("ts").desc)
 
   val eventsAsofForwardSql: String =
     """SELECT p.event_id, p.user_id,
@@ -264,15 +264,26 @@ object Events {
 
   // ---- map functions -------------------------------------------------------
 
-  /** JSON → MapType + map functions (map_keys, element_at, map_contains_key):
-    * schema-free props handling, for payloads whose keys vary by event. */
+  /** JSON → MapType + map functions (map_keys, try_element_at,
+    * map_contains_key): schema-free props handling, for payloads whose
+    * keys vary by event. Robustness contract (the fixture is all-clean
+    * `{"k": long}`, so these arms are latent): the map is parsed with
+    * STRING values and the long cast applied per-field with
+    * try_cast/TRY_CAST — a `Map<String,Long>` schema would NULL the
+    * WHOLE map on one non-long value (PERMISSIVE mode nulls the row)
+    * while the oracle's `json_keys` still counts its keys;
+    * `try_element_at`, because ANSI `element_at` THROWS on an absent
+    * key; and a NULL props row groups under has_missing = NULL in both
+    * engines (the oracle CASE mirrors `map_contains_key`'s null
+    * propagation — bare `json_extract(...) IS NOT NULL` would fold those
+    * rows into the `false` group). */
   def eventsMapFns(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(col("event_type"),
-        from_json(col("props"), MapType(StringType, LongType)).as("m"))
+        from_json(col("props"), MapType(StringType, StringType)).as("m"))
       .select(col("event_type"),
         size(map_keys(col("m"))).cast("long").as("n_keys"),
-        element_at(col("m"), "k").as("k_val"),
+        try_element_at(col("m"), lit("k")).try_cast("long").as("k_val"),
         map_contains_key(col("m"), "missing").as("has_missing"))
       .groupBy("event_type", "has_missing")
       .agg(count(lit(1)).as("n"),
@@ -283,8 +294,9 @@ object Events {
     """WITH m AS (
       |  SELECT event_type,
       |    CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
-      |    CAST(props->>'k' AS BIGINT) AS k_val,
-      |    json_extract(props, '$.missing') IS NOT NULL AS has_missing
+      |    TRY_CAST(props->>'k' AS BIGINT) AS k_val,
+      |    CASE WHEN props IS NULL THEN NULL
+      |         ELSE json_extract(props, '$.missing') IS NOT NULL END AS has_missing
       |  FROM events)
       |SELECT event_type, has_missing, count(*) AS n,
       |  CAST(sum(n_keys) AS BIGINT) AS total_keys,
@@ -324,7 +336,7 @@ object Events {
       |  count(DISTINCT user_id) AS dau, count(*) AS n
       |FROM events GROUP BY 1""".stripMargin
 
-  // ---- registry ------------------------------------------------------------
+  // ---- time-series / user analytics ------------------------------------------
 
   /** Time-series RESAMPLE + forward fill — the gap-filling step every
     * downstream ML/monitoring consumer needs (regular grid in, ragged
@@ -473,12 +485,19 @@ object Events {
     * extreme scale the sketch path replaces countDistinct with
     * mergeable HLL per day ([[graft.functions.Extensibility]]) — same
     * shape, no replication needed since HLL unions slide. */
-  def eventsWau(spark: SparkSession, dir: String): DataFrame = {
-    val userDays = Tables.events(spark, dir)
+  /** Distinct (user_id, day) pairs — the ONE full events pass both
+    * [[eventsWau]] and [[eventsRetention]] build on, shared so the day
+    * derivation (timezone, to_date semantics) can never drift between
+    * the two cohort consumers. */
+  private def userDays(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-    val observedDays = userDays.select(col("day").as("report_day")).distinct()
-    userDays
+
+  def eventsWau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = userDays(spark, dir)
+    val observedDays = ud.select(col("day").as("report_day")).distinct()
+    ud
       .select(col("user_id"),
         explode(sequence(lit(0), lit(6))).as("off"), col("day"))
       .select(col("user_id"), date_add(col("day"), col("off")).as("report_day"))
@@ -514,17 +533,24 @@ object Events {
     * does; the fallback is a shuffled join on user_id — still one
     * shuffle of user-days, never of raw events. */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
-    val userDays = Tables.events(spark, dir)
-      .select(col("user_id"), to_date(col("ts")).as("day"))
-      .distinct()
-    val cohorts = userDays.groupBy("user_id")
+    val ud = userDays(spark, dir)
+    val cohorts = ud.groupBy("user_id")
       .agg(min(col("day")).as("cohort_day"))
-    userDays.join(broadcast(cohorts), Seq("user_id"))
+    ud.join(broadcast(cohorts), Seq("user_id"))
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("offset_days"))
       .agg(count(lit(1)).as("users"))
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("offset_days").cast("long").as("offset_days"), col("users"))
   }
+
+  val eventsRetentionSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT) AS offset_days,
+      |  count(*) AS users
+      |FROM ud JOIN c ON ud.user_id = c.user_id
+      |GROUP BY 1, 2""".stripMargin
 
   /** TIME-RANGE WINDOW FRAME — per-user rolling 1-hour counters ending
     * at each event (`RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND
@@ -540,9 +566,11 @@ object Events {
     * (the SQL INTERVAL frame literal), which also exercises the
     * ns-timestamp-safe events view registration. */
   def eventsWindowTimeRange(spark: SparkSession, dir: String): DataFrame = {
-    Tables.registerAll(spark, dir)
-    // the oracle text IS dialect-neutral SQL — run the identical string
-    // in both engines so the pair can never desynchronize
+    // canonical un-prefixed view name: the oracle text IS dialect-neutral
+    // SQL — run the identical string in both engines so the pair can
+    // never desynchronize (only the one table the query reads is
+    // registered; loading all ten per invocation was pure overhead)
+    Tables.events(spark, dir).createOrReplaceTempView("events")
     spark.sql(eventsWindowTimeRangeSql)
   }
 
@@ -649,15 +677,6 @@ object Events {
       |FROM events e JOIN m ON e.event_type = m.event_type
       |WHERE e.value > m.mean + 3.0 * m.sigma
       |   OR e.value < m.mean - 3.0 * m.sigma""".stripMargin
-
-  val eventsRetentionSql: String =
-    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-      |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
-      |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
-      |  CAST(date_diff('day', c.cohort_day, ud.day) AS BIGINT) AS offset_days,
-      |  count(*) AS users
-      |FROM ud JOIN c ON ud.user_id = c.user_id
-      |GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> (eventsRetention _),

@@ -1,14 +1,18 @@
 #!/usr/bin/env python3
-"""Edge-case oracle probe: run the REAL engine-vs-DuckDB gate on a planted
-degenerate documents corpus the shipped fixtures never contain — a
-zero-token (all-punctuation) document, a NULL body, and vertical-tab
-(U+000B) whitespace.
+"""Edge-case oracle probe: run the REAL engine-vs-DuckDB gate on planted
+degenerate rows the shipped fixtures never contain —
 
-TextEdgeCasesSpec pins the ENGINE half of these semantics; this probe
+documents: a zero-token (all-punctuation) document, a NULL body, and
+vertical-tab (U+000B) whitespace;
+events: a NULL props, a type-mismatched {"k": "abc"}, a props without
+the extracted key, and a nested-object value.
+
+TextEdgeCasesSpec pins the ENGINE half of the text semantics; this probe
 executes the ORACLE half (the rewritten explicit whitespace classes in
 Text.WsClassRe2 / ContentHashSql / textTokenCountSql, NULL propagation,
-empty-list sums) through DuckDB on the same rows and diffs the two with
-tools/oracle_check.py — the exact compare the driver runs.
+empty-list sums, the events TRY_CAST / has_missing CASE arms) through
+DuckDB on the same rows and diffs the two with tools/oracle_check.py —
+the exact compare the driver runs.
 
 Usage: python3 tools/edge_oracle_probe.py   (needs target/scala-2.13/classes
 built; writes scratch under /tmp/graft_edge_probe)
@@ -27,12 +31,14 @@ SCRATCH = "/tmp/graft_edge_probe"
 DATA = f"{SCRATCH}/data"
 OUT = f"{SCRATCH}/verify"
 
-# document-reading queries whose oracle SQL the probe must exercise on
-# the degenerate rows (everything that interpolates TokensOracleSql,
-# ContentHashSql or the n_bpe class)
+# queries whose oracle SQL the probe must exercise on the degenerate
+# rows: every document query that interpolates TokensOracleSql,
+# ContentHashSql or the n_bpe class, and every events query that
+# extracts from props (lenient-cast / has_missing contract)
 QUERIES = ["dedup_exact", "text_token_count", "text_fingerprint",
            "text_stats", "text_quality_filter", "text_array_fns",
-           "text_langid", "curation_e2e"]
+           "text_langid", "curation_e2e",
+           "events_json_kv", "events_variant", "events_map_fns"]
 
 ROWS = [
     # ≥20 tokens of English prose: the one row the curation gate keeps
@@ -42,6 +48,14 @@ ROWS = [
     (3, None),                             # NULL body
     (4, "alpha\x0bbeta gamma"),           # VT whitespace (Java \s, not RE2 \s)
     (5, "tab\tand\nnewline\x0cform feed"),  # the rest of the \s set
+]
+
+EVENT_PROPS = [
+    '{"k": 7}',            # the fixture's clean shape
+    '{"k": "abc"}',        # type mismatch: lenient cast must NULL, not abort
+    '{"x": 1}',            # extracted key absent
+    None,                   # NULL props: has_missing groups under NULL
+    '{"k": {"a": 1}}',     # nested value: per-field cast NULLs, keys still count
 ]
 
 
@@ -56,6 +70,18 @@ def main():
         "n_chars": pa.array([len(r[1]) if r[1] else 0 for r in ROWS], pa.int64()),
     })
     pq.write_table(tbl, f"{DATA}/documents.parquet")
+    ev = pa.table({
+        "event_id": pa.array(range(1, len(EVENT_PROPS) + 1), pa.int64()),
+        "ts": pa.array([1700000000000000 + i * 1000000
+                        for i in range(len(EVENT_PROPS))], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(EVENT_PROPS), pa.int64()),
+        "event_type": pa.array(["click", "view", "click", "view", "click"],
+                               pa.string()),
+        "value": pa.array([float(i) for i in range(len(EVENT_PROPS))],
+                          pa.float64()),
+        "props": pa.array(EVENT_PROPS, pa.string()),
+    })
+    pq.write_table(ev, f"{DATA}/events.parquet")
 
     cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
@@ -75,7 +101,8 @@ def main():
     if r.returncode != 0 or " fail" not in r.stdout.splitlines()[-1] \
             or not r.stdout.splitlines()[-1].startswith(f"{len(QUERIES)} pass, 0 fail"):
         sys.exit("EDGE PROBE FAILED — engine and oracle diverge on degenerate rows")
-    print("edge probe OK: engine == DuckDB oracle on zero-token/NULL/VT rows")
+    print("edge probe OK: engine == DuckDB oracle on zero-token/NULL/VT "
+          "documents and NULL/mistyped/nested props events")
 
 
 if __name__ == "__main__":
