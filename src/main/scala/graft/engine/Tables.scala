@@ -150,23 +150,54 @@ object Tables {
   private val longTsEncodingMemo =
     new java.util.concurrent.ConcurrentHashMap[String, LongTsEncoding]()
 
+  /** Per-file footer fold state: the column's observed extremes, whether
+    * any non-null value was seen, whether any CHUNK for the column was
+    * seen at all (a column in the Spark schema but in NO footer — e.g. a
+    * partition-directory key — has no footer evidence and must route to
+    * the probe job, not decide by default), and whether any chunk lacked
+    * usable INT64 stats. */
+  private final case class FooterStats(
+      lo: Long, hi: Long, seen: Boolean, chunkSeen: Boolean, unavailable: Boolean) {
+    def merge(o: FooterStats): FooterStats = FooterStats(
+      math.min(lo, o.lo), math.max(hi, o.hi), seen || o.seen,
+      chunkSeen || o.chunkSeen, unavailable || o.unavailable)
+  }
+  private val FooterStatsZero =
+    FooterStats(Long.MaxValue, Long.MinValue, seen = false,
+      chunkSeen = false, unavailable = false)
+
   /** Column min/max straight from the parquet FOOTER statistics —
     * driver-side metadata reads only, no Spark job. Returns
-    * `None` when any row group lacks usable stats for the column (the
-    * caller then falls back to the probe job); `Some(None)` when stats
-    * are complete but the column has no non-null values anywhere;
-    * `Some(Some((lo, hi)))` otherwise. Matching is case-insensitive,
-    * like Spark's own column resolution (the conform layer passes the
-    * CANONICAL spelling while the file may carry a drifted one). At
-    * scale this is one footer read per file on the driver — the same
-    * metadata pass Spark's own schema inference does, and strictly
-    * cheaper than the full-column aggregate job it replaces. */
+    * `None` when any row group lacks usable stats for the column OR the
+    * column appears in no footer at all (the caller then falls back to
+    * the probe job); `Some(None)` when stats are complete but the column
+    * has no non-null values anywhere; `Some(Some((lo, hi)))` otherwise.
+    * Matching is case-insensitive, like Spark's own column resolution
+    * (the conform layer passes the CANONICAL spelling while the file may
+    * carry a drifted one). Hidden path SEGMENTS (`_temporary`,
+    * `.staging`, ...) are skipped like Spark's own file index skips them
+    * — a leaf-name-only filter would open partial files a killed write
+    * left behind, crashing the load (or worse, folding in values Spark
+    * will never scan). Footers are read on a bounded driver thread pool
+    * with an early-exit flag — at the documented partitioned scale this
+    * is thousands of small metadata reads, and a serial loop would stall
+    * the first table load for minutes. */
   private def footerLongMinMax(
       spark: SparkSession, path: String, column: String): Option[Option[(Long, Long)]] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
+    val rootQ = fs.makeQualified(root).toString
+    def underHiddenSegment(leaf: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = leaf
+      while (cur != null && cur.toString != rootQ) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val files =
       if (fs.getFileStatus(root).isDirectory) {
         // RECURSIVE listing: a partitioned table (the documented 100 TB
@@ -179,44 +210,59 @@ object Tables {
         val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
         while (it.hasNext) {
           val s = it.next()
-          val n = s.getPath.getName
-          if (s.isFile && !n.startsWith("_") && !n.startsWith(".")) buf += s.getPath
+          if (s.isFile && !underHiddenSegment(s.getPath)) buf += s.getPath
         }
         buf.toSeq
       } else Seq(root)
     if (files.isEmpty) return None // nothing listable — let the probe job decide
-    var lo = Long.MaxValue
-    var hi = Long.MinValue
-    var seen = false
-    var unavailable = false
-    files.foreach { f =>
-      if (!unavailable) {
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
-        try {
-          reader.getFooter.getBlocks.asScala.foreach { block =>
-            block.getColumns.asScala
-              .filter(_.getPath.toDotString.equalsIgnoreCase(column))
-              .foreach { cc =>
-                val st: org.apache.parquet.column.statistics.Statistics[_] =
-                  cc.getStatistics
-                if (st == null || st.isEmpty) unavailable = true
-                else if (st.hasNonNullValue) {
-                  (st.genericGetMin, st.genericGetMax) match {
-                    case (mn: java.lang.Long, mx: java.lang.Long) =>
-                      lo = math.min(lo, mn.longValue)
-                      hi = math.max(hi, mx.longValue)
-                      seen = true
-                    case _ => unavailable = true // not an INT64 chunk
-                  }
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def readOne(f: org.apache.hadoop.fs.Path): FooterStats = {
+      if (stop.get()) return FooterStatsZero // some file already decided "probe"
+      var st = FooterStatsZero
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.iterator
+        while (!st.unavailable && blocks.hasNext) {
+          blocks.next().getColumns.asScala
+            .filter(_.getPath.toDotString.equalsIgnoreCase(column))
+            .foreach { cc =>
+              st = st.copy(chunkSeen = true)
+              val s: org.apache.parquet.column.statistics.Statistics[_] =
+                cc.getStatistics
+              if (s == null || s.isEmpty) st = st.copy(unavailable = true)
+              else if (s.hasNonNullValue) {
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    st = st.copy(
+                      lo = math.min(st.lo, mn.longValue),
+                      hi = math.max(st.hi, mx.longValue), seen = true)
+                  case _ => st = st.copy(unavailable = true) // not an INT64 chunk
                 }
               }
-          }
-        } finally reader.close()
-      }
+            }
+        }
+      } finally reader.close()
+      if (st.unavailable) stop.set(true)
+      st
     }
-    if (unavailable) None
-    else Some(if (seen) Some((lo, hi)) else None)
+    val merged =
+      if (files.lengthCompare(2) < 0) files.map(readOne)
+        .foldLeft(FooterStatsZero)(_ merge _)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(files.size, 16))
+        try {
+          val futures = files.map(f =>
+            pool.submit(new java.util.concurrent.Callable[FooterStats] {
+              override def call(): FooterStats = readOne(f)
+            }))
+          futures.map(_.get()).foldLeft(FooterStatsZero)(_ merge _)
+        } finally pool.shutdown()
+      }
+    if (merged.unavailable) None
+    else if (!merged.chunkSeen) None // in no footer (partition key?) — probe
+    else Some(if (merged.seen) Some((merged.lo, merged.hi)) else None)
   }
 
   /** Decide how a raw-int64 timestamp column is encoded — ONCE per load
@@ -257,9 +303,14 @@ object Tables {
               if (lo <= 0L && hi >= 0L) 0L
               else math.min(math.abs(lo), math.abs(hi))
             if (maxAbs < NanosFloor) {
-              if (maxAbs >= MicrosSanityCeil) throw new IllegalStateException(
+              // the guard is on hi, NOT maxAbs: only a POSITIVE extreme
+              // can be a far-future decode (the blind-window artifact —
+              // nanos misread as micros land past 2200); a deep negative
+              // lo is just a pre-1970 instant, which the magnitude rule
+              // deliberately tolerates in a micros column
+              if (hi >= MicrosSanityCeil) throw new IllegalStateException(
                 s"$table.$column: raw int64 timestamp range [$lo, $hi] " +
-                  s"decides MICROS by magnitude but its extreme (|$maxAbs|) " +
+                  s"decides MICROS by magnitude but its maximum ($hi) " +
                   "decodes past year 2200 — either corrupt micros or an " +
                   "all-nanos column from the pre-mid-1973 blind window " +
                   "being misread; refusing to guess. Fix the data or " +

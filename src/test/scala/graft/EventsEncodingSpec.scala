@@ -145,6 +145,58 @@ class EventsEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("footer scan skips hidden path segments a killed write leaves behind") {
+    val spark = TestSpark.spark
+    // directory-shaped table (Spark layout), then inject junk under
+    // _temporary/ and .staging/ whose LEAF names look like part files —
+    // Spark's own file index skips these at every segment, and the
+    // footer min/max scan must too (opening them would crash the load
+    // on 'not a Parquet file', or fold in rows Spark never scans)
+    val base = java.nio.file.Files.createTempDirectory("graft_hidden_seg")
+    val table = base.resolve("events.parquet")
+    rowsDF.write.parquet(table.toString)
+    for (junkDir <- Seq("_temporary/0", ".staging-abc")) {
+      val d = table.resolve(junkDir)
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("part-00000.parquet"),
+        "not a parquet file".getBytes)
+    }
+    val years = Tables.events(spark, base.toString)
+      .select(expr("year(ts)")).collect().map(_.getInt(0)).distinct
+    assert(years.toSeq === Seq(2024), s"hidden-segment junk changed the read: $years")
+  }
+
+  test("a ts column with no footer chunk anywhere routes to the probe job") {
+    val spark = TestSpark.spark
+    // partition the table BY the raw int64 ts: every part file's footer
+    // then lacks a ts column chunk entirely. That must read as "no
+    // footer evidence" → probe job decides from the data — never as
+    // complete-stats-with-no-values, which would silently decide micros
+    // and decode these nanos as year ~55000
+    val base = java.nio.file.Files.createTempDirectory("graft_part_key")
+    rowsDF.write.partitionBy("ts").parquet(s"$base/events.parquet")
+    val years = Tables.events(spark, base.toString)
+      .select(expr("year(ts)")).collect().map(_.getInt(0)).distinct
+    assert(years.toSeq === Seq(2024), s"partition-key ts misread: $years")
+  }
+
+  test("a deep pre-1970 micros minimum does not trip the far-future guard") {
+    val spark = TestSpark.spark
+    // lo ≈ year 1716 in micros: |lo| exceeds MicrosSanityCeil but the
+    // guard is about far-future POSITIVE decodes (the blind-window
+    // artifact) — a negative extreme is just an ancient instant the
+    // magnitude rule tolerates in a micros column
+    val micros = rowsDF.withColumn("ts", expr("ts div 1000"))
+    val withAncient = micros.unionAll(
+      micros.limit(1).withColumn("ts", expr("CAST(-8000000000000000 AS LONG)"))
+        .withColumn("event_id", expr("CAST(99 AS LONG)")))
+    val dir = TestSpark.plantParquetFile(withAncient, "events.parquet")
+    val years = Tables.events(spark, dir)
+      .select(expr("year(ts)")).collect().map(_.getInt(0)).distinct.sorted
+    assert(years.contains(2024) && years.min < 1970,
+      s"ancient-micros row lost or misread: ${years.toSeq}")
+  }
+
   test("streaming consumers see identical rows under all encodings") {
     val spark = TestSpark.spark
     val ref = multiset(
