@@ -501,9 +501,24 @@ object Dedup {
     lock.synchronized {
       lastComponentsLshRounds = computeComponentLabels(spark,
         dedupMinhashLsh(spark, dir).select(col("doc_a"), col("doc_b")), out)
+      // marker AFTER the labels are fully written (a torn write leaves
+      // no marker → the guarded read arm recomputes); carries the source
+      // fingerprint so an in-place testdata refresh invalidates the
+      // artifact across JVMs, same contract as fmtBinary's fixture
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(out, LshLabelsMarker)
+      graft.sources.Formats.writeMarker(hp.getFileSystem(conf), hp,
+        graft.sources.Formats.sourceFingerprint(conf, dir, "documents"))
+      // frame construction INSIDE the lock, like lshComponentLabels: a
+      // concurrent same-dataset caller's overwrite (delete + rewrite)
+      // must not race the directory listing this read does
+      spark.read.parquet(out)
     }
-    spark.read.parquet(out)
   }
+
+  /** Marker name for [[dedupComponentsLsh]]'s label artifact (underscore
+    * prefix: invisible to Spark's parquet reader). */
+  private val LshLabelsMarker = "_SOURCE_OK"
 
   /** Per-dataset write locks for [[dedupComponentsLsh]]'s fixed scratch
     * path — see its doc. */
@@ -520,11 +535,16 @@ object Dedup {
     * fixpoint recompute writes the same labels the read arm would have
     * served (ComponentsLshRecallSpec pins the two arms equal).
     *
-    * The exists check + frame construction take the dataset's write
+    * The marker check + frame construction take the dataset's write
     * lock, so neither can observe [[dedupComponentsLsh]] mid-overwrite
-    * (exists() returning true on a half-rewritten dir would hand back
-    * a frame that fails — or worse, partially reads — at action time).
-    * The returned frame then carries the standard fmt_* invalidation
+    * (a check passing on a half-rewritten dir would hand back a frame
+    * that fails — or worse, partially reads — at action time). The
+    * artifact is valid only when its marker carries the CURRENT source
+    * fingerprint — the scratch path is fixed per dir and outlives the
+    * JVM, so a bare exists() would serve labels computed from
+    * pre-refresh documents against a since-regenerated dataset (the
+    * recall receipt would then compare fresh exact labels to stale LSH
+    * ones). The returned frame carries the standard fmt_* invalidation
     * contract the writer documents: a later call on the same dataset
     * invalidates frames returned earlier. */
   def lshComponentLabels(spark: SparkSession, dir: String): DataFrame = {
@@ -532,9 +552,11 @@ object Dedup {
     val lock = lshWriteLocks.computeIfAbsent(
       graft.sources.Formats.canonicalDir(dir), _ => new Object)
     lock.synchronized {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp))
-        spark.read.parquet(path)
+      val conf = spark.sessionState.newHadoopConf()
+      val hp = new org.apache.hadoop.fs.Path(path, LshLabelsMarker)
+      val fresh = graft.sources.Formats.readMarker(hp.getFileSystem(conf), hp)
+        .contains(graft.sources.Formats.sourceFingerprint(conf, dir, "documents"))
+      if (fresh) spark.read.parquet(path)
       // monitor locks are reentrant, so the recompute's own
       // lock.synchronized re-entry is safe on this thread
       else dedupComponentsLsh(spark, dir)
@@ -813,7 +835,17 @@ object Dedup {
     * near-dups all ≥0.8, next population ≤0.2) the output equals the
     * exact-Jaccard query — which is exactly what the oracle checks. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSigs(spark, dir)
+    // docs with NO shingles never band: their signatures are all
+    // Long.MaxValue sentinels, so every empty doc collides with every
+    // other in all 16 bands — C(m,2) candidate rows for m short/empty
+    // docs, all destined to be dropped (no capped-set row) after the
+    // join paid for them. The filter removes that class exactly; docs
+    // WITH shingles are untouched. (The other all-dropped class — an
+    // exact-dup cluster larger than MaxShingleDf, every shingle hot —
+    // keeps its real signatures and still bands; that C(k,2) candidate
+    // cost is the documented capped-pairwise residual, the regime
+    // assigned to dedupChunks and pinned by HotShingleCapSpec.)
+    val sigs = minhashSigs(spark, dir).filter(size(col("sh")) > 0)
     val bands = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(MinHashK / BandRows - 1)),
         b => xxhash64(element_at(col("mh"), b * BandRows + 1),
@@ -922,8 +954,6 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  // ---- registry ------------------------------------------------------------
-
   // ---- benchmark decontamination ------------------------------------------
 
   /** Every 83rd doc stands in for the held-out benchmark/eval corpus the
@@ -965,7 +995,14 @@ object Dedup {
     sh.filter(pmod(col("doc_id"), lit(EvalMod)) =!= 0)
       .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
       .filter(col("shingle").isNotNull)
-      .join(broadcast(evalShingles), Seq("shingle"), "left")
+      // NO broadcast hint: a real eval corpus is benchmark-sized (MBs)
+      // and AQE will broadcast it at runtime from its observed size —
+      // but THIS simulation carves the eval side out of the corpus
+      // (every EvalMod-th doc), so its shingle set grows linearly with
+      // the data and a forced broadcast would hit the 8 GB hint cap at
+      // scale; letting AQE decide gives broadcast when small, shuffle
+      // join when the eval side genuinely outgrows it
+      .join(evalShingles, Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         count(col("hit")).as("n_contaminated"))
@@ -1017,7 +1054,14 @@ object Dedup {
   def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.customer(spark, dir)
       .select(col("c_name").as("name")).distinct()
-    val del = names.select(col("name"), explode(expr(
+    // the empty string has NO deletions — but Spark's sequence(1, 0) is
+    // DESCENDING [1, 0], which would manufacture two bogus (pos, k="")
+    // rows for a zero-length name and the insertions join would then
+    // emit a ("", "") self-pair at dist 0 (the oracle's a.name < b.name
+    // excludes self-pairs). Filtering here keeps "" available as the
+    // SHORT side of genuine one-char insertion pairs via `names`.
+    val del = names.filter(length(col("name")) > 0)
+      .select(col("name"), explode(expr(
       """transform(sequence(1, length(name)),
         |  i -> named_struct(
         |    'pos', i,
@@ -1045,6 +1089,8 @@ object Dedup {
       |  levenshtein(a.name, b.name) AS dist
       |FROM v a JOIN v b
       |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1""".stripMargin
+
+  // ---- registry ------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_decontaminate" -> (dedupDecontaminate _),

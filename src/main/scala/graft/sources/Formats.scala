@@ -320,29 +320,52 @@ object Formats {
     * listing, glob filtering, bin-packing, and content fidelity fully. */
   val BinaryFixtureDocs = 500L
 
-  /** Fingerprint of the binary fixture's INPUTS — the source parquet's
-    * (total length, max mtime) plus the doc-count constant. Stored as
-    * the marker's CONTENT: the fixture directory is a persistent
-    * artifact (java.io.tmpdir survives the JVM, unlike every in-JVM
-    * memo, whose staleness contract is "dies with the JVM"), so a bare
-    * existence check would keep serving files built from PRE-REFRESH
-    * text after an in-place testdata refresh (FIXTURES.md documents
-    * exactly such refreshes) or from a different BinaryFixtureDocs —
-    * the query would then read stale bytes while the oracle reads the
-    * refreshed table, failing the hash-compare for every later round
-    * with no hint why. */
-  private def binaryFixtureFingerprint(
-      conf: org.apache.hadoop.conf.Configuration, dir: String): String = {
-    val src = new org.apache.hadoop.fs.Path(
-      s"${canonicalDir(dir)}/documents.parquet")
+  /** (total length, max mtime) fingerprint of a source table's parquet —
+    * the freshness token every PERSISTENT scratch artifact stores in its
+    * marker (java.io.tmpdir survives the JVM, unlike the in-JVM memos,
+    * whose staleness contract is "dies with the JVM"): a bare existence
+    * check would keep serving an artifact built from PRE-REFRESH data
+    * after an in-place testdata refresh (FIXTURES.md documents exactly
+    * such refreshes). Shared by [[fmtBinary]]'s fixture and
+    * [[graft.operators.Dedup.lshComponentLabels]]'s label artifact. */
+  private[graft] def sourceFingerprint(
+      conf: org.apache.hadoop.conf.Configuration, dir: String, table: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"${canonicalDir(dir)}/$table.parquet")
     val sfs = src.getFileSystem(conf)
     val statuses =
       if (sfs.getFileStatus(src).isDirectory) sfs.listStatus(src).toSeq
       else Seq(sfs.getFileStatus(src))
-    val len = statuses.map(_.getLen).sum
-    val mtime = statuses.map(_.getModificationTime).max
-    s"v1 docs=$BinaryFixtureDocs len=$len mtime=$mtime"
+    s"len=${statuses.map(_.getLen).sum} mtime=${statuses.map(_.getModificationTime).max}"
   }
+
+  /** Read a marker file's content, `None` when absent. */
+  private[graft] def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+
+  /** (Over)write a marker file — call only AFTER the artifact it
+    * validates is fully written, so a torn build leaves no marker. */
+  private[graft] def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val out = fs.create(marker, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Fingerprint of the binary fixture's INPUTS — the source parquet's
+    * [[sourceFingerprint]] plus the doc-count constant (a different
+    * BinaryFixtureDocs must also rebuild). */
+  private def binaryFixtureFingerprint(
+      conf: org.apache.hadoop.conf.Configuration, dir: String): String =
+    s"v1 docs=$BinaryFixtureDocs ${sourceFingerprint(conf, dir, "documents")}"
 
   def fmtBinary(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("docs_bin", dir)
@@ -358,17 +381,7 @@ object Formats {
     val fs = root.getFileSystem(conf)
     val marker = new org.apache.hadoop.fs.Path(root, "_FIXTURE_OK")
     val wanted = binaryFixtureFingerprint(conf, dir)
-    val current =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-          Some(new String(buf.toByteArray,
-            java.nio.charset.StandardCharsets.UTF_8))
-        } finally in.close()
-      }
+    val current = readMarker(fs, marker)
     if (!current.contains(wanted)) {
       fs.delete(root, true)
       val hconf = new org.apache.spark.util.SerializableConfiguration(conf)
@@ -386,9 +399,7 @@ object Formats {
             finally out.close()
           }
         }
-      val out = fs.create(marker, true)
-      try out.write(wanted.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      writeMarker(fs, marker, wanted)
     }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "doc_*.bin")
