@@ -92,6 +92,20 @@ object WordCount {
       def getPartition(key: Any): Int =
         math.floorMod(key.asInstanceOf[String].codePointAt(0), buckets)
     }
+    // CODEPOINT order, not Java's natural String order: String.compareTo
+    // compares UTF-16 code units, which places supplementary-plane words
+    // (surrogate range 0xD800+) BEFORE U+E000..U+FFFF words — the
+    // reference's Python sort compares codepoints. ASCII corpora are
+    // unaffected; the ordering exists so the file-order parity claim
+    // holds off the golden corpus too.
+    implicit val codepointOrder: Ordering[String] = (a: String, b: String) => {
+      val ai = a.codePoints().iterator()
+      val bi = b.codePoints().iterator()
+      var r = 0
+      while (r == 0 && ai.hasNext && bi.hasNext)
+        r = Integer.compare(ai.nextInt(), bi.nextInt())
+      if (r != 0) r else java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+    }
     counted.select(col("word"), col("cnt")).rdd
       .map(r => (r.getString(0), r.getLong(1)))
       .repartitionAndSortWithinPartitions(new BucketPartitioner(m))

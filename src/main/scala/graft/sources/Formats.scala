@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -320,6 +320,20 @@ object Formats {
     * listing, glob filtering, bin-packing, and content fidelity fully. */
   val BinaryFixtureDocs = 500L
 
+  /** Decode a Hive-ESCAPED partition-path token back to its VALUE — the
+    * raw `key=token` path segment carries %XX escapes and turns NULL
+    * into the `__HIVE_DEFAULT_PARTITION__` sentinel, while oracles group
+    * by the value, so every path-derived group key must decode through
+    * THIS one definition ([[fmtFileLineage]] and
+    * [[graft.sources.Lines.linesProvenance]]; a bare `[a-z]+` extract
+    * truncated 'pt-BR' to 'pt' before this was shared). url_decode
+    * inverts %XX exactly once literal '+' is pre-escaped (form-decoding
+    * would otherwise read it as a space; Hive escaping leaves '+'
+    * literal). */
+  private[graft] def hivePartitionValue(raw: Column): Column =
+    when(raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
+      .otherwise(url_decode(regexp_replace(raw, "\\+", "%2B")))
+
   /** (total length, max mtime) fingerprint of a source table's parquet —
     * the freshness token every PERSISTENT scratch artifact stores in its
     * marker (java.io.tmpdir survives the JVM, unlike the in-JVM memos,
@@ -469,19 +483,10 @@ object Formats {
     val path = tmp("documents_bylang", dir)
     Tables.documents(spark, dir)
       .write.mode("overwrite").partitionBy("lang").parquet(path)
-    // The raw path token is the Hive-ESCAPED form of the value (%XX
-    // escapes; nulls become the __HIVE_DEFAULT_PARTITION__ sentinel),
-    // while the oracle groups by the VALUE — decode before grouping so
-    // a lang of NULL or one carrying an escaped character attributes to
-    // the same group key on both sides. url_decode inverts %XX exactly
-    // once literal '+' is pre-escaped (form-decoding would otherwise
-    // read it as a space; Hive escaping leaves '+' literal).
-    val rawLang = regexp_extract(
-      col("_metadata.file_path"), "lang=([^/]+)/", 1)
     spark.read.parquet(path)
       .select(col("n_chars"),
-        when(rawLang === "__HIVE_DEFAULT_PARTITION__", lit(null))
-          .otherwise(url_decode(regexp_replace(rawLang, "\\+", "%2B")))
+        hivePartitionValue(
+          regexp_extract(col("_metadata.file_path"), "lang=([^/]+)/", 1))
           .as("lang"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),

@@ -24,15 +24,27 @@ import graft.operators.WordCount
   */
 object Lines {
 
-  /** Dump documents as lang-partitioned newline text and open the result
-    * through the connector. The two-level glob (`lang=*` dirs, `*.txt`
-    * leaves) both crosses the partition dirs and reproduces the
-    * reference's `*.txt` format predicate (reference: src/driver.py:93). */
+  /** Per-(JVM, dataset) memo of the text dump — the dump is a
+    * deterministic fixture of the SOURCE, not part of any query's work,
+    * and re-writing the full corpus on every invocation made each
+    * battery pass pay three redundant corpus scans before any query ran.
+    * Dies with the JVM (same staleness contract as the Tables memos;
+    * the driver's testdata refresh happens between JVMs). */
+  private val dumpedOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dump documents as lang-partitioned newline text (once per JVM and
+    * dataset) and open the result through the connector. The two-level
+    * glob (`lang=*` dirs, `*.txt` leaves) both crosses the partition
+    * dirs and reproduces the reference's `*.txt` format predicate
+    * (reference: src/driver.py:93). */
   private def dumpedLines(spark: SparkSession, dir: String): DataFrame = {
-    val path = Formats.tmp("docs_lines", dir)
-    Tables.documents(spark, dir)
-      .select(col("lang"), col("text"))
-      .write.mode("overwrite").partitionBy("lang").text(path)
+    val path = dumpedOnce.computeIfAbsent(Formats.canonicalDir(dir), _ => {
+      val p = Formats.tmp("docs_lines", dir)
+      Tables.documents(spark, dir)
+        .select(col("lang"), col("text"))
+        .write.mode("overwrite").partitionBy("lang").text(p)
+      p
+    })
     spark.read.format("graft.sources.LinesDataSource")
       .option("path", path)
       .option("pathGlobFilter", "lang=*/*.txt")
@@ -46,10 +58,13 @@ object Lines {
     WordCount.counts(dumpedLines(spark, dir), "value")
 
   /** Provenance aggregate: tokens per lang where lang comes from the
-    * line's path, not the data. */
+    * line's path, not the data — decoded through the shared
+    * Hive-escape-aware helper (a bare `[a-z]+` extract would truncate
+    * 'pt-BR' to 'pt' and read an escaped or NULL lang as ''). */
   def linesProvenance(spark: SparkSession, dir: String): DataFrame =
     dumpedLines(spark, dir)
-      .select(regexp_extract(col("path"), "lang=([a-z]+)", 1).as("lang"),
+      .select(Formats.hivePartitionValue(
+          regexp_extract(col("path"), "lang=([^/]+)/", 1)).as("lang"),
         explode_outer(Text.tokens(col("value"))).as("word"))
       .filter(col("word").isNotNull)
       .groupBy("lang")

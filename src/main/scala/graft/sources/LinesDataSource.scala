@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader}
-import java.nio.charset.StandardCharsets
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -60,10 +58,14 @@ class LinesTable(properties: Map[String, String]) extends Table
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LinesScanBuilder(
-      options.getOrDefault("path", properties.getOrElse("path", "")),
-      Option(options.get("pathGlobFilter")))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val path = options.getOrDefault("path", properties.getOrElse("path", ""))
+    // loud and named, like the write side — a bare "" would surface
+    // later as Hadoop's obscure "Can not create a Path from an empty
+    // string" with no mention of the missing option
+    require(path.nonEmpty, "graft-lines read needs a path option")
+    new LinesScanBuilder(path, Option(options.get("pathGlobFilter")))
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val path = Option(info.options.get("path"))
@@ -97,8 +99,9 @@ class LinesTable(properties: Map[String, String]) extends Table
   *    its abort ran) and `BatchWrite.abort` does the same on failure;
   *  - the read path ignores dot-prefixed/underscore-prefixed files, so
   *    even an unswept temp is never returned as data.
-  * Null `value` cells are rejected loudly, matching the built-in text
-  * sink's contract.
+  * Null `value` cells and values carrying embedded line terminators are
+  * rejected loudly (a terminator written verbatim would reread as extra
+  * rows — silent multiset corruption).
   *
   * Overwrite maps to SupportsTruncate; the truncate itself happens once
   * on the driver before writer tasks launch (non-atomic across the
@@ -167,7 +170,19 @@ class LinesWriterFactory(path: String, valueIdx: Int,
         if (v == null)
           throw new IllegalArgumentException(
             "graft-lines write does not support null 'value' cells")
-        out.write(v.getBytes)
+        val bytes = v.getBytes
+        var i = 0
+        while (i < bytes.length) {
+          // loud, like the null check: a value carrying a line
+          // terminator would be written verbatim and reread as MULTIPLE
+          // rows — silent multiset corruption on round-trip
+          if (bytes(i) == '\n' || bytes(i) == '\r')
+            throw new IllegalArgumentException(
+              "graft-lines write does not support embedded line " +
+                "terminators in 'value' (the reread would split the row)")
+          i += 1
+        }
+        out.write(bytes)
         out.write('\n')
         rows += 1L
       }
@@ -177,11 +192,20 @@ class LinesWriterFactory(path: String, valueIdx: Int,
         // Only the coordinator-elected attempt reaches here. The name is
         // query-scoped, so an EXISTING dst can only be this query's own
         // partition output from an earlier elected attempt that died
-        // after its rename — replace it, or commit retries would fail
-        // forever on rename-onto-existing (non-idempotent task commit).
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(tmp, dst))
-          throw new java.io.IOException(s"graft-lines commit rename failed: $tmp -> $dst")
+        // after its rename — replace it ATOMICALLY (Rename.OVERWRITE):
+        // a delete-then-rename pair has a window where a ZOMBIE earlier
+        // attempt (stalled through its failure, resuming here after the
+        // retry winner committed and the job swept temps) deletes the
+        // winner's file and then fails its own rename — dst gone after
+        // job success. With the atomic form the zombie's rename just
+        // fails on its missing temp and dst is never unlinked.
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          fs.getUri, conf.value)
+        try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch { case e: java.io.IOException =>
+          throw new java.io.IOException(
+            s"graft-lines commit rename failed: $tmp -> $dst", e)
+        }
         LinesCommit(dst.toString, rows)
       }
 
@@ -241,19 +265,43 @@ class LinesReaderFactory(conf: SerializableConfiguration) extends PartitionReade
     val file = partition.asInstanceOf[LinesFilePartition].file
     new PartitionReader[InternalRow] {
       private val p = new Path(file)
-      private val in = new BufferedReader(new InputStreamReader(
-        p.getFileSystem(conf.value).open(p), StandardCharsets.UTF_8))
+      // RAW bytes, not an InputStreamReader: a char decoder silently
+      // replaces malformed UTF-8 with U+FFFD, while Spark's built-in
+      // text source passes the original bytes through as UTF8String —
+      // the connector is spec-pinned equivalent to it, and a
+      // read→write→read cycle must never mangle bytes. Terminators
+      // match BufferedReader.readLine / Hadoop's LineRecordReader:
+      // \n, \r\n, and lone \r.
+      private val in = new java.io.BufferedInputStream(
+        p.getFileSystem(conf.value).open(p))
+      private val buf = new java.io.ByteArrayOutputStream(256)
       private val pathUtf8 = UTF8String.fromString(file)
       private var lineNo = 0L
-      private var line: String = _
+      private var line: Array[Byte] = _
 
       override def next(): Boolean = {
-        line = in.readLine()
-        if (line != null) { lineNo += 1; true } else false
+        var b = in.read()
+        if (b == -1) return false
+        buf.reset()
+        var done = false
+        while (!done) {
+          if (b == -1 || b == '\n') done = true
+          else if (b == '\r') {
+            in.mark(1)
+            if (in.read() != '\n') in.reset() // lone \r terminates too
+            done = true
+          } else {
+            buf.write(b)
+            b = in.read()
+          }
+        }
+        line = buf.toByteArray
+        lineNo += 1
+        true
       }
 
       override def get(): InternalRow =
-        InternalRow(pathUtf8, lineNo, UTF8String.fromString(line))
+        InternalRow(pathUtf8, lineNo, UTF8String.fromBytes(line))
 
       override def close(): Unit = in.close()
     }

@@ -46,4 +46,25 @@ class BucketedSinkSpec extends AnyFunSuite {
       val expected = counted.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(seen.toMap === expected)
     }
+
+  test("per-file sort is CODEPOINT order, not UTF-16 code-unit order") {
+    // a supplementary-plane word (U+1F600, surrogates 0xD83D 0xDE00) and
+    // a private-use-area word (U+E000): Java's natural String order puts
+    // the emoji FIRST (code unit 0xD83D < 0xE000) while Python — the
+    // reference — sorts by codepoint (0xE000 = 57344 < 0x1F600 = 128512).
+    // Both words share bucket 0 (codepoint % 4 == 0), so the file order
+    // is where the two orderings diverge.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val emoji = new String(Character.toChars(0x1F600))
+    val pua = "\uE000"
+    assert(0x1F600 % 4 === 0 && 0xE000 % 4 === 0) // same bucket
+    val out = Files.createTempDirectory("graft_sink_cp_").toString
+    WordCount.writeBucketedText(
+      Seq((emoji, 2L), (pua, 3L)).toDF("word", "cnt"), out, 4)
+    val bucket0 = Paths.get(out, "part-00000")
+    val words = Files.readAllLines(bucket0).asScala.map(_.split(" ")(0)).toSeq
+    assert(words === Seq(pua, emoji),
+      s"bucket file not in codepoint order: ${words.map(_.codePointAt(0))}")
+  }
 }

@@ -87,4 +87,39 @@ class LinesDataSourceSpec extends AnyFunSuite {
       m.contains("NOT_NULL_ASSERT_VIOLATION") || m.contains("null 'value'")),
       s"unexpected failure chain: $msgs")
   }
+
+  test("write path rejects embedded line terminators loudly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_lines_t_").toString
+    val e = intercept[Exception] {
+      Seq("ok", "a\nb").toDF("value")
+        .withColumn("path", lit("x")).withColumn("line_no", lit(1L))
+        .write.format("graft.sources.LinesDataSource")
+        .option("path", out).mode("overwrite").save()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    val msgs2 = causes(e).flatMap(c => Option(c.getMessage))
+    assert(msgs2.exists(_.contains("line terminators")),
+      s"an embedded \\n must fail loudly, not split the row on reread: $msgs2")
+  }
+
+  test("reader passes malformed UTF-8 bytes through like the built-in text source") {
+    val spark = TestSpark.spark
+    // a Latin-1 'é' (0xE9) that is NOT valid UTF-8: a char-decoder path
+    // would replace it with U+FFFD; the built-in text source carries the
+    // raw byte. The connector is pinned byte-equal to the built-in.
+    val dir = java.nio.file.Files.createTempDirectory("graft_lines_b_")
+    java.nio.file.Files.write(dir.resolve("raw.txt"),
+      Array[Byte]('c', 'a', 'f', 0xE9.toByte, '\n', 'o', 'k', '\n'))
+    val connector = readLines(dir.toString)
+      .select("value").collect().map(_.getString(0)).sorted.toSeq
+    val builtin = spark.read.text(dir.toString)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(connector === builtin,
+      s"connector mangled raw bytes: $connector vs builtin $builtin")
+    assert(!connector.exists(_.contains('�')) || builtin.exists(_.contains('�')),
+      "connector introduced U+FFFD replacement chars the built-in does not")
+  }
 }
