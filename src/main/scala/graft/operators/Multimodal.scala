@@ -55,26 +55,34 @@ object Multimodal {
 
   // ---- stubbed decode ------------------------------------------------------
 
-  case class DecodedFrame(doc_id: Long, width: Long, height: Long,
-      channels: Long, mean_intensity: Double)
+  /** Feature fields are Options: a NULL payload (NULL text) decodes to
+    * NULL features — the oracle's md5(NULL) propagates to NULL columns,
+    * and a bare Long field would instead NPE the task on digest(null). */
+  case class DecodedFrame(doc_id: Long, width: Option[Long], height: Option[Long],
+      channels: Option[Long], mean_intensity: Option[Double])
 
   /** STUB decoder: a real implementation would parse the image header /
     * pixel data here. The fake derives four 16-bit values from the hex
     * md5 of the payload (nibbles 1-4, 5-8, 9-12, 13-16) — deterministic,
-    * payload-dependent, and expressible in the SQL oracle.
+    * payload-dependent, and expressible in the SQL oracle. The digest
+    * instance is the partition-scoped decoder handle passed in by
+    * [[mmDecode]] (MessageDigest resets after digest(), so one instance
+    * serves every row of the partition).
     */
-  private def fakeDecode(docId: Long, payload: Array[Byte]): DecodedFrame = {
-    val md = MessageDigest.getInstance("MD5")
+  private def fakeDecode(md: MessageDigest, docId: Long,
+      payload: Array[Byte]): DecodedFrame = {
+    if (payload == null)
+      return DecodedFrame(docId, None, None, None, None)
     val hex = md.digest(payload).map("%02x".format(_)).mkString
     def nib(i: Int): Long = java.lang.Long.parseLong(hex.substring(i, i + 1), 16)
     def val16(i: Int): Long =
       nib(i) * 4096 + nib(i + 1) * 256 + nib(i + 2) * 16 + nib(i + 3)
     DecodedFrame(
       doc_id = docId,
-      width = 64 + val16(0) % 960,
-      height = 64 + val16(4) % 960,
-      channels = 1 + val16(8) % 4,
-      mean_intensity = (val16(12) % 256).toDouble)
+      width = Some(64 + val16(0) % 960),
+      height = Some(64 + val16(4) % 960),
+      channels = Some(1 + val16(8) % 4),
+      mean_intensity = Some((val16(12) % 256).toDouble))
   }
 
   /** Decode via mapPartitions: one decoder instance per partition (real
@@ -88,8 +96,9 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real decoder init would happen once here, per partition
-        rows.map { case (id, bytes) => fakeDecode(id, bytes) }
+        // the decoder init — ONCE per partition, reused across rows
+        val md = MessageDigest.getInstance("MD5")
+        rows.map { case (id, bytes) => fakeDecode(md, id, bytes) }
       }
       .toDF()
   }
@@ -117,13 +126,14 @@ object Multimodal {
     * pixel resample is part of the stubbed decode stage.
     */
   def mmResize(spark: SparkSession, dir: String): DataFrame =
-    mmDecode(spark, dir).select(
-      col("doc_id"), col("width"), col("height"),
-      (lit(224.0) / greatest(col("width"), col("height"))).as("scale"),
-      floor(col("width") * (lit(224.0) / greatest(col("width"), col("height"))))
-        .cast("long").as("out_w"),
-      floor(col("height") * (lit(224.0) / greatest(col("width"), col("height"))))
-        .cast("long").as("out_h"))
+    mmDecode(spark, dir)
+      // scale computed ONCE, out_w/out_h derived from it — a fit-rule
+      // change is one edit here (plus the SQL mirror), not three
+      .select(col("doc_id"), col("width"), col("height"),
+        (lit(224.0) / greatest(col("width"), col("height"))).as("scale"))
+      .select(col("doc_id"), col("width"), col("height"), col("scale"),
+        floor(col("width") * col("scale")).cast("long").as("out_w"),
+        floor(col("height") * col("scale")).cast("long").as("out_h"))
 
   val mmResizeSql: String =
     s"""WITH d AS ($mmDecodeSql)
@@ -136,7 +146,7 @@ object Multimodal {
   // ---- frame sampling ------------------------------------------------------
 
   /** Video frame sampling: pretend each payload is a clip with
-    * byte_len/100 + 1 frames; emit every 10th frame index (the shape of
+    * byte_len/20 + 1 frames; emit every 5th frame index (the shape of
     * a keyframe-extraction stage — explode stays lazy, no driver loop).
     */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame =

@@ -143,6 +143,12 @@ case class RangeLookupJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  // the streamed side passes through row-by-row, so its sort order
+  // survives — without this override EnsureRequirements would re-sort
+  // the probe side for any downstream sort-consuming operator
+  override def outputOrdering: Seq[org.apache.spark.sql.catalyst.expressions.SortOrder] =
+    left.outputOrdering
+
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
 

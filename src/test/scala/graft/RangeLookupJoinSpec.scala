@@ -96,6 +96,40 @@ class RangeLookupJoinSpec extends AnyFunSuite {
       "null-bound intervals must never match through the exec path")
   }
 
+  test("streamed-side sort order survives the join") {
+    // outputOrdering = left.outputOrdering: the probe side streams
+    // through row-by-row, so a probe side sorted below the join must
+    // still read as sorted ABOVE it. Pinned end-to-end: a window below
+    // the join forces a real SortExec (EliminateSorts can't touch a
+    // window's required ordering), and a second window above the join
+    // asking for the SAME ordering must plan with NO second sort —
+    // without the override EnsureRequirements re-sorts the whole
+    // probe-side output.
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.expressions.Window
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val ranked = probes.withColumn("rn", row_number().over(Window.orderBy("v")))
+    val joined = ranked.join(broadcast(intervals),
+      col("v") >= col("lo") && col("v") < col("hi"))
+      .withColumn("rn2", row_number().over(Window.orderBy("v")))
+    joined.collect()
+    val nodes = flatten(joined.queryExecution.executedPlan)
+    val rlj = nodes.collectFirst { case e: graft.plans.RangeLookupJoinExec => e }
+    assert(rlj.nonEmpty, nodes.map(_.nodeName).mkString(", "))
+    val ordering = rlj.get.outputOrdering
+    assert(ordering.nonEmpty, "join must report the streamed side's ordering")
+    assert(ordering === rlj.get.children.head.outputOrdering)
+    assert(ordering.head.child.references.map(_.name).toSeq === Seq("v"))
+    assert(nodes.count(_.isInstanceOf[SortExec]) === 1,
+      "the above-join window must reuse the below-join sort:\n" +
+        nodes.map(_.nodeName).mkString(", "))
+  }
+
   test("non-matching shapes are left to Spark") {
     // exclusive lower bound: not the [lo, hi) contract — must NOT rewrite
     val df = probes.join(broadcast(intervals),

@@ -38,7 +38,8 @@ OUT = f"{SCRATCH}/verify"
 QUERIES = ["dedup_exact", "text_token_count", "text_fingerprint",
            "text_stats", "text_quality_filter", "text_array_fns",
            "text_langid", "curation_e2e",
-           "events_json_kv", "events_variant", "events_map_fns"]
+           "events_json_kv", "events_variant", "events_map_fns",
+           "mm_metadata", "mm_decode", "mm_resize", "mm_frame_sample"]
 
 ROWS = [
     # ≥20 tokens of English prose: the one row the curation gate keeps
