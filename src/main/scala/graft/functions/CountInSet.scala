@@ -40,14 +40,18 @@ case class CountInSet(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val set = b.asInstanceOf[ArrayData]
+    // hoist both lengths out of the loops — numElements() is a virtual
+    // call per test otherwise, ~tokens×set of them per row
+    val n = xs.numElements()
+    val setLen = set.numElements()
     var acc = 0L
     var i = 0
-    while (i < xs.numElements()) {
+    while (i < n) {
       if (!xs.isNullAt(i)) {
         val x = xs.getUTF8String(i)
         var j = 0
         var found = false
-        while (!found && j < set.numElements()) {
+        while (!found && j < setLen) {
           if (!set.isNullAt(j) && set.getUTF8String(j).equals(x)) found = true
           j += 1
         }
@@ -65,13 +69,18 @@ case class CountInSet(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val x = ctx.freshName("x")
       val found = ctx.freshName("found")
+      val n = ctx.freshName("n")
+      val setLen = ctx.freshName("setLen")
+      // lengths hoisted out of the loops, as in the interpreted path
       s"""
          |long $acc = 0L;
-         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |final int $n = $a.numElements();
+         |final int $setLen = $b.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
          |  if (!$a.isNullAt($i)) {
          |    org.apache.spark.unsafe.types.UTF8String $x = $a.getUTF8String($i);
          |    boolean $found = false;
-         |    for (int $j = 0; !$found && $j < $b.numElements(); $j++) {
+         |    for (int $j = 0; !$found && $j < $setLen; $j++) {
          |      if (!$b.isNullAt($j) && $b.getUTF8String($j).equals($x)) $found = true;
          |    }
          |    if ($found) $acc++;

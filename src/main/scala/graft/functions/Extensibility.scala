@@ -31,7 +31,11 @@ object Extensibility {
     */
   private val vowelRatio: String => Double = { s =>
     if (s == null || s.isEmpty) 0.0
-    else s.toLowerCase.count("aeiou".contains(_)).toDouble / s.length
+    // Locale.ROOT: the oracle's lower() is locale-insensitive, while a
+    // bare toLowerCase follows the JVM default locale (Turkish 'I' →
+    // dotless 'ı', missing the vowel set)
+    else s.toLowerCase(java.util.Locale.ROOT)
+      .count("aeiou".contains(_)).toDouble / s.length
   }
 
   def udfVowelRatio(spark: SparkSession, dir: String): DataFrame = {

@@ -15,44 +15,82 @@ object GraftFunctions {
   type Description =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
-  private def fn(name: String, clazz: Class[_],
+  /** Wraps a builder with an arity gate so a malformed SQL call fails
+    * with a named argument-count error instead of a raw
+    * IndexOutOfBoundsException from `exprs(i)`. */
+  private def fn(name: String, arity: Int, clazz: Class[_],
       builder: Seq[Expression] => Expression): Description =
-    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name),
+      exprs => {
+        if (exprs.length != arity) throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${exprs.length}")
+        builder(exprs)
+      })
+
+  /** Plan-time scalar parameter (signature width, shingle n, ...): must
+    * be a foldable integral expression. Guarded so SQL-surface misuse —
+    * a non-literal column, a non-integral type — reads as a named
+    * argument error, not a ClassCastException / unbound-attribute eval
+    * crash from `eval().asInstanceOf[Int]`. */
+  private def intLit(name: String, arg: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$name: $arg must be a literal integer, got non-constant ${e.sql}")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long
+          if l.longValue >= Int.MinValue && l.longValue <= Int.MaxValue =>
+        l.intValue
+      case s: java.lang.Short => s.intValue
+      case b: java.lang.Byte => b.intValue
+      case other => throw new IllegalArgumentException(
+        s"$name: $arg must be a literal integer, got " +
+          s"${e.dataType.simpleString} ${String.valueOf(other)}")
+    }
+  }
 
   val all: Seq[Description] = Seq(
-    fn("dot_l", classOf[DotProductLong],
+    fn("dot_l", 2, classOf[DotProductLong],
       exprs => DotProductLong(exprs.head, exprs(1))),
-    fn("dot_d", classOf[DotProductDouble],
+    fn("dot_d", 2, classOf[DotProductDouble],
       exprs => DotProductDouble(exprs.head, exprs(1))),
-    fn("count_in", classOf[CountInSet],
+    fn("count_in", 2, classOf[CountInSet],
       exprs => CountInSet(exprs.head, exprs(1))),
-    fn("minhash_sigs", classOf[MinHashSignature],
-      exprs => MinHashSignature(exprs.head, exprs(1).eval().asInstanceOf[Int])),
-    fn("minhash_union", classOf[MinHashUnion],
-      exprs => MinHashUnion(exprs.head, exprs(1).eval().asInstanceOf[Int])
-        .toAggregateExpression()),
-    fn("lsh_buckets", classOf[HyperplaneBuckets],
+    fn("minhash_sigs", 2, classOf[MinHashSignature],
+      exprs => MinHashSignature(exprs.head,
+        intLit("minhash_sigs", "k", exprs(1)))),
+    fn("minhash_union", 2, classOf[MinHashUnion],
+      exprs => MinHashUnion(exprs.head,
+        intLit("minhash_union", "k", exprs(1))).toAggregateExpression()),
+    fn("lsh_buckets", 4, classOf[HyperplaneBuckets],
       exprs => HyperplaneBuckets(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        exprs(3).eval().asInstanceOf[Int])),
-    fn("graft_tokens", classOf[Tokenize],
+        intLit("lsh_buckets", "dim", exprs(1)),
+        intLit("lsh_buckets", "tables", exprs(2)),
+        intLit("lsh_buckets", "planes", exprs(3)))),
+    fn("graft_tokens", 1, classOf[Tokenize],
       exprs => Tokenize(exprs.head)),
-    fn("graft_tokens_ptb", classOf[TokenizePtb],
+    fn("graft_tokens_ptb", 1, classOf[TokenizePtb],
       exprs => TokenizePtb(exprs.head)),
-    fn("nfc_normalize", classOf[NfcNormalize],
+    fn("nfc_normalize", 1, classOf[NfcNormalize],
       exprs => NfcNormalize(exprs.head)),
-    fn("strip_accents", classOf[StripAccents],
+    fn("strip_accents", 1, classOf[StripAccents],
       exprs => StripAccents(exprs.head)),
-    fn("graft_shingles", classOf[Shingles],
-      exprs => Shingles(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+    fn("graft_shingles", 2, classOf[Shingles],
+      exprs => Shingles(exprs.head, intLit("graft_shingles", "n", exprs(1)))))
 
   /** Runtime registration on a live session (idempotent — re-registering
-    * replaces with the identical builder). */
-  def register(spark: SparkSession): Unit =
-    all.foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    * replaces with the identical builder). The first identifier doubles
+    * as the already-registered sentinel: the only writers are this
+    * method and the extension injection, and both install the whole
+    * list — so one lookup short-circuits the call-per-Column fast path
+    * (Text.tokens & co. call this on every Column construction). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(all.head._1)) {
+      all.foreach { case (id, info, builder) =>
+        registry.registerFunction(id, info, builder)
+      }
     }
+  }
 }
 
 /** The engine's SparkSessionExtensions entry point — the deployment

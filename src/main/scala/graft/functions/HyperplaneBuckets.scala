@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * buckets are bit-identical to the dot_d formulation (pinned in
   * NativeExprSpec and by the LSH recall floor):
   *  - per plane, the dot accumulates left-to-right `0.0 + w0·x0 + …`,
-  *    exactly `dot_d`'s order, and ±1.0·x is exact IEEE sign flip;
+  *    exactly `dot_d`'s order, and ±1.0·x is exact IEEE sign flip; a
+  *    NaN dot (NaN vector element) takes the 1 branch, because Spark's
+  *    `>` on doubles is nan-safe total ordering (NaN above everything)
+  *    — NOT Java's always-false NaN comparison;
   *  - a vector whose length ≠ dim, or with a null element, takes the
   *    `otherwise(0)` branch of every plane's `when(dot > 0, 1)` — all
   *    buckets 0 — matching dot_d's null-out semantics;
@@ -76,7 +79,14 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int,
           var dot = 0.0
           var d = 0
           while (d < dim) { dot += w(d) * x(d); d += 1 }
-          bucket = bucket * 2 + (if (dot > 0) 1L else 0L)
+          // sign bit under SPARK comparison semantics, not Java's: the
+          // dot_d twin's `when(dot > 0, 1)` compares via
+          // nanSafeCompareDoubles, where NaN sorts above every value —
+          // so a NaN dot (a NaN vector element) takes the 1 branch there
+          // and must take it here, or NaN vectors land in different
+          // buckets under the two formulations
+          bucket = bucket * 2 +
+            (if (dot > 0 || java.lang.Double.isNaN(dot)) 1L else 0L)
           p += 1
         }
         out(t) = bucket

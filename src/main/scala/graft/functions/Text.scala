@@ -117,10 +117,17 @@ object Text {
     call_function("graft_shingles", toks, lit(n))
   }
 
-  /** Declarative twin of [[shingles]] — the pinned reference form. */
+  /** Declarative twin of [[shingles]] — the pinned reference form. The
+    * explicit NULL arm keeps the twins identical on NULL input: the
+    * native expression is null-intolerant (NULL in → NULL out), while a
+    * bare `when(size(toks) >= n, ...).otherwise(array())` would send a
+    * NULL array down the otherwise branch and emit `[]` — a silent
+    * []-vs-NULL divergence for any consumer that distinguishes them
+    * (size() = 0 vs NULL, non-outer explode). */
   def shinglesHof(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    when(toks.isNull, lit(null).cast("array<string>"))
+      .when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 }

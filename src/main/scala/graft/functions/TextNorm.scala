@@ -43,11 +43,16 @@ object TextNorm {
     if (allAscii(s)) return s
     val d = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(d.length)
+    // iterate by CODE POINT, not Java char: supplementary-plane Mn marks
+    // (e.g. U+E0100 VARIATION SELECTOR-17) encode as surrogate pairs,
+    // and getType on either surrogate half reads SURROGATE — a per-char
+    // loop would let every astral mark survive while DuckDB/utf8proc
+    // strips it
     var i = 0
     while (i < d.length) {
-      val ch = d.charAt(i)
-      if (Character.getType(ch) != Character.NON_SPACING_MARK) sb.append(ch)
-      i += 1
+      val cp = d.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(
       Normalizer.normalize(sb, Normalizer.Form.NFC))

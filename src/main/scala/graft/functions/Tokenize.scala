@@ -19,8 +19,11 @@ object TokenizeFn {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** ASCII `string.punctuation` — the 4 ranges of [[Text.PunctClass]]. */
-  private def isPunct(c: Char): Boolean =
+  /** ASCII `string.punctuation` — the 4 ranges of [[Text.PunctClass]].
+    * THE punctuation-set definition for native scan loops: the PTB shim
+    * ([[TokenizePtbFn]]) shares it, so an edge-strip class change is one
+    * edit here plus the regex twin [[Text.PunctClass]]. */
+  private[functions] def isPunct(c: Char): Boolean =
     (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
       (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
 
@@ -102,9 +105,10 @@ case class Tokenize(child: Expression) extends UnaryExpression {
 object ShinglesFn {
 
   /** Bit-identical to the declarative form it replaces —
-    * `when(size(toks) >= n, transform(sequence(0, size-n),
-    * i => concat_ws(" ", slice(toks, i+1, n)))).otherwise(array())` —
-    * for the non-null-element arrays the tokenizer produces: windows are
+    * [[graft.functions.Text.shinglesHof]], whose explicit NULL arm
+    * mirrors this expression's null-intolerance (NULL array in → NULL
+    * out, never `[]`) — for the non-null-element arrays the tokenizer
+    * produces: windows are
     * joined with a single space exactly as `concat_ws(" ", ...)` joins
     * non-null strings, and fewer-than-n tokens yield the SAME empty
     * array the `otherwise` branch does. A null ELEMENT (unreachable from

@@ -78,12 +78,14 @@ object TokenizePtbFn {
     rulei("\\b(can)(not)\\b"), rulei("\\b(d)('ye)\\b"),
     rulei("\\b(gim)(me)\\b"), rulei("\\b(gon)(na)\\b"),
     rulei("\\b(got)(ta)\\b"), rulei("\\b(lem)(me)\\b"),
-    rulei("\\b(more)('n)\\b"), rulei("\\b(wan)(na)(?= )"),
+    // NLTK's wanna rule looks ahead for `\s` (any whitespace, so a tab
+    // or FF also triggers the split), not a literal space
+    rulei("\\b(more)('n)\\b"), rulei("\\b(wan)(na)(?=\\s)"),
     rulei(" ('t)(is)\\b"), rulei(" ('t)(was)\\b"))
 
-  private def isPunct(c: Char): Boolean =
-    (c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
-      (c >= '[' && c <= '`') || (c >= '{' && c <= '~')
+  /** The reference post-pass strips the same ASCII `string.punctuation`
+    * set the engine tokenizer does — one shared definition. */
+  private def isPunct(c: Char): Boolean = TokenizeFn.isPunct(c)
 
   /** One line through the PTB chain → raw PTB tokens. */
   private def ptbLine(line: String, out: java.util.ArrayList[AnyRef]): Unit = {

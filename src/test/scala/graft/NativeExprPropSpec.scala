@@ -158,16 +158,23 @@ class NativeExprPropSpec extends AnyFunSuite {
     }
   }
 
-  test("property: graft_shingles == HOF windows incl. short/empty arrays") {
+  test("property: graft_shingles == HOF windows incl. short/empty/NULL arrays") {
     graft.functions.GraftFunctions.register(spark)
     val word = Gen.oneOf("a", "bb", "ccc", "déjà", "x.y")
-    val arr = Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word))
+    // NULL input arrays included: the native expression is
+    // null-intolerant (NULL → NULL) and the HOF twin's explicit NULL arm
+    // must follow — not fall through to its otherwise-[] branch
+    val arr: Gen[Option[List[String]]] = Gen.frequency(
+      9 -> Gen.choose(0, 9).flatMap(n => Gen.listOfN(n, word)).map(Some(_)),
+      1 -> Gen.const(None))
     val rows = sample(arr, 400).map(Tuple1(_)).toDF("t").select(
       graft.functions.Text.shingles(col("t"), 3).as("native"),
       graft.functions.Text.shinglesHof(col("t"), 3).as("hof"))
       .collect()
+    assert(rows.exists(_.isNullAt(0)), "fixture must include NULL arrays")
     rows.foreach { r =>
-      assert(r.getSeq[String](0) === r.getSeq[String](1))
+      assert(r.isNullAt(0) === r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getSeq[String](0) === r.getSeq[String](1))
     }
   }
 }

@@ -126,6 +126,41 @@ class NativeExprSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))                     // null input → null
   }
 
+  test("lsh_buckets NaN element follows Spark's nan-safe sign, like the dot_d fold") {
+    graft.functions.DotProduct.register(spark)
+    import spark.implicits._
+    // a NaN element makes every plane's dot NaN; Spark's `>` is nan-safe
+    // total ordering (NaN above everything), so the dot_d fold's
+    // `when(dot > 0, 1)` takes the 1 branch on every plane — the native
+    // expression must emit the same all-ones buckets, not Java's
+    // NaN-comparisons-are-false all-zeros
+    val df = Seq((1L, Seq(1.0, Double.NaN, 3.0, 4.0))).toDF("id", "xd")
+    val r = df.select(
+      call_function("lsh_buckets", col("xd"), lit(4), lit(2), lit(3)).as("native"),
+      when(call_function("dot_d", col("xd"),
+        typedlit(Seq(1.0, 1.0, 1.0, 1.0))) > 0, 1L).otherwise(0L).as("sparkSign"))
+      .collect().head
+    assert(r.getLong(1) === 1L, "Spark's > must send a NaN dot to the 1 branch")
+    assert(r.getSeq[Long](0) === Seq(7L, 7L)) // 3 planes all-ones, both tables
+  }
+
+  test("SQL-surface misuse reads as a named argument error, not an internal crash") {
+    graft.functions.GraftFunctions.register(spark)
+    // wrong arity: named count, not IndexOutOfBoundsException
+    val arity = intercept[Exception](
+      spark.sql("SELECT minhash_sigs(array('a'))").collect())
+    assert(arity.getMessage.contains("minhash_sigs expects 2 argument(s)"),
+      arity.getMessage)
+    // non-literal scalar parameter: named, not an unbound-attribute eval crash
+    val nonLit = intercept[Exception](
+      spark.sql("SELECT graft_shingles(array('a'), id) FROM range(3)").collect())
+    assert(nonLit.getMessage.contains("must be a literal integer"), nonLit.getMessage)
+    // a BIGINT literal is accepted (was a ClassCastException before the guard)
+    val viaLong = spark.sql(
+      "SELECT minhash_sigs(array('a'), CAST(4 AS BIGINT)) AS m").collect().head
+    assert(viaLong.getSeq[Long](0).length === 4)
+  }
+
   test("dot_d null semantics: ragged lengths and null elements yield null") {
     graft.functions.DotProduct.register(spark)
     import spark.implicits._

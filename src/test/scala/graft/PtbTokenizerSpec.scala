@@ -54,6 +54,17 @@ class PtbTokenizerSpec extends AnyFunSuite {
       Seq("t", "is", "more", "n", "i", "d", "hoped", "you", "re", "right"))
   }
 
+  test("wanna splits before any whitespace, not just a space") {
+    // NLTK's rule looks ahead for \s — a tab after wanna still splits;
+    // wannabe (no boundary) never does. Expectations from the python
+    // twin (tools/ptb_golden.py), fixed in lockstep with the Scala
+    // chain's former literal-space lookahead.
+    assert(toks("I wanna\tgo now.") === Seq("i", "wan", "na", "go", "now"))
+    assert(toks("I wanna go; gotta run.") ===
+      Seq("i", "wan", "na", "go", "got", "ta", "run"))
+    assert(toks("A wannabe star.") === Seq("a", "wannabe", "star"))
+  }
+
   test("multi-line input tokenizes per line (CRLF tolerated)") {
     // the $-anchored final-period rule must fire at EACH line end
     assert(toks("First line.\r\nsecond line.") ===

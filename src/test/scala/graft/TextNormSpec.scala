@@ -42,6 +42,14 @@ class TextNormSpec extends AnyFunSuite {
     assert(strip("ß") === "ß")
     // already-decomposed input (e + combining acute): same result
     assert(strip("é") === "e")
+    // supplementary-plane Mn marks (surrogate pairs in Java) are
+    // stripped too -- DuckDB 1.0.0 golden: both go; a char-based loop
+    // would see SURROGATE halves and keep them
+    val vs17 = new String(Character.toChars(0xE0100))    // VARIATION SELECTOR-17
+    val tremolo = new String(Character.toChars(0x1D167)) // MUSICAL SYMBOL COMBINING TREMOLO-1
+    assert(Character.getType(0xE0100) === Character.NON_SPACING_MARK.toInt)
+    assert(strip("a" + vs17 + "x") === "ax")
+    assert(strip("a" + tremolo + "x") === "ax")
   }
 
   test("nfc matches DuckDB nfc_normalize golden values") {

@@ -37,7 +37,7 @@ ENDING = [
 CONTR2 = [re.compile(p, re.IGNORECASE) for p in (
     r'\b(can)(not)\b', r"\b(d)('ye)\b", r'\b(gim)(me)\b',
     r'\b(gon)(na)\b', r'\b(got)(ta)\b', r'\b(lem)(me)\b',
-    r"\b(more)('n)\b", r'\b(wan)(na)(?= )')]
+    r"\b(more)('n)\b", r'\b(wan)(na)(?=\s)')]
 CONTR3 = [re.compile(p, re.IGNORECASE) for p in (
     r" ('t)(is)\b", r" ('t)(was)\b")]
 
