@@ -11,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // the artifact numbers below go through f"..%.3f" interpolators,
+    // which format via the default FORMAT-category locale — under a
+    // decimal-comma locale (de_DE, fr_FR) every number would render
+    // "1,234" and the JSON artifact would not parse. Pin ONLY the
+    // FORMAT category (what java.util.Formatter reads): the BASE
+    // default must stay untouched — Derby derives the fmt_jdbc
+    // database territory from it and rejects the empty ROOT locale
+    // ("Failed to create database", measured on this rig).
+    java.util.Locale.setDefault(
+      java.util.Locale.Category.FORMAT, java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -41,8 +51,14 @@ object Bench {
     // Optional name filter for focused runs (comma-separated prefixes),
     // e.g. SPARK_GRAFT_ONLY=stream_ times just the streaming battery.
     // The driver never sets it, so the recorded BENCH_r{N} totals are
-    // always the full battery. Computed before the warmups so a filtered
-    // run can skip the warmup work its battery never needs.
+    // always the full battery. Computed before the warmups: the
+    // CONSUMER-GATED warmups below (bucketed tables, near-dup pairs,
+    // streaming machinery) run only when a selected query needs them.
+    // The generic JVM warmup and the parquet-write warmup stay
+    // unconditional — the write path has too many consumers to
+    // enumerate (fmt_*/maint_*/q_tpch_q15/every scratch-materializing
+    // query), and skipping it in a focused run would hand those queries
+    // a cold-write cost the full-battery band medians never contain.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
@@ -61,8 +77,9 @@ object Bench {
     // (bucketed tables ≈ 4.5 s of write that amortizes over every later
     // join at scale): the q_bucketed_join line then times the zero-shuffle
     // JOIN itself. Recorded in BASELINE.md.
-    try graft.operators.Relational.ensureBucketedTables(spark, sfDir)
-    catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+    if (selected.exists(_._1 == "q_bucketed_join"))
+      try graft.operators.Relational.ensureBucketedTables(spark, sfDir)
+      catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     // Same precedent for the near-dup PAIR artifact: three dedup queries
     // (near_jaccard / components / survivors) read the one per-dataset
     // pair join Dedup.nearDupPairs materializes, so its corpus-scale
@@ -179,8 +196,16 @@ object Bench {
         graft.operators.Similarity.invalidateSemCache(sfDir)
       case "dedup_components" => graft.operators.Dedup.clearComponentLabelMemo()
       case "dedup_survivors" =>
-        try { graft.operators.Dedup.dedupComponents(spark, sfDir); () }
-        catch { case e: Throwable => System.err.println(s"[bench] label rewarm failed: ${e.getMessage}") }
+        // the label-memo state pass 1 saw depends on the battery: in the
+        // full (and any components-including) run, dedup_components
+        // sorts first and memoized the labels — rewarm them; in a
+        // focused run WITHOUT it, pass 1 paid the fixpoint inside its
+        // own timed region — clear the memo so the re-run pays it too
+        // (rewarming would time a parquet re-read: falsely rescued)
+        if (selected.exists(_._1 == "dedup_components"))
+          try { graft.operators.Dedup.dedupComponents(spark, sfDir); () }
+          catch { case e: Throwable => System.err.println(s"[bench] label rewarm failed: ${e.getMessage}") }
+        else graft.operators.Dedup.clearComponentLabelMemo()
       case "q_tpch_q15" => graft.operators.Relational.clearScratchMemos()
       case _ => ()
     }
@@ -289,8 +314,18 @@ object Bench {
           .map(java.nio.file.Files.size).sum
         finally walk.close()
       } catch { case _: Throwable => -1L }
+    // JSON-escape the one interpolated string that comes from the
+    // environment — a quote or backslash in SPARK_GRAFT_SF_DIR would
+    // otherwise make both artifact lines unparseable (the same class
+    // Verify.q exists for; query names are code-side identifiers)
+    val sfJson = "\"" + sfDir.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val line =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"errors":$errors,"sf":$sfJson}"""
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout, which
     // truncates a 168-query line (every BENCH_r artifact since r2 has
@@ -319,7 +354,7 @@ object Bench {
     val detail =
       if (fullArtifactWritten) ""","detail":"BENCH_FULL_LATEST.json"""" else ""
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":"$sfDir","nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"slowest20":$slowest$detail}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sfJson,"nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"slowest20":$slowest$detail}""")
     spark.stop()
   }
 }

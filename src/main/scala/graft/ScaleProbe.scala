@@ -59,7 +59,27 @@ object ScaleProbe {
       // (sf1 carries 10× key-offset orders/lineitem replicas for it)
       "dedup_components_lsh", "maint_profile")
 
+  /** Every quality receipt is non-fatal by design: one failed metric
+    * logs a JSON error line and the probe run continues — a thrown
+    * receipt must never abort the remaining probes for the remaining
+    * dirs (ADVICE r12; previously only the LSH-recall block had this).
+    */
+  private def receipt(probe: String, dir: String)(body: => Unit): Unit =
+    try body catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .replaceAll("[\"\\\\]", "'").replaceAll("\\s+", " ").take(200)
+        println(s"""{"probe":"$probe","dir":"$dir","error":"$msg"}""")
+    }
+
   def main(args: Array[String]): Unit = {
+    // the receipt lines go through f"..%.3f" interpolators, which format
+    // via the default FORMAT-category locale — a decimal-comma locale
+    // would emit unparseable JSON; pin the FORMAT category only (as
+    // Bench does — the base default feeds Derby's database territory,
+    // which rejects the empty ROOT locale)
+    java.util.Locale.setDefault(
+      java.util.Locale.Category.FORMAT, java.util.Locale.ROOT)
     val dirs =
       if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.1", "/root/repo/target/sf1")
@@ -111,7 +131,7 @@ object ScaleProbe {
       // ComponentsLshRecallSpec). The whole block is likewise
       // non-fatal: a failed quality metric logs and the probe run
       // continues.
-      try {
+      receipt("dedup_components_lsh_recall", dir) {
         import graft.operators.Dedup.{coMembershipStats, componentLabelMap, lshComponentLabels}
         val exactLabels = componentLabelMap(
           SparkEntry.queries("dedup_components")(spark, dir))
@@ -120,23 +140,23 @@ object ScaleProbe {
           coMembershipStats(exactLabels, componentLabelMap(lshDf))
         if (nExact > 0)
           println(f"""{"probe":"dedup_components_lsh_recall","dir":"$dir","n":$nExact,"recall":${hitCc.toDouble / nExact}%.3f,"false_merges":$falseMerges}""")
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\]", "'").replaceAll("\\s+", " ").take(200)
-          println(s"""{"probe":"dedup_components_lsh_recall","dir":"$dir","error":"$msg"}""")
       }
       // IVF quality at this scale: recall@10 of the scale path against
       // the exact batch scan over the SAME 32 queries — AnnRecallSpec
       // bounds this at the gate scale only; the probe measures whether
       // the bound survives the 10× corpus.
-      val exact = SparkEntry.queries("ann_topk_batch")(spark, dir)
-        .select("query_id", "vec_id")
-      val ivf = SparkEntry.queries("ann_ivf_topk")(spark, dir)
-        .select("query_id", "vec_id")
-      val hit = exact.intersect(ivf).count()
-      val total = exact.count()
-      println(f"""{"probe":"ann_ivf_recall_at_10","dir":"$dir","recall":${hit.toDouble / total}%.3f}""")
+      receipt("ann_ivf_recall_at_10", dir) {
+        val exact = SparkEntry.queries("ann_topk_batch")(spark, dir)
+          .select("query_id", "vec_id")
+        val ivf = SparkEntry.queries("ann_ivf_topk")(spark, dir)
+          .select("query_id", "vec_id")
+        val hit = exact.intersect(ivf).count()
+        val total = exact.count()
+        // total=0 (empty/partial embeddings dir) would print recall:NaN
+        // — invalid JSON; the sibling receipts all carry this guard
+        if (total > 0)
+          println(f"""{"probe":"ann_ivf_recall_at_10","dir":"$dir","recall":${hit.toDouble / total}%.3f}""")
+      }
       // Semantic-dedup quality at this scale: pair recall of the
       // cluster-then-prune path against the exact all-pairs twin (the
       // sims are bit-identical by construction — DedupSemanticSpec pins
@@ -152,21 +172,23 @@ object ScaleProbe {
       // sf1) — collect ONCE and stratify driver-side, instead of
       // re-evaluating the O(N²) brute-force scan and the full
       // cluster-then-prune per band (6×/3× redundant distributed runs).
-      val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
-        .select("vec_a", "vec_b", "sim")
-        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
-      val semPairs = SparkEntry.queries("dedup_semantic")(spark, dir)
-        .select("vec_a", "vec_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      for ((band, lo, hi) <- Seq(("all", 0.35, 2.0), ("lo", 0.35, 0.42),
-          ("hi", 0.42, 2.0))) {
-        val inBand = exactPairs.collect {
-          case (p, sim) if sim >= lo && sim < hi => p
+      receipt("dedup_semantic_pair_recall", dir) {
+        val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
+          .select("vec_a", "vec_b", "sim")
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+        val semPairs = SparkEntry.queries("dedup_semantic")(spark, dir)
+          .select("vec_a", "vec_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        for ((band, lo, hi) <- Seq(("all", 0.35, 2.0), ("lo", 0.35, 0.42),
+            ("hi", 0.42, 2.0))) {
+          val inBand = exactPairs.collect {
+            case (p, sim) if sim >= lo && sim < hi => p
+          }
+          val hitN = inBand.count(semPairs.contains)
+          val totalN = inBand.length
+          if (totalN > 0)
+            println(f"""{"probe":"dedup_semantic_pair_recall","dir":"$dir","band":"$band","lo":$lo,"hi":$hi,"n":$totalN,"recall":${hitN.toDouble / totalN}%.3f}""")
         }
-        val hitN = inBand.count(semPairs.contains)
-        val totalN = inBand.length
-        if (totalN > 0)
-          println(f"""{"probe":"dedup_semantic_pair_recall","dir":"$dir","band":"$band","lo":$lo,"hi":$hi,"n":$totalN,"recall":${hitN.toDouble / totalN}%.3f}""")
       }
       // The OPERATIONAL regime, measured rather than argued: plant true
       // semantic duplicates (1% of vectors copied with a small
@@ -176,7 +198,7 @@ object ScaleProbe {
       // isotropic bands above are the adversarial floor; this is the
       // number a user deduplicating actual near-copies sees. Fully
       // deterministic: vec_id-keyed selection and per-id seeded noise.
-      {
+      receipt("dedup_semantic_planted_dup_recall", dir) {
         import org.apache.spark.sql.functions.{col, max => fmax}
         import spark.implicits._
         val emb = graft.engine.Tables.embeddings(spark, dir)
@@ -193,19 +215,12 @@ object ScaleProbe {
             (maxId + 1 + id, noisy.map(x => (x / n).toFloat), lab)
           }
           .toDF("vec_id", "embedding", "label")
-        // key the scratch dir by a HASH of the canonical source path —
-        // collision-FREE, unlike character sanitization, which can map
-        // two distinct dirs (/a/b vs /a_b) to one scratch path that the
-        // per-dir centroid cache (semIndex, keyed by the path string)
-        // would then serve stale centroids for — under the portable
-        // Formats scratch root (-Dgraft.scratch.dir overridable; a
-        // hardcoded repo-absolute path would break any checkout
-        // elsewhere), and delete it when the probe ends so repeated
-        // probe runs don't accumulate corpora
-        val pathHash = java.security.MessageDigest.getInstance("SHA-256")
-          .digest(new java.io.File(dir).getCanonicalPath.getBytes("UTF-8"))
-          .take(8).map("%02x".format(_)).mkString
-        val plantedDir = graft.sources.Formats.tmp(s"planted_$pathHash", dir)
+        // Formats.tmp is collision-free by itself now — sanitize appends
+        // a canonical-path hash for every consumer (Formats.scala:43-49,
+        // added to close exactly the /a/b-vs-/a_b aliasing this block
+        // used to hand-hash around) — and the dir is deleted when the
+        // probe ends so repeated probe runs don't accumulate corpora
+        val plantedDir = graft.sources.Formats.tmp("planted", dir)
         try {
           emb.select("vec_id", "embedding", "label").union(dups)
             .write.mode("overwrite").parquet(s"$plantedDir/embeddings.parquet")

@@ -24,8 +24,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     WordCount.wordcount(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Lazy val,
+    * not def: the registries are immutable after class load, and Bench
+    * re-reads this map per smear re-run / warmup while ScaleProbe reads
+    * it once per probe per dir — a def would re-merge ~170 entries
+    * across 12 maps on every one of those calls. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     WordCount.queries ++
       Relational.queries ++
       TextAnalysis.queries ++
@@ -68,8 +72,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
+    * (Lazy for the same reason as [[queries]].)
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     WordCount.oracles ++
       Relational.oracles ++
       TextAnalysis.oracles ++

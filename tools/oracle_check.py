@@ -31,7 +31,13 @@ def cells_equal(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # sign-strict: the driver's hash compares encodings, and -0.0 and
+        # 0.0 encode differently — Python's -0.0 == 0.0 would green-light
+        # a query the real gate fails (a signed-zero mismatch may also
+        # misalign the str-sorted rows; the resulting FAIL then points at
+        # whichever cell differs between the misaligned rows, which is
+        # correct-but-indirect)
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     return a == b
 
 
