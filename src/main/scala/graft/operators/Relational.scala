@@ -283,10 +283,10 @@ object Relational {
       """WITH probe AS (
         |  SELECT event_type,
         |    CASE WHEN event_id % 7 = 3 THEN CAST(NULL AS BIGINT)
-        |         ELSE CAST(get_json_object(props, '$.k') AS BIGINT) END AS k
+        |         ELSE try_variant_get(try_parse_json(props), '$.k', 'bigint') END AS k
         |  FROM anw_events),
         |blocked AS (
-        |  SELECT CAST(get_json_object(props, '$.k') AS BIGINT) AS k
+        |  SELECT try_variant_get(try_parse_json(props), '$.k', 'bigint') AS k
         |  FROM anw_events WHERE event_type = 'error' AND value >= 490.0)
         |SELECT event_type, count(*) AS n
         |FROM probe
@@ -298,10 +298,10 @@ object Relational {
     """WITH probe AS (
       |  SELECT event_type,
       |    CASE WHEN event_id % 7 = 3 THEN CAST(NULL AS BIGINT)
-      |         ELSE CAST(props->>'k' AS BIGINT) END AS k
+      |         ELSE TRY_CAST(props->>'k' AS BIGINT) END AS k
       |  FROM events),
       |blocked AS (
-      |  SELECT CAST(props->>'k' AS BIGINT) AS k
+      |  SELECT TRY_CAST(props->>'k' AS BIGINT) AS k
       |  FROM events WHERE event_type = 'error' AND value >= 490.0)
       |SELECT event_type, count(*) AS n
       |FROM probe
@@ -1317,7 +1317,7 @@ object Relational {
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         count(lit(1)).as("n"))

@@ -39,6 +39,7 @@ QUERIES = ["dedup_exact", "text_token_count", "text_fingerprint",
            "text_stats", "text_quality_filter", "text_array_fns",
            "text_langid", "curation_e2e",
            "events_json_kv", "events_variant", "events_map_fns",
+           "q_join_anti_nullaware",
            "mm_metadata", "mm_decode", "mm_resize", "mm_frame_sample"]
 
 ROWS = [
