@@ -47,8 +47,17 @@ object WordCount {
     * that's a 2× saving on the hottest expression in the engine.
     */
   def counts(docs: DataFrame, textCol: String): DataFrame =
+    tokenCounts(docs, textCol, Text.tokens(_))
+
+  /** The tokenize → filter → aggregate contract, parameterized by
+    * tokenizer — the single spelling of the shape `counts`, the PTB
+    * variants, and the text-file paths all share.
+    */
+  private def tokenCounts(
+      docs: DataFrame, textCol: String,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     docs
-      .select(explode_outer(Text.tokens(col(textCol))).as("word"))
+      .select(explode_outer(tokenizer(col(textCol))).as("word"))
       .filter(col("word").isNotNull)
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
@@ -62,10 +71,12 @@ object WordCount {
   def wordcountBucketed(spark: SparkSession, dir: String): DataFrame =
     wordcountBucketedM(spark, dir, M)
 
-  def wordcountBucketedM(spark: SparkSession, dir: String, m: Int): DataFrame =
+  def wordcountBucketedM(spark: SparkSession, dir: String, m: Int): DataFrame = {
+    require(m >= 1, s"bucket count must be a positive integer, got $m")
     wordcount(spark, dir).select(
       Text.bucket(col("word"), m).as("bucket"),
       col("word"), col("cnt"))
+  }
 
   /** Reference-parity bucketed text sink: exactly M part-files where
     * part-0000b holds bucket b (= first-char codepoint mod M), each file
@@ -82,15 +93,22 @@ object WordCount {
     * relation, so the RDD hop is off the hot path.
     */
   def writeBucketedText(counted: DataFrame, outDir: String, m: Int = M): Unit = {
+    require(m >= 1, s"bucket count must be a positive integer, got $m")
     val spark = counted.sparkSession
     val path = new org.apache.hadoop.fs.Path(outDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
 
+    // NULL/empty words map to bucket 0, matching the query path: Spark's
+    // and DuckDB's ascii('') both return 0, so Text.bucket puts '' in
+    // bucket 0 — a partitioner crash here would fire AFTER the output dir
+    // delete above and destroy the previous good output.
     class BucketPartitioner(buckets: Int) extends org.apache.spark.Partitioner {
       def numPartitions: Int = buckets
-      def getPartition(key: Any): Int =
-        math.floorMod(key.asInstanceOf[String].codePointAt(0), buckets)
+      def getPartition(key: Any): Int = key match {
+        case s: String if s.nonEmpty => math.floorMod(s.codePointAt(0), buckets)
+        case _ => 0
+      }
     }
     // CODEPOINT order, not Java's natural String order: String.compareTo
     // compares UTF-16 code units, which places supplementary-plane words
@@ -106,8 +124,11 @@ object WordCount {
         r = Integer.compare(ai.nextInt(), bi.nextInt())
       if (r != 0) r else java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
     }
+    // NULL words (impossible from the query path, reachable through the
+    // public sink API) are normalized to "" so neither the partitioner
+    // nor the codepoint ordering ever sees null.
     counted.select(col("word"), col("cnt")).rdd
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (Option(r.getString(0)).getOrElse(""), r.getLong(1)))
       .repartitionAndSortWithinPartitions(new BucketPartitioner(m))
       .map { case (w, c) => s"$w $c" }
       .saveAsTextFile(outDir)
@@ -123,21 +144,15 @@ object WordCount {
     * per-sentence examples.
     */
   def wordcountPtb(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(explode_outer(Text.tokensPtb(col("text"))).as("word"))
-      .filter(col("word").isNotNull)
-      .groupBy("word")
-      .agg(count(lit(1)).as("cnt"))
+    tokenCounts(Tables.documents(spark, dir), "text", Text.tokensPtb(_))
 
   /** PTB word count straight off `*.txt` files — the full reference
     * contract end-to-end (line-oriented scan + PTB tokenize + count).
     */
   def wordcountTextPtb(spark: SparkSession, inputDir: String): DataFrame =
-    spark.read.option("pathGlobFilter", "*.txt").text(inputDir)
-      .select(explode_outer(Text.tokensPtb(col("value"))).as("word"))
-      .filter(col("word").isNotNull)
-      .groupBy("word")
-      .agg(count(lit(1)).as("cnt"))
+    tokenCounts(
+      spark.read.option("pathGlobFilter", "*.txt").text(inputDir),
+      "value", Text.tokensPtb(_))
 
   /** Word count straight off `*.txt` files (the reference's input format:
     * driver.py:93 filters on the extension; pathGlobFilter reproduces the
@@ -151,8 +166,14 @@ object WordCount {
   /** Salted two-phase aggregation: the skew-mitigation shape for hot
     * keys. Phase 1 counts per (word, salt) — a hot word's load spreads
     * over 16 reducers — phase 2 sums the partials per word. The salt is
-    * derived (hash of word + row id), aggregated away, and provably
-    * result-invariant: the same oracle as plain wordcount checks it.
+    * a pure function of the DATA — hash of (doc_id, token position) via
+    * posexplode — never of `monotonically_increasing_id` or a partition
+    * id: Spark re-executes lost map tasks after a fetch failure assuming
+    * the shuffle key is deterministic, and a row-order-dependent salt
+    * would re-bucket tokens across attempts (double-counted or dropped
+    * partials). Data-derived salt makes re-execution byte-identical.
+    * The salt is aggregated away and provably result-invariant: the same
+    * oracle as plain wordcount checks it.
     * On THIS corpus Catalyst's partial aggregation already handles the
     * skew (map-side combine collapses hot keys before the shuffle);
     * salting earns its keep when hot-key cardinality × distinct-per-
@@ -160,9 +181,9 @@ object WordCount {
     */
   def wordcountSalted(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode_outer(Text.tokens(col("text"))).as("word"))
+      .select(col("doc_id"), posexplode_outer(Text.tokens(col("text"))).as(Seq("pos", "word")))
       .filter(col("word").isNotNull)
-      .withColumn("salt", pmod(xxhash64(col("word"), monotonically_increasing_id()), lit(16)))
+      .withColumn("salt", pmod(xxhash64(col("doc_id"), col("pos")), lit(16)))
       .groupBy("word", "salt")
       .agg(count(lit(1)).as("partial_cnt"))
       .groupBy("word")

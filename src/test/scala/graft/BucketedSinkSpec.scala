@@ -47,6 +47,40 @@ class BucketedSinkSpec extends AnyFunSuite {
       assert(seen.toMap === expected)
     }
 
+  test("degenerate keys: empty and NULL words land in bucket 0, never crash the write") {
+    // The partitioner fires AFTER the destructive output-dir delete, so a
+    // degenerate key crashing a task would destroy the previous good
+    // output. '' routes like the query path (Spark/DuckDB ascii('') = 0
+    // → Text.bucket 0); NULL is normalized to '' at the RDD boundary.
+    val spark = TestSpark.spark
+    val out = Files.createTempDirectory("graft_sink_edge_").toString
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("", 2L),
+      org.apache.spark.sql.Row(null, 3L),
+      org.apache.spark.sql.Row("e", 5L)) // 'e' = 101, 101 % 4 = 1
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word", org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType, nullable = false)))
+    WordCount.writeBucketedText(spark.createDataFrame(rows, schema), out, 4)
+    val bucket0 = Files.readAllLines(Paths.get(out, "part-00000")).asScala.toSeq
+    val bucket1 = Files.readAllLines(Paths.get(out, "part-00001")).asScala.toSeq
+    assert(bucket0.sorted === Seq(" 2", " 3").sorted) // '' and normalized NULL
+    assert(bucket1 === Seq("e 5"))
+  }
+
+  test("bucket count below 1 is rejected before the destructive delete") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("word", "cnt")
+    intercept[IllegalArgumentException] {
+      WordCount.writeBucketedText(df, "/tmp/graft_sink_never", 0)
+    }
+    assert(!Files.exists(Paths.get("/tmp/graft_sink_never")))
+    intercept[IllegalArgumentException] {
+      WordCount.wordcountBucketedM(spark, TestSpark.Sf0001, -3)
+    }
+  }
+
   test("per-file sort is CODEPOINT order, not UTF-16 code-unit order") {
     // a supplementary-plane word (U+1F600, surrogates 0xD83D 0xDE00) and
     // a private-use-area word (U+E000): Java's natural String order puts
