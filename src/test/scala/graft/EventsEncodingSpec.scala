@@ -101,10 +101,8 @@ class EventsEncodingSpec extends AnyFunSuite {
 
   private def allDirs = Seq(nanosDir, microsLongDir, ntzDir, annotatedNanosDir)
 
-  /** Row multiset (row → count) — a plain Set would mask an encoding
-    * bug that changes row multiplicity without changing the set. */
   private def multiset(rows: Array[org.apache.spark.sql.Row]) =
-    rows.map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+    TestSpark.multiset(rows)
 
   test("loader normalizes all encodings to the same TIMESTAMP column") {
     val spark = TestSpark.spark
@@ -126,10 +124,13 @@ class EventsEncodingSpec extends AnyFunSuite {
         spark.read.parquet(s"$annotatedNanosDir/events.parquet").collect()
       }
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(m =>
-      m.toUpperCase.contains("NANOS") || m.toUpperCase.contains("PARQUET")),
+    // match the SPECIFIC error class / flag name, not a bare "NANOS" /
+    // "PARQUET" substring — the fixture's own tmpdir path
+    // (graft_annotated_nanos/.../events.parquet) appears in most wrapped
+    // failure messages and would satisfy the loose form for ANY failure
+    assert(TestSpark.causeMessages(e).exists(m =>
+      m.contains("ILLEGAL_PARQUET_TYPE") || m.contains("nanosAsLong") ||
+        m.toLowerCase.contains("illegal parquet type")),
       s"no parquet-type failure surfaced: $e")
   }
 

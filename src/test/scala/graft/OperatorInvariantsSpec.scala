@@ -29,20 +29,44 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
-  test("dedup: simhash pairs respect the Hamming bound") {
-    val pairs = Dedup.simhashPairs(spark, dir, maxHamming = 3).collect()
-    pairs.foreach(r => assert(r.getLong(2) <= 3))
+  test("dedup: simhash pairs are EXACTLY the brute-force Hamming<=3 pairs") {
+    // asserting `hamming <= 3` on the output would restate the SUT's own
+    // final filter (a tautology, vacuously green on empty output); the
+    // real invariant is the pigeonhole join's EXACTNESS, checked against
+    // a driver-side brute force over the collected fingerprints
+    val fps = Dedup.simhashFingerprints(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, fa) <- fps.iterator; (b, fb) <- fps.iterator
+      if a < b && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+    val got = Dedup.simhashPairs(spark, dir, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture should contain simhash-close pairs")
   }
 
   test("events: sessions conserve events and durations are within gaps") {
     val ev = graft.engine.Tables.events(spark, dir)
     val sessions = Events.eventsSessions(spark, dir).collect()
     assert(sessions.map(_.getLong(2)).sum === ev.count())
-    sessions.foreach(r => assert(r.getLong(3) >= 0L))
+    // the gap invariant: n events merged into one session are pairwise
+    // within the gap, so the span is bounded by (n-1) * gap — a session
+    // that merged across a >30-min silence violates this
+    val gapSec = Events.SessionGapUs / 1000000L
+    sessions.foreach { r =>
+      assert(r.getLong(3) >= 0L)
+      assert(r.getLong(3) <= (r.getLong(2) - 1L) * gapSec,
+        s"session span ${r.getLong(3)}s exceeds (n-1)*gap for n=${r.getLong(2)}")
+    }
   }
 
   test("events: as-of click is never after the purchase") {
-    Events.eventsAsof(spark, dir).collect().foreach { r =>
+    val rows = Events.eventsAsof(spark, dir).collect()
+    assert(rows.nonEmpty, "no purchase rows — fixture or filter broken")
+    assert(rows.exists(r => !r.isNullAt(3)),
+      "every as-of click is NULL — the ordering invariant is never exercised")
+    rows.foreach { r =>
       val purchase = r.getString(2)
       Option(r.getString(3)).foreach(click => assert(click <= purchase))
     }
@@ -119,7 +143,11 @@ class OperatorInvariantsSpec extends AnyFunSuite {
   }
 
   test("events: forward as-of click is never before the purchase") {
-    Events.eventsAsofForward(spark, dir).collect().foreach { r =>
+    val rows = Events.eventsAsofForward(spark, dir).collect()
+    assert(rows.nonEmpty, "no purchase rows — fixture or filter broken")
+    assert(rows.exists(r => !r.isNullAt(3)),
+      "every forward as-of click is NULL — the ordering invariant is never exercised")
+    rows.foreach { r =>
       val purchase = r.getString(2)
       Option(r.getString(3)).foreach(click => assert(click >= purchase))
     }
@@ -138,10 +166,36 @@ class OperatorInvariantsSpec extends AnyFunSuite {
     assert(ends === ev.select("user_id").distinct().count())
   }
 
-  test("events: every flagged outlier is beyond 3 sigma, and few rows flag") {
+  test("events: flagged outliers are exactly the rows beyond 3 independent sigma") {
+    // |z| > 3 on the output is tautological (the flag filter and the z
+    // column derive from the SAME broadcast stats row); recompute the
+    // per-type mean/sigma driver-side and check BOTH directions against
+    // it, with a relative margin for the SUT's decimal-vs-double sums
     val ev = graft.engine.Tables.events(spark, dir)
+    val vals = ev.select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val stats = vals.groupBy(_._2).map { case (t, vs) =>
+      val xs = vs.map(_._3)
+      val mean = xs.sum / xs.length
+      val sigma = math.sqrt(
+        math.max(xs.map(x => x * x).sum / xs.length - mean * mean, 0.0))
+      t -> ((mean, sigma))
+    }
+    def margin(t: String): Double = {
+      val (m, s) = stats(t); 1e-6 * (math.abs(m) + s + 1.0)
+    }
     val flagged = Events.eventsOutliers(spark, dir).collect()
-    flagged.foreach(r => assert(math.abs(r.getDouble(3)) > 3.0))
+    flagged.foreach { r =>
+      val (mean, sigma) = stats(r.getString(1))
+      assert(math.abs(r.getDouble(2) - mean) > 3.0 * sigma - margin(r.getString(1)),
+        s"flagged ${r.getLong(0)} is within 3 sigma of independent stats")
+    }
+    val flaggedIds = flagged.map(_.getLong(0)).toSet
+    vals.foreach { case (id, t, v) =>
+      val (mean, sigma) = stats(t)
+      if (math.abs(v - mean) > 3.0 * sigma + margin(t))
+        assert(flaggedIds.contains(id), s"outlier $id (type $t, value $v) unflagged")
+    }
     // Chebyshev: at most 1/9 of any distribution is beyond 3 sigma
     assert(flagged.length <= ev.count() / 9)
   }
@@ -191,6 +245,7 @@ class OperatorInvariantsSpec extends AnyFunSuite {
 
   test("text: inverted index postings agree with df and cover every token") {
     val rows = graft.operators.TextAnalysis.textInvertedIndex(spark, dir).collect()
+    assert(rows.nonEmpty, "empty index — corpus or tokenizer broken")
     rows.foreach { r =>
       val postings = r.getString(2).split(",")
       assert(postings.length.toLong === r.getLong(1))
@@ -199,6 +254,14 @@ class OperatorInvariantsSpec extends AnyFunSuite {
       assert(ids.toSeq === ids.toSeq.sorted)
       assert(ids.distinct.length === ids.length)
     }
+    // coverage: the index's vocabulary is EXACTLY the corpus vocabulary
+    // (per-row consistency alone stays green if the groupBy drops terms)
+    val vocab = graft.engine.Tables.documents(spark, dir)
+      .select(explode_outer(graft.functions.Text.tokens(col("text"))).as("w"))
+      .filter(col("w").isNotNull).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(0)).toSet === vocab,
+      "index vocabulary diverges from corpus vocabulary")
   }
 
   test("relational: Q13 keeps zero-order customers (left-outer + ON-clause filter)") {

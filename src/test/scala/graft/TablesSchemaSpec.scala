@@ -53,9 +53,7 @@ class TablesSchemaSpec extends AnyFunSuite {
     }
     // raise_error surfaces as a runtime failure whose message names the
     // drifted column — loud and attributable, whatever the ANSI setting
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
-    assert(messages(e).exists(m => m != null && m.contains("region.r_regionkey")),
+    assert(TestSpark.causeMessages(e).exists(_.contains("region.r_regionkey")),
       s"failure does not name the drifted column: $e")
   }
 
@@ -80,9 +78,14 @@ class TablesSchemaSpec extends AnyFunSuite {
       "l_returnflag", "l_linestatus", "l_shipdate")
 
   test("lineitem.l_shipdate normalizes across all four timestamp encodings") {
-    // two rows inside Q6's 1994 window, one outside
-    val micros = Seq("1994-02-01", "1994-07-15", "1996-01-01")
-      .map(d => java.sql.Timestamp.valueOf(s"$d 00:00:00").getTime * 1000L)
+    // two rows inside Q6's [1996-01-01, 1997-01-01) window, one outside
+    // — micros built at UTC explicitly: Timestamp.valueOf reads the wall
+    // clock in the JVM DEFAULT zone, and the engine pins only the
+    // session zone, so that form would shift the boundary row out of the
+    // window on any JVM east of UTC
+    val micros = Seq("1996-02-01", "1996-07-15", "1994-01-01")
+      .map(d => java.time.LocalDate.parse(d)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli * 1000L)
     val raw = lineitemRows(micros)
     val dirs = Seq(
       // raw epoch-micros int64
@@ -180,9 +183,8 @@ class TablesSchemaSpec extends AnyFunSuite {
         (3L, new java.sql.Timestamp(t0 / 1000 + 7200L * 1000), 2L, "click", 4.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
       "events.parquet")
-    def rows(dir: String) = graft.streaming.StreamingWindows
-      .queries("stream_hourly")(spark, dir).collect()
-      .map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+    def rows(dir: String) = TestSpark.multiset(
+      graft.streaming.StreamingWindows.queries("stream_hourly")(spark, dir).collect())
     val got = rows(drifted)
     assert(got.nonEmpty, "vacuous streaming fixture")
     assert(got === rows(canonical),
@@ -207,14 +209,11 @@ class TablesSchemaSpec extends AnyFunSuite {
   }
 
   test("every real-testdata loader emits exactly the canonical schema") {
-    val loaders = Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
-      "region" -> Tables.region _, "nation" -> Tables.nation _,
-      "customer" -> Tables.customer _, "supplier" -> Tables.supplier _,
-      "part" -> Tables.part _, "orders" -> Tables.orders _,
-      "lineitem" -> Tables.lineitem _, "events" -> Tables.events _,
-      "documents" -> Tables.documents _, "embeddings" -> Tables.embeddings _)
+    // Tables.byName IS the registry (every named accessor routes through
+    // the same loadConformed) — a hand-built map here would silently lag
+    // an 11th table
     for (name <- Tables.names) {
-      val loaded = loaders(name)(spark, TestSpark.Sf0001)
+      val loaded = Tables.byName(spark, TestSpark.Sf0001, name)
       def shape(dt: DataType): DataType = dt match {
         case ArrayType(et, _) => ArrayType(shape(et)) // containsNull-agnostic
         case other => other

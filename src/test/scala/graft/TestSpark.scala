@@ -53,6 +53,19 @@ object TestSpark {
     dataDir.toString
   }
 
+  /** Row multiset (row → count) — a plain Set masks a bug that changes
+    * row multiplicity without changing the set. ONE definition shared by
+    * the encoding/schema specs so the compare cannot drift. */
+  def multiset(rows: Array[org.apache.spark.sql.Row]): Map[Seq[Any], Int] =
+    rows.map(_.toSeq).groupBy(identity).map { case (k, v) => (k, v.length) }
+
+  /** Every non-null message down an exception's cause chain — failure
+    * oracles assert against ALL of them (Spark wraps task failures, so
+    * the interesting message sits a few causes deep). */
+  def causeMessages(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x =>
+      Option(x.getMessage).toSeq ++ causeMessages(x.getCause))
+
   /** Deterministic ScalaCheck sampling — one value per fixed seed
     * 0..n-1, so property specs replay identically on every run. ONE
     * definition shared by the property specs (NativeExprPropSpec,
