@@ -24,11 +24,23 @@ import graft.operators.Maintenance
   * itself with the parquet-mr reader — the same metadata the scan's
   * row-group filter consults.
   */
-class BloomFilterSkipSpec extends AnyFunSuite {
+class BloomFilterSkipSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  // ONE shared rewrite: both tests read the same deterministic copy, and
+  // the afterAll delete survives assertion failures (the previous
+  // per-test tail delete leaked the copy whenever an assert fired first)
+  private lazy val dest =
+    Maintenance.bloomIndexedCopy(TestSpark.spark, TestSpark.Sf001)
+
+  override def afterAll(): Unit = {
+    val conf = TestSpark.spark.sessionState.newHadoopConf()
+    val fs = new Path(dest).getFileSystem(conf)
+    fs.delete(new Path(dest), true); ()
+  }
 
   test("every row group carries a usable l_partkey bloom filter") {
     val spark = TestSpark.spark
-    val dest = Maintenance.bloomIndexedCopy(spark, TestSpark.Sf001)
 
     // truth: distinct partkeys per physical file, and the global max
     val perFile = spark.read.parquet(dest)
@@ -65,28 +77,31 @@ class BloomFilterSkipSpec extends AnyFunSuite {
         }
 
         // bounded false positives: keys beyond the key domain must be
-        // rejected by EVERY row group of this file nearly always
-        // (fpp 0.01/group; admit-anywhere probability ~= groups x 0.01)
+        // rejected by EVERY row group of this file nearly always. The
+        // bound scales with THIS file's group count (admit-anywhere ≈
+        // groups × nominal fpp 0.01 per key) at 2× nominal plus slack —
+        // a fixed cap of 20 had near-zero margin under that very model
+        // at ~6-9 groups/file and only passed because the writer's
+        // whole-file ndv oversizes every per-group bloom; the bound must
+        // not depend on that oversizing staying
         val absent = (globalMax + 1) to (globalMax + 200)
         val leaked = absent.count(k => blooms.exists(b => b.findHash(b.hash(k))))
-        assert(leaked <= 20,
-          s"$leaked/200 absent keys admitted in $path — bloom sized wrong")
+        val bound = math.max(20, (200 * blooms.size * 2) / 100 + 5)
+        assert(leaked <= bound,
+          s"$leaked/200 absent keys admitted in $path " +
+            s"(${blooms.size} groups, bound $bound) — bloom sized wrong")
       } finally reader.close()
     }
     // small row groups exist so skipping is per-group, not per-file
     assert(rowGroups > perFile.length,
       s"only $rowGroups row groups across ${perFile.length} files — " +
         "block size option did not take effect")
-
-    val fs = new Path(dest).getFileSystem(conf)
-    fs.delete(new Path(dest), true); ()
   }
 
   test("parquet-mr's own row-group filter skips via the bloom, not stats") {
     import org.apache.parquet.filter2.compat.{FilterCompat, RowGroupFilter}
     import org.apache.parquet.filter2.predicate.FilterApi
     val spark = TestSpark.spark
-    val dest = Maintenance.bloomIndexedCopy(spark, TestSpark.Sf001)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(dest).getFileSystem(conf)
     val files = fs.listStatus(new Path(dest))
@@ -140,7 +155,5 @@ class BloomFilterSkipSpec extends AnyFunSuite {
     assert(keptBloom < keptStats,
       s"bloom level dropped nothing ($keptBloom of $keptStats kept) — " +
         "the index is not participating in row-group filtering")
-
-    fs.delete(new Path(dest), true); ()
   }
 }

@@ -56,17 +56,24 @@ class RangeLookupJoinSpec extends AnyFunSuite {
   test("identical rows and multiplicities vs the nested-loop plan") {
     val fast = bandJoin()
     assert(executedPlanString(fast).contains("RangeLookupJoin"))
+    // the stock-plan rows must be COLLECTED inside the disabled window:
+    // count()/exceptAll() each build a fresh QueryExecution, and the
+    // rewrite rule reads the kill switch at OPTIMIZATION time, so
+    // comparing DataFrames after the conf is restored would re-plan the
+    // "slow" side through RangeLookupJoin and compare the rewrite to
+    // itself
     spark.conf.set("spark.graft.rangeLookupJoin.enabled", "false")
-    val slow = try {
+    val slowRows = try {
       val df = bandJoin()
       assert(!executedPlanString(df).contains("RangeLookupJoin"))
-      df
+      df.collect()
     } finally spark.conf.set("spark.graft.rangeLookupJoin.enabled", "true")
-    assert(fast.count() === slow.count())
-    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    val fastRows = fast.collect()
+    assert(fastRows.length === slowRows.length)
+    assert(TestSpark.multiset(fastRows) === TestSpark.multiset(slowRows))
     // the fixture must actually exercise overlap: some probe value hits
     // several intervals, so the leftward walk emits more than one row
-    val maxHits = fast.groupBy("pid").count().agg(max("count")).first().getLong(0)
+    val maxHits = fastRows.groupBy(_.getAs[Long]("pid")).values.map(_.length).max
     assert(maxHits > 1, "fixture should contain overlapping intervals")
   }
 
@@ -94,6 +101,23 @@ class RangeLookupJoinSpec extends AnyFunSuite {
       col("interval_id") <= 9002L)
     assert(fromMixed.count() === 0L,
       "null-bound intervals must never match through the exec path")
+  }
+
+  test("a ZERO-row build side still executes through the exec (m=0 path)") {
+    // the all-null local fixture above may constant-fold before the
+    // rewrite fires; a 0-row PARQUET relation is opaque to the optimizer
+    // (and AQE's empty propagation matches only Spark's own join nodes),
+    // so this pins the exec's empty-build arm — rightmostLeq over empty
+    // arrays — which a production filtered-empty interval table reaches
+    val dir = TestSpark.plantParquetFile(
+      Seq((Some(1.0), Some(2.0), 1L)).toDF("lo", "hi", "interval_id").limit(0),
+      "intervals.parquet")
+    val iv = spark.read.parquet(s"$dir/intervals.parquet")
+    val out = probes.join(broadcast(iv),
+      col("v") >= col("lo") && col("v") < col("hi"))
+    assert(executedPlanString(out).contains("RangeLookupJoin"),
+      "empty parquet build side must still plan through the exec")
+    assert(out.count() === 0L)
   }
 
   test("streamed-side sort order survives the join") {

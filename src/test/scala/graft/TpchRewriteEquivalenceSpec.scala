@@ -19,30 +19,66 @@ import graft.operators.Relational
   * rows that the residual must drop). Seeded generators — failures
   * reproduce.
   */
-class TpchRewriteEquivalenceSpec extends AnyFunSuite {
+class TpchRewriteEquivalenceSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   private val spark = TestSpark.spark
   import spark.implicits._
 
+  private val plantedRoots = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  override def afterAll(): Unit = plantedRoots.foreach { root =>
+    org.apache.commons.io.FileUtils.deleteQuietly(root.toFile); ()
+  }
+
+  /** The three Q19 bands as (brand, size upper edge, qty lo, qty hi) —
+    * kept in lockstep with [[q19Raw]] and `Relational.qTpchQ19`. */
+  private val Q19Bands = Seq(
+    ("Brand#12", 15, 1, 11), ("Brand#23", 25, 10, 20), ("Brand#3", 35, 20, 30))
+
   private def plantTables(seed: Int): String = {
     val rnd = new scala.util.Random(seed)
-    val dataDir = java.nio.file.Files
-      .createTempDirectory(s"graft_tpch_eq_$seed").resolve("data")
+    val root = java.nio.file.Files.createTempDirectory(s"graft_tpch_eq_$seed")
+    plantedRoots += root
+    val dataDir = root.resolve("data")
+    // pinned band-edge coverage: random partkeys almost never land a
+    // boundary quantity on a part of the matching brand/size (replayed
+    // seeds 1-3: zero edge hits), so a narrowed authored envelope would
+    // survive every seed without these — per band, a part ON the size
+    // edge and one past it, lineitems ON both quantity edges (in) and
+    // one past each (out), and the size-out twin with an in quantity
+    val pinnedParts = Q19Bands.zipWithIndex.flatMap { case ((b, szHi, _, _), i) =>
+      val pk = 61L + i * 2
+      Seq((pk, s"edge_in_$pk", b, "STANDARD", szHi, 500.0),
+        (pk + 1, s"edge_out_${pk + 1}", b, "STANDARD", szHi + 1, 500.0))
+    }
     // parts: brands beyond the query's three, sizes saturating 1..50
     // (both envelope boundaries 15/25/35 land on generated values)
-    val parts = (1L to 60L).map { pk =>
+    val parts = ((1L to 60L).map { pk =>
       (pk, s"part$pk", s"Brand#${rnd.nextInt(30) + 1}", "STANDARD",
         rnd.nextInt(50) + 1, 100.0 + rnd.nextInt(900))
-    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    } ++ pinnedParts)
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val pinnedLines = Q19Bands.zipWithIndex.flatMap { case ((_, _, qLo, qHi), i) =>
+      val pkIn = 61L + i * 2
+      Seq((pkIn, qLo), (pkIn, qHi), (pkIn, qLo - 1), (pkIn, qHi + 1),
+        (pkIn + 1, qLo))
+    }
     // lineitems: quantities saturate 1..50 with the band edges
     // (1/11/10/20/30) guaranteed present; 2-decimal money domain
     val quantities = Seq(1, 10, 11, 20, 30) ++ Seq.fill(295)(rnd.nextInt(50) + 1)
-    val lines = quantities.zipWithIndex.map { case (q, i) =>
+    val lines = (quantities.zipWithIndex.map { case (q, i) =>
       (i.toLong, rnd.nextInt(60) + 1L, rnd.nextInt(10) + 1L, 1,
         q.toDouble, (rnd.nextInt(99999) + 1) / 100.0,
         rnd.nextInt(11) / 100.0, 0.0, "N", "O",
         java.sql.Timestamp.valueOf(s"1995-0${rnd.nextInt(9) + 1}-15 00:00:00"))
-    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    } ++ pinnedLines.zipWithIndex.map { case ((pk, q), i) =>
+      // distinct non-round prices: any dropped/admitted edge row moves
+      // the decimal revenue sum by an amount no other row can cancel
+      ((300 + i).toLong, pk, 1L, 1, q.toDouble, 1000.01 + i * 1.37,
+        0.0, 0.0, "N", "O",
+        java.sql.Timestamp.valueOf("1995-05-15 00:00:00"))
+    }).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "l_returnflag", "l_linestatus", "l_shipdate")
     TestSpark.plantParquetFileInto(parts, dataDir, "part.parquet")
@@ -54,8 +90,7 @@ class TpchRewriteEquivalenceSpec extends AnyFunSuite {
     * NO authored envelopes, over the same planted tables. */
   private def q19Raw(dir: String): DataFrame = {
     val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-    val residual = Seq(
-      ("Brand#12", 15, 1, 11), ("Brand#23", 25, 10, 20), ("Brand#3", 35, 20, 30))
+    val residual = Q19Bands
       .map { case (b, szHi, qLo, qHi) =>
         col("p_brand") === b && col("p_size").between(1, szHi) &&
           col("l_quantity").between(qLo, qHi)
@@ -64,7 +99,7 @@ class TpchRewriteEquivalenceSpec extends AnyFunSuite {
       .join(graft.engine.Tables.part(spark, dir),
         col("l_partkey") === col("p_partkey"))
       .filter(residual)
-      .agg(dsum6(revenue).as("revenue"))
+      .agg(dsum6(revenue).as("revenue"), count(lit(1)).as("n_match"))
   }
 
   test("Q19: authored envelopes change nothing on randomized band-edge corpora") {
@@ -76,15 +111,20 @@ class TpchRewriteEquivalenceSpec extends AnyFunSuite {
       assert(got.isNullAt(0) === want.isNullAt(0), s"seed $seed null drift")
       if (!want.isNullAt(0))
         assert(got.getDouble(0) === want.getDouble(0), s"seed $seed diverges")
-      // non-vacuous: the generator must actually produce matches
+      // non-vacuous AND edge-covering: the pinned rows alone contribute
+      // 2 matching quantity-edge rows per band, so any seed must carry
+      // at least 6 matches sitting ON envelope boundaries
       assert(!want.isNullAt(0), s"seed $seed vacuous — generator drifted")
+      assert(want.getLong(1) >= 6L,
+        s"seed $seed lost the pinned band-edge rows (${want.getLong(1)} matches)")
     }
   }
 
   private def plantQ7Tables(seed: Int): String = {
     val rnd = new scala.util.Random(seed)
-    val dataDir = java.nio.file.Files
-      .createTempDirectory(s"graft_tpch_q7_$seed").resolve("data")
+    val root = java.nio.file.Files.createTempDirectory(s"graft_tpch_q7_$seed")
+    plantedRoots += root
+    val dataDir = root.resolve("data")
     val nations = (0 until 5).map(i => (i, s"NATION_$i", i % 3))
       .toDF("n_nationkey", "n_name", "n_regionkey")
     // suppliers/customers spread over all 5 nations, guaranteeing both
