@@ -51,7 +51,11 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
-  test("minhash_sigs null-element and empty-set semantics match the HOF form") {
+  test("minhash_sigs: null elements match the HOF form; empty sets yield EmptySlot sentinels") {
+    // the empty-set case deliberately DIVERGES from the HOF form
+    // (array_min([]) is NULL; the native form emits the documented
+    // EmptySlot sentinel — MinHashSignature.scala) — this pins the
+    // sentinel contract, not HOF equality
     graft.functions.MinHash.register(spark)
     import spark.implicits._
     // null element: xxhash64(k, NULL) hashes only k — the HOF form's value

@@ -89,7 +89,6 @@ class PtbTokenizerSpec extends AnyFunSuite {
     // corpus never has (CRCRLF, trailing CR, newline-only strings).
     import org.apache.spark.unsafe.types.UTF8String
     import org.scalacheck.Gen
-    import org.scalacheck.rng.Seed
     import graft.functions.TokenizePtbFn
     def toSeq(s: String): Seq[String] = {
       val arr = TokenizePtbFn.compute(UTF8String.fromString(s))
@@ -98,8 +97,7 @@ class PtbTokenizerSpec extends AnyFunSuite {
     val alphabet = Gen.oneOf('a', 'b', ' ', '.', ',', '\'', '"', '\n', '\r')
     val texts = Gen.choose(0, 40)
       .flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
-    (0 until 500).foreach { i =>
-      val s = texts.apply(Gen.Parameters.default, Seed(i.toLong)).get
+    TestSpark.sample(texts, 500).foreach { s =>
       val whole = toSeq(s)
       val perLine = s.split("\r\n|\r|\n", -1).toSeq.flatMap(toSeq)
       assert(whole === perLine, s"input=${s.map(c =>
