@@ -19,14 +19,21 @@ class AnnRecallSpec extends AnyFunSuite {
 
   import TestSpark.spark
 
-  /** (id → (best sim, ids achieving it)) by exhaustive quantized cosine. */
+  /** (id → best sim) by exhaustive quantized cosine. */
   private lazy val truth: Map[Long, Double] = {
     import spark.implicits._
     val vecs = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .collect()
-      .map { case (id, e) => (id, e.map(x => math.round(x.toDouble * 1000))) }
+      // HALF_UP (away from zero), matching Spark's round() in
+      // Similarity.quant — Java math.round is half-up toward +infinity
+      // and disagrees on NEGATIVE components landing exactly on .5, so
+      // one such component per refresh would score all its queries as
+      // misses under the exact-equality hit rule
+      .map { case (id, e) => (id, e.map(x =>
+        BigDecimal(x.toDouble * 1000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)) }
       .sortBy(_._1)
     val norms = vecs.map { case (_, q) => q.map(v => v * v).sum }
     vecs.zipWithIndex.map { case ((id, q), i) =>

@@ -87,6 +87,11 @@ class CompositionSpec extends AnyFunSuite {
       .select(col("doc_id"), col("expected_text"), col("text"))
       .collect()
     assert(joined.nonEmpty, "no unique-chunk documents at this sf — vacuous test")
+    // the inner join must lose NOTHING: a reassembly regression that
+    // drops a unique-chunk doc (or emits it under a wrong doc_id) would
+    // otherwise just shrink the compared set and pass on the survivors
+    assert(joined.length.toLong === uniqueDocs.count(),
+      "dedupChunks dropped unique-chunk documents — identity violated by absence")
     joined.foreach { r =>
       assert(r.getString(2) === r.getString(1),
         s"doc ${r.getLong(0)} did not reassemble to identity")

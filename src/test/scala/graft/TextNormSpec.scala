@@ -80,6 +80,7 @@ class TextNormSpec extends AnyFunSuite {
     assert(rows(0).getString(0) === "cafe")
     assert(rows(0).getString(1) === "café")
     assert(rows(1).getString(0) === "")
+    assert(rows(1).getString(1) === "")
     assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
   }
 
@@ -89,18 +90,38 @@ class TextNormSpec extends AnyFunSuite {
     val inputs = Seq("déjà vu", "łódź",
       "àb́c", "naïve", "ascii")
     // fallback off: a Janino failure in the generated call must FAIL
-    // the test, not silently re-run the stage interpreted
+    // the test, not silently re-run the stage interpreted. Save/restore
+    // the prior value — hardcoding the restore would flip a deliberate
+    // session setting.
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      val df = inputs.toDF("s").select(
-        col("s"),
-        call_function("strip_accents", col("s")).as("c_strip"),
-        call_function("nfc_normalize", col("s")).as("c_nfc"))
-      df.collect().foreach { r =>
+      // rows must come FROM range(n), never a local Seq:
+      // ConvertToLocalRelation folds a Project over a LocalRelation at
+      // optimization time using INTERPRETED eval on the driver, so the
+      // generated code would never run and this test would pin nothing
+      val arr = array(inputs.map(lit): _*)
+      val df = spark.range(inputs.length)
+        .select(element_at(arr, (col("id") + 1).cast("int")).as("s"))
+        .select(
+          col("s"),
+          call_function("strip_accents", col("s")).as("c_strip"),
+          call_function("nfc_normalize", col("s")).as("c_nfc"))
+      val rows = df.collect()
+      // typed node check: WSCG prints only as a "*(n)" marker in
+      // toString, never as its node name
+      val wscg = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(wscg.nonEmpty,
+        "plan fell out of whole-stage codegen — the codegen path is untested:\n" +
+          df.queryExecution.executedPlan)
+      assert(rows.length === inputs.length)
+      rows.foreach { r =>
         val in = r.getString(0)
         assert(r.getString(1) === strip(in), s"strip diverged on $in")
         assert(r.getString(2) === nfc(in), s"nfc diverged on $in")
       }
-    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
   }
 }
