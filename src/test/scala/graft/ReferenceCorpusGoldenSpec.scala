@@ -59,9 +59,12 @@ class ReferenceCorpusGoldenSpec extends AnyFunSuite {
     val counted = WordCount.wordcountText(TestSpark.spark, CorpusDir)
     WordCount.writeBucketedText(counted, out, m = 4)
 
-    val parts = Files.list(Paths.get(out)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .toSeq.sortBy(_.toString)
+    val listing = Files.list(Paths.get(out))
+    val parts =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .toSeq.sortBy(_.toString)
+      finally listing.close()
     assert(parts.size === 4)
 
     var totalTokens = 0L

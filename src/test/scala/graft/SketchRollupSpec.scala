@@ -59,28 +59,42 @@ class SketchRollupSpec extends AnyFunSuite {
     }
   }
 
-  test("stored sketch state is KB-bounded regardless of group size") {
+  test("stored sketch state is KB-bounded and saturates, never linear in group size") {
     // the claim the operator exists for: range queries touch KB of
-    // sketch state, not the raw events — so the per-group sketch must
-    // stay bounded (an lgK=14 HLL saturates at ~2^14 registers) and
-    // must NOT grow linearly with the rows it summarizes
+    // sketch state, not the raw events. The shipped sf0.01 fixture's
+    // group sizes span only ~47-86 rows, which made a spread-guarded
+    // saturation assert dead code — plant a 100x-spread corpus instead
+    // so the claim is ALWAYS checked (a regression storing exact user
+    // sets would scale the hot group's state ~100x and fail both
+    // asserts below).
     val spark = TestSpark.spark
+    import spark.implicits._
     import org.apache.spark.sql.functions.{length => blen}
-    Maintenance.maintSketchRollup(spark, TestSpark.Sf001).collect()
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z micros
+    val hot = (0 until 20000).map(i =>
+      (i.toLong, t0 + i, (i % 15000).toLong, "hot", 1.0, "{}"))
+    val cold = (0 until 200).map(i =>
+      ((100000 + i).toLong, t0 + i, (200000 + i).toLong, "cold", 1.0, "{}"))
+    val dir = TestSpark.plantParquetFile(
+      (hot ++ cold).toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
+    Maintenance.maintSketchRollup(spark, dir) // writes the snapshot eagerly
     val snap = spark.read.parquet(
-      graft.sources.Formats.tmp("maint_hll_daily", TestSpark.Sf001))
+      graft.sources.Formats.tmp("maint_hll_daily", dir))
     val rows = snap
-      .select(blen(col("user_sketch")).as("b"), col("n_events"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    assert(rows.nonEmpty)
-    val maxBytes = rows.map(_._1).max
-    assert(maxBytes <= 64 * 1024,
-      s"sketch grew to $maxBytes bytes — not the KB-bounded state the design claims")
-    // bytes-per-summarized-row must FALL as groups grow (saturation),
-    // ruling out any linear dependence on group size
-    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
-    if (big._2 >= small._2 * 4)
-      assert(big._1.toDouble / big._2 < small._1.toDouble / small._2,
-        s"sketch bytes track row count: $small vs $big")
+      .select(col("event_type"), blen(col("user_sketch")).as("b"), col("n_events"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val (hotB, hotN) = rows("hot")
+    val (coldB, coldN) = rows("cold")
+    assert(hotN === 20000L && coldN === 200L, "planted group sizes drifted")
+    assert(hotB <= 64 * 1024,
+      s"sketch grew to $hotB bytes — not the KB-bounded state the design claims")
+    // saturation, both ways: bytes-per-summarized-row must FALL as the
+    // group grows, and 100x the rows (75x the distincts) must cost far
+    // less than 100x the bytes
+    assert(hotB.toDouble / hotN < coldB.toDouble / coldN,
+      s"sketch bytes track row count: hot ($hotB B, $hotN rows) vs cold ($coldB B, $coldN rows)")
+    assert(hotB < coldB * 25L,
+      s"hot sketch $hotB B vs cold $coldB B — state is not saturating")
   }
 }
