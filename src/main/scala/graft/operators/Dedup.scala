@@ -364,6 +364,17 @@ object Dedup {
     componentsMaterialized.clear()
   }
 
+  /** Per-dataset variant: drops only `dir`'s memo entries, leaving other
+    * datasets' writer serialization intact — for callers (specs, ad-hoc
+    * refreshes) that own one dataset dir while others are live in the
+    * same JVM. Bench's REPEAT machinery keeps the global form. */
+  def clearScratchMemos(dir: String): Unit = {
+    val key = graft.sources.Formats.canonicalDir(dir)
+    pairsMaterialized.remove(key)
+    componentsMaterialized.remove(key)
+    ()
+  }
+
   /** Drops ONLY the component-label memo, leaving the pair artifact
     * memoized — Bench calls this before each individual re-run of
     * `dedup_components` so the re-run reproduces exactly the first
@@ -373,6 +384,13 @@ object Dedup {
     * re-read of re-run #1's labels. */
   def clearComponentLabelMemo(): Unit =
     componentsMaterialized.clear()
+
+  /** Per-dataset variant of [[clearComponentLabelMemo]] — same scoping
+    * rationale as `clearScratchMemos(dir)`. */
+  def clearComponentLabelMemo(dir: String): Unit = {
+    componentsMaterialized.remove(graft.sources.Formats.canonicalDir(dir))
+    ()
+  }
 
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.sources.Formats.tmp("dedup_cc", dir)

@@ -1033,6 +1033,13 @@ object Relational {
   def clearScratchMemos(): Unit =
     q15Materialized.clear()
 
+  /** Per-dataset variant: drops only `dir`'s memo entry — same scoping
+    * rationale as `Dedup.clearScratchMemos(dir)`. */
+  def clearScratchMemos(dir: String): Unit = {
+    q15Materialized.remove(graft.sources.Formats.canonicalDir(dir))
+    ()
+  }
+
   def qTpchQ15(spark: SparkSession, dir: String): DataFrame = {
     val dest = graft.sources.Formats.tmp("tpch_q15_rev0", dir)
     q15Materialized.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), { _ =>

@@ -40,9 +40,15 @@ class LshLabelFreshnessSpec extends AnyFunSuite
   private lazy val dir = Files.createTempDirectory("graft_lsh_fresh")
 
   override def afterAll(): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir.toString)
-    p.getFileSystem(TestSpark.spark.sparkContext.hadoopConfiguration)
-      .delete(p, true)
+    val conf = TestSpark.spark.sparkContext.hadoopConfiguration
+    // the data dir AND the scratch artifact it spawned — the scratch key
+    // embeds this run's unique temp path, so no later run can ever reuse
+    // it and it would accumulate as dead state
+    for (d <- Seq(dir.toString,
+        graft.sources.Formats.tmp("dedup_cc_lsh", dir.toString))) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
     super.afterAll()
   }
 

@@ -38,17 +38,24 @@ class Scd2Spec extends AnyFunSuite {
         assert(n === expected, s"key $key has $n versions, expected $expected")
       }
 
-      // interval continuity: the closed version ends exactly where the
-      // new open version begins, and closed precedes open
+      // interval continuity AND the closed leg's provenance: the closed
+      // version must PRESERVE its original valid_from (a copy-paste slip
+      // stamping it with eff would pass every count/continuity check),
+      // end exactly where the new open version begins, and precede it
       val chains = out.filter(col("c_custkey").isin(changedKeys.toSeq: _*))
         .groupBy("c_custkey")
         .agg(
+          min(when(!col("is_current"), col("valid_from"))).as("closed_from"),
           min(when(!col("is_current"), col("valid_to"))).as("closed_to"),
           min(when(col("is_current"), col("valid_from"))).as("open_from"))
         .collect()
       chains.foreach { r =>
-        assert(r.getDate(1) === r.getDate(2),
+        assert(r.getDate(1).toString === Maintenance.Scd2From,
+          s"key ${r.getLong(0)}: closed version lost its original valid_from")
+        assert(r.getDate(2) === r.getDate(3),
           s"key ${r.getLong(0)}: closed valid_to must equal open valid_from")
+        assert(r.getDate(1).before(r.getDate(2)),
+          s"key ${r.getLong(0)}: closed interval must have positive length")
       }
     } finally out.unpersist()
   }

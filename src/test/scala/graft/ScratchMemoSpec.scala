@@ -18,14 +18,13 @@ import graft.sources.Formats
   */
 class ScratchMemoSpec extends AnyFunSuite {
 
-  private def mtime(dir: String): Long = {
-    val p = Paths.get(dir)
-    scala.util.Using.resource(Files.list(p)) {
-      _.toArray.map(_.asInstanceOf[java.nio.file.Path])
-        .filter(_.getFileName.toString.startsWith("part-"))
-        .map(Files.getLastModifiedTime(_).toMillis).max
-    }
-  }
+  /** Plant an underscore-prefixed sentinel file inside an artifact dir:
+    * Spark's reader ignores it, a memo HIT leaves it in place, and a
+    * recompute (mode=overwrite deletes the dir) removes it — a
+    * granularity-free rewrite detector, unlike mtime compares that
+    * assume sub-5ms filesystem timestamp resolution. */
+  private def plantSentinel(artifactDir: String): java.nio.file.Path =
+    Files.write(Paths.get(artifactDir, "_MEMO_SENTINEL"), Array[Byte](1))
 
   test("memo hits skip rewrites; targeted clears force them") {
     val spark = TestSpark.spark
@@ -36,36 +35,37 @@ class ScratchMemoSpec extends AnyFunSuite {
         Paths.get(s"$dir/$t.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
 
-    // pair artifact: second call is a memo hit — file untouched
+    // pair artifact: second call is a memo hit — dir untouched
     Dedup.nearDupPairs(spark, dir).count()
     val pairsDir = Formats.tmp("dedup_pairs", dir)
-    val pairsT1 = mtime(pairsDir)
+    val pairsSentinel = plantSentinel(pairsDir)
     Dedup.nearDupPairs(spark, dir).count()
-    assert(mtime(pairsDir) === pairsT1, "pair memo hit must not rewrite")
+    assert(Files.exists(pairsSentinel), "pair memo hit must not rewrite")
 
-    // labels: memo hit, then a targeted clear forces ONE recompute and
-    // leaves the pair artifact alone
+    // labels: memo hit, then a targeted PER-DIR clear forces ONE
+    // recompute and leaves the pair artifact alone. The clear must be
+    // scoped to THIS spec's private dir — the JVM-global form would
+    // drop other suites' entries on the shared testdata dirs, exactly
+    // the hazard the private data copy exists to avoid.
     Dedup.dedupComponents(spark, dir).count()
     val ccDir = Formats.tmp("dedup_cc", dir)
-    val ccT1 = mtime(ccDir)
+    val ccSentinel = plantSentinel(ccDir)
     Dedup.dedupComponents(spark, dir).count()
-    assert(mtime(ccDir) === ccT1, "label memo hit must not rewrite")
-    Dedup.clearComponentLabelMemo()
-    Thread.sleep(5)
+    assert(Files.exists(ccSentinel), "label memo hit must not rewrite")
+    Dedup.clearComponentLabelMemo(dir)
     Dedup.dedupComponents(spark, dir).count()
-    assert(mtime(ccDir) > ccT1, "cleared label memo must recompute")
-    assert(mtime(pairsDir) === pairsT1,
+    assert(!Files.exists(ccSentinel), "cleared label memo must recompute")
+    assert(Files.exists(pairsSentinel),
       "label clear must not disturb the pair artifact")
 
-    // q15 revenue0: memo hit, then clearScratchMemos forces the rebuild
+    // q15 revenue0: memo hit, then the per-dir clear forces the rebuild
     Relational.qTpchQ15(spark, dir).count()
     val q15Dir = Formats.tmp("tpch_q15_rev0", dir)
-    val q15T1 = mtime(q15Dir)
+    val q15Sentinel = plantSentinel(q15Dir)
     Relational.qTpchQ15(spark, dir).count()
-    assert(mtime(q15Dir) === q15T1, "q15 memo hit must not rewrite")
-    Relational.clearScratchMemos()
-    Thread.sleep(5)
+    assert(Files.exists(q15Sentinel), "q15 memo hit must not rewrite")
+    Relational.clearScratchMemos(dir)
     Relational.qTpchQ15(spark, dir).count()
-    assert(mtime(q15Dir) > q15T1, "cleared q15 memo must re-materialize")
+    assert(!Files.exists(q15Sentinel), "cleared q15 memo must re-materialize")
   }
 }

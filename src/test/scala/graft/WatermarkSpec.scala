@@ -59,10 +59,12 @@ class WatermarkSpec extends AnyFunSuite {
       .start()
     q.awaitTermination()
 
-    // update mode emits per-batch revisions; last emission per window wins
+    // update mode emits per-batch revisions; counts per window are
+    // monotone non-decreasing, so max is the final revision — order-free
+    // (collect() order from a memory sink is an implementation detail)
     val finalCounts = spark.table(name).collect()
       .map(r => r.getString(0) -> r.getLong(1))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
 
     // the late 08:05 must NOT have created or updated an 08:00 window
     assert(!finalCounts.contains("08:00"), s"late event leaked: $finalCounts")
