@@ -17,11 +17,13 @@ import graft.engine.Tables
 class DynamicOverwriteSpec extends AnyFunSuite {
 
   private def listing(root: Path): Map[String, (Long, Long)] =
-    Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-"))
-      .map(p => root.relativize(p).toString ->
-        (Files.size(p), Files.getLastModifiedTime(p).toMillis))
-      .toMap
+    scala.util.Using.resource(Files.walk(root)) {
+      _.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.startsWith("part-"))
+        .map(p => root.relativize(p).toString ->
+          (Files.size(p), Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    }
 
   test("backfill rewrites only the targeted partition's files") {
     val spark = TestSpark.spark

@@ -17,11 +17,15 @@ class SketchAccuracySpec extends AnyFunSuite {
   import TestSpark.spark
 
   test("per-source union sketch estimates exact union Jaccard within 0.3") {
-    // exact union shingle sets per source
+    // exact union shingle sets per source — coalesce to empty like the
+    // operator's shingleSets does, so a refreshed NULL text reads as an
+    // empty set here too instead of NPEing the oracle side
     val rows = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
       .select(col("source"),
-        array_distinct(graft.functions.Text.shingles(
-          graft.functions.Text.tokens(col("text")), Dedup.ShingleN)).as("sh"))
+        coalesce(
+          array_distinct(graft.functions.Text.shingles(
+            graft.functions.Text.tokens(col("text")), Dedup.ShingleN)),
+          array().cast("array<string>")).as("sh"))
       .collect()
     val unions: Map[String, Set[String]] = rows
       .groupBy(_.getString(0))
