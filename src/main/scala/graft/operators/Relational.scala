@@ -203,12 +203,17 @@ object Relational {
     * skip injection at test scale; production keeps the defaults and
     * gets this plan exactly when it pays off.
     */
+  /** The conf window [[qBloomJoin]] executes in — shared with
+    * BloomJoinSpec so the spec can never drift into asserting injection
+    * under a window the production path no longer uses. */
+  private[graft] val BloomJoinConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB")
+
   def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
     val dest = graft.sources.Formats.tmp("bloom_join", dir)
-    Tables.withConfs(spark,
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB") {
+    Tables.withConfs(spark, BloomJoinConfs: _*) {
       bloomJoinPlan(spark, dir).write.mode("overwrite").parquet(dest)
     }
     spark.read.parquet(dest)

@@ -33,12 +33,15 @@ class AnnBatchPlanSpec extends AnyFunSuite {
       assert(rs.forall(r => r.getLong(1) != qid), s"query $qid returned itself")
     }
 
-    // plan envelope (final AQE plan only)
+    // plan envelope (final AQE plan only) — typed count, so a range or
+    // single-partition exchange reintroduced on the corpus side fails
+    // too, not just a hash one
     val executed = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(executed).length
-    assert(shuffles == 1,
-      s"expected exactly the final per-query-rank exchange, found $shuffles:\n$executed")
+    val shuffles = TestSpark.shuffleExchanges(df)
+    assert(shuffles.length == 1,
+      s"expected exactly the final per-query-rank exchange, found " +
+        s"${shuffles.map(_.nodeName)}:\n$executed")
     assert(executed.contains("BroadcastNestedLoopJoin"),
       s"query set not broadcast:\n$executed")
     assert("WindowGroupLimit.*Partial".r.findFirstIn(executed).isDefined,

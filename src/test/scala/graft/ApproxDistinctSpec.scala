@@ -38,6 +38,6 @@ class ApproxDistinctSpec extends AnyFunSuite {
     }
   }
 
-  test("HLL++ within 4*rsd of exact at sf0.001") { check("/root/testdata/sf0.001") }
-  test("HLL++ within 4*rsd of exact at sf0.01") { check("/root/testdata/sf0.01") }
+  test("HLL++ within 4*rsd of exact at sf0.001") { check(TestSpark.Sf0001) }
+  test("HLL++ within 4*rsd of exact at sf0.01") { check(TestSpark.Sf001) }
 }

@@ -39,6 +39,6 @@ class ApproxPercentileSpec extends AnyFunSuite {
   }
 
   test("approx percentiles within one unit of exact at sf0.01") {
-    check("/root/testdata/sf0.01")
+    check(TestSpark.Sf001)
   }
 }

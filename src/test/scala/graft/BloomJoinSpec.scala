@@ -14,10 +14,9 @@ import graft.operators.Relational
   */
 class BloomJoinSpec extends AnyFunSuite {
 
-  private val confs = Seq(
-    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB")
+  // the EXACT window qBloomJoin executes in — shared, not copied, so a
+  // production tuning change cannot leave this spec pinning a dead conf
+  private val confs = Relational.BloomJoinConfs
 
   test("bloom filter is injected on the fact side and preserves results") {
     val spark = TestSpark.spark
@@ -30,6 +29,12 @@ class BloomJoinSpec extends AnyFunSuite {
     }
     assert(plan.contains("might_contain"),
       s"no runtime bloom filter in the optimized plan:\n$plan")
+    // ...and on the FACT side: the filter must reference the lineitem
+    // join key — a creation-side injection would contain might_contain
+    // too, while pruning nothing before the fact exchange
+    assert(plan.linesIterator.exists(l =>
+      l.contains("might_contain") && l.contains("l_orderkey")),
+      s"runtime bloom filter not on the fact (lineitem) side:\n$plan")
     assert(plan.contains("bloom_filter_agg"),
       s"no bloom_filter_agg creation subquery in the optimized plan:\n$plan")
 

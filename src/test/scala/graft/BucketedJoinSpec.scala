@@ -16,9 +16,8 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   test("bucketed SMJ: zero shuffle exchanges below the aggregation") {
     val spark = TestSpark.spark
-    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    graft.engine.Tables.withConf(spark,
+        "spark.sql.autoBroadcastJoinThreshold", "-1") {
       val df = Relational.qBucketedJoin(spark, TestSpark.Sf0001)
       val rows = df.collect()
         .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
@@ -26,18 +25,18 @@ class BucketedJoinSpec extends AnyFunSuite {
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
       assert(rows === ref, "bucketed plan changed results")
 
-      // final AQE plan only (the string also embeds the initial plan)
+      // final AQE plan only (the string also embeds the initial plan);
+      // typed count so range/single-partition exchanges fail too
       val executed = df.queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
       assert(executed.contains("SortMergeJoin"),
         s"expected a sort-merge join, plan:\n$executed")
-      val shuffles = "Exchange hashpartitioning".r.findAllIn(executed).length
-      assert(shuffles == 1,
-        s"expected exactly the aggregation exchange, found $shuffles:\n$executed")
+      val shuffles = TestSpark.shuffleExchanges(df)
+      assert(shuffles.length == 1,
+        s"expected exactly the aggregation exchange, found " +
+          s"${shuffles.map(_.nodeName)}:\n$executed")
       assert(executed.contains("Bucketed: true"),
         s"scans not bucketed:\n$executed")
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
     }
   }
 }

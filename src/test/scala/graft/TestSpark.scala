@@ -53,6 +53,27 @@ object TestSpark {
     dataDir.toString
   }
 
+  /** All shuffle exchanges (hash, range, AND single-partition) in the
+    * FINAL AQE plan — broadcast exchanges excluded. The plan-pin specs
+    * must count these typed, not grep "Exchange hashpartitioning":
+    * a reintroduced corpus-side orderBy (range partitioning) or
+    * coalesce-to-one (SinglePartition) is exactly the regression class
+    * they exist to catch and matches neither string. Call AFTER an
+    * action so AQE has finalized. */
+  def shuffleExchanges(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+  }
+
   /** Row multiset (row → count) — a plain Set masks a bug that changes
     * row multiplicity without changing the set. ONE definition shared by
     * the encoding/schema specs so the compare cannot drift. */
