@@ -26,10 +26,19 @@ def main():
         names |= set(r["queries"])
     medians = {}
     for n in sorted(names):
-        vals = [r["queries"][n] for r in runs
-                if n in r["queries"] and r["queries"][n] >= 0]
-        if len(vals) != len(runs):
-            print(f"// WARNING: {n} present in only {len(vals)} runs",
+        present = [r for r in runs if n in r["queries"]]
+        vals = [r["queries"][n] for r in present if r["queries"][n] >= 0]
+        # distinguish a query ABSENT from a run (registry drift) from one
+        # present but errored (-1, check that run's errors list) — the
+        # two send the operator down entirely different hunts
+        if len(present) != len(runs):
+            print(f"// WARNING: {n} absent from "
+                  f"{len(runs) - len(present)} run(s) — registry drift?",
+                  file=sys.stderr)
+        if len(vals) != len(present):
+            print(f"// WARNING: {n} errored (-1) in "
+                  f"{len(present) - len(vals)} run(s) — see that run's "
+                  "errors list; median uses the remaining samples",
                   file=sys.stderr)
         if not vals:  # errored (-1) in every run: skip, don't crash
             print(f"// WARNING: {n} has no successful run — omitted "
@@ -63,9 +72,12 @@ def main():
     print("// slowest medians: " +
           ", ".join(f"{n} {v:.2f}" for n, v in slow), file=sys.stderr)
     for r, p in zip(runs, sys.argv[1:]):
-        smeared = {n: v for n, v in r.get("smears", {}).items()}
+        smeared = r.get("smears", {})
         if smeared:
-            tops = {n: v for n, v in list(smeared.items())[:6]}
+            # the LARGEST smears (by first-pass minus re-run), not JSON
+            # insertion order — the provenance block must show severity
+            tops = dict(sorted(smeared.items(),
+                               key=lambda kv: -(kv[1][0] - kv[1][-1]))[:6])
             print(f"// {p} smears: {tops}", file=sys.stderr)
 
 

@@ -52,13 +52,23 @@ ROWS = [
     (5, "tab\tand\nnewline\x0cform feed"),  # the rest of the \s set
 ]
 
-EVENT_PROPS = [
-    '{"k": 7}',            # the fixture's clean shape
-    '{"k": "abc"}',        # type mismatch: lenient cast must NULL, not abort
-    '{"x": 1}',            # extracted key absent
-    None,                   # NULL props: has_missing groups under NULL
-    '{"k": {"a": 1}}',     # nested value: per-field cast NULLs, keys still count
+# (event_type, value, props) — the error/value>=490 rows feed
+# q_join_anti_nullaware's `blocked` CTE: without them the NOT-IN set is
+# empty and the props-extraction contract is never load-bearing for that
+# query (any divergence would compare trivially-equal full counts). The
+# mistyped error props puts the NULL arm INSIDE the blocked set — the
+# exact null-aware semantics the query exists to pin: both engines must
+# agree the set contains NULL (empty result) or the counts diverge.
+EVENTS = [
+    ("click", 0.0, '{"k": 7}'),        # the fixture's clean shape
+    ("view", 1.0, '{"k": "abc"}'),     # type mismatch: lenient cast must NULL, not abort
+    ("click", 2.0, '{"x": 1}'),        # extracted key absent
+    ("view", 3.0, None),                # NULL props: has_missing groups under NULL
+    ("click", 4.0, '{"k": {"a": 1}}'), # nested value: per-field cast NULLs, keys still count
+    ("error", 500.0, '{"k": 7}'),      # blocked: clean key
+    ("error", 495.0, '{"k": "abc"}'),  # blocked: extraction-NULL arm
 ]
+EVENT_PROPS = [p for (_, _, p) in EVENTS]
 
 
 def main():
@@ -77,10 +87,8 @@ def main():
         "ts": pa.array([1700000000000000 + i * 1000000
                         for i in range(len(EVENT_PROPS))], pa.timestamp("us")),
         "user_id": pa.array([1] * len(EVENT_PROPS), pa.int64()),
-        "event_type": pa.array(["click", "view", "click", "view", "click"],
-                               pa.string()),
-        "value": pa.array([float(i) for i in range(len(EVENT_PROPS))],
-                          pa.float64()),
+        "event_type": pa.array([t for (t, _, _) in EVENTS], pa.string()),
+        "value": pa.array([v for (_, v, _) in EVENTS], pa.float64()),
         "props": pa.array(EVENT_PROPS, pa.string()),
     })
     pq.write_table(ev, f"{DATA}/events.parquet")
@@ -100,8 +108,13 @@ def main():
         [sys.executable, f"{ROOT}/tools/oracle_check.py", DATA, OUT],
         capture_output=True, text=True)
     print(r.stdout, end="")
-    if r.returncode != 0 or " fail" not in r.stdout.splitlines()[-1] \
-            or not r.stdout.splitlines()[-1].startswith(f"{len(QUERIES)} pass, 0 fail"):
+    last = r.stdout.splitlines()[-1] if r.stdout.splitlines() else ""
+    if r.returncode != 0 or not last.startswith(f"{len(QUERIES)} pass, 0 fail"):
+        # surface the checker's own crash (import error, corrupt
+        # oracle_sql.json) — otherwise a tooling failure reads as a
+        # false "divergence" with the real traceback thrown away
+        if r.stderr:
+            print(r.stderr[-2000:], file=sys.stderr)
         sys.exit("EDGE PROBE FAILED — engine and oracle diverge on degenerate rows")
     print("edge probe OK: engine == DuckDB oracle on zero-token/NULL/VT "
           "documents and NULL/mistyped/nested props events")

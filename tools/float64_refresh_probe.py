@@ -33,7 +33,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     src, out = sys.argv[1], sys.argv[2]
-    os.makedirs(out, exist_ok=True)
+    # rebuild from scratch: exist_ok alone would let tables from a PRIOR
+    # run's (different) source survive into this fixture — the recurring
+    # stale-scratch class (artifact gated on existence, not provenance)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
     for t in TABLES:
         p = f"{src}/{t}.parquet"
         if not os.path.exists(p):

@@ -38,6 +38,16 @@ def cells_equal(a, b):
         # whichever cell differs between the misaligned rows, which is
         # correct-but-indirect)
         return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
+    # container-typed cells (array/struct columns arrive as lists/dicts):
+    # recurse so the float rules above reach NESTED cells — a bare ==
+    # would green-light [0.0] vs [-0.0] (the driver's encoding hash fails
+    # it) and spuriously fail [nan] vs [nan] (the driver passes it)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            cells_equal(x, y) for x, y in zip(a, b))
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(
+            cells_equal(a[k], b[k]) for k in a)
     return a == b
 
 
