@@ -184,6 +184,14 @@ object Relational {
     (ot, lt)
   }
 
+  /** The conf window [[qBloomJoin]] executes in — shared with
+    * BloomJoinSpec so the spec can never drift into asserting injection
+    * under a window the production path no longer uses. */
+  private[graft] val BloomJoinConfs: Seq[(String, String)] = Seq(
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB")
+
   /** Runtime BLOOM-FILTER join pruning — semi-join reduction at shuffle
     * scale: Catalyst turns a selective creation-side filter (urgent
     * orders) into a bloom filter computed at runtime and applies it to
@@ -203,14 +211,6 @@ object Relational {
     * skip injection at test scale; production keeps the defaults and
     * gets this plan exactly when it pays off.
     */
-  /** The conf window [[qBloomJoin]] executes in — shared with
-    * BloomJoinSpec so the spec can never drift into asserting injection
-    * under a window the production path no longer uses. */
-  private[graft] val BloomJoinConfs: Seq[(String, String)] = Seq(
-    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB")
-
   def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
     val dest = graft.sources.Formats.tmp("bloom_join", dir)
     Tables.withConfs(spark, BloomJoinConfs: _*) {
@@ -1127,9 +1127,10 @@ object Relational {
       |ORDER BY n_name ASC""".stripMargin
 
   /** The three (brand, max size, quantity band) disjuncts of
-    * [[qTpchQ19]] — one place so the Spark plan and the derived
-    * single-side envelopes can't drift apart. */
-  private val Q19Bands: Seq[(String, Int, Int, Int)] = Seq(
+    * [[qTpchQ19]] — one place so the Spark plan, the derived
+    * single-side envelopes, and TpchRewriteEquivalenceSpec's planted
+    * band-edge corpus can't drift apart. */
+  private[graft] val Q19Bands: Seq[(String, Int, Int, Int)] = Seq(
     ("Brand#12", 15, 1, 11),
     ("Brand#23", 25, 10, 20),
     ("Brand#3", 35, 20, 30))

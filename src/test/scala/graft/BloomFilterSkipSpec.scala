@@ -29,14 +29,23 @@ class BloomFilterSkipSpec extends AnyFunSuite
 
   // ONE shared rewrite: both tests read the same deterministic copy, and
   // the afterAll delete survives assertion failures (the previous
-  // per-test tail delete leaked the copy whenever an assert fired first)
-  private lazy val dest =
-    Maintenance.bloomIndexedCopy(TestSpark.spark, TestSpark.Sf001)
+  // per-test tail delete leaked the copy whenever an assert fired first).
+  // `built` records the path on first SUCCESSFUL build so afterAll never
+  // re-attempts a failed rewrite (a lazy val retries its failed init)
+  // nor builds the copy just to delete it when the tests were skipped.
+  @volatile private var built: Option[String] = None
 
-  override def afterAll(): Unit = {
+  private def dest: String = {
+    val d = built.getOrElse(
+      Maintenance.bloomIndexedCopy(TestSpark.spark, TestSpark.Sf001))
+    built = Some(d)
+    d
+  }
+
+  override def afterAll(): Unit = built.foreach { d =>
     val conf = TestSpark.spark.sessionState.newHadoopConf()
-    val fs = new Path(dest).getFileSystem(conf)
-    fs.delete(new Path(dest), true); ()
+    val fs = new Path(d).getFileSystem(conf)
+    fs.delete(new Path(d), true); ()
   }
 
   test("every row group carries a usable l_partkey bloom filter") {

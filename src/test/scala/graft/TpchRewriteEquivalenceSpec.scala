@@ -32,9 +32,10 @@ class TpchRewriteEquivalenceSpec extends AnyFunSuite
   }
 
   /** The three Q19 bands as (brand, size upper edge, qty lo, qty hi) —
-    * kept in lockstep with [[q19Raw]] and `Relational.qTpchQ19`. */
-  private val Q19Bands = Seq(
-    ("Brand#12", 15, 1, 11), ("Brand#23", 25, 10, 20), ("Brand#3", 35, 20, 30))
+    * SHARED with the production query, so a band change re-points the
+    * planted edge rows and q19Raw automatically instead of leaving this
+    * spec pinning stale semantics. */
+  private val Q19Bands = Relational.Q19Bands
 
   private def plantTables(seed: Int): String = {
     val rnd = new scala.util.Random(seed)
