@@ -40,7 +40,19 @@ QUERIES = ["dedup_exact", "text_token_count", "text_fingerprint",
            "text_langid", "curation_e2e",
            "events_json_kv", "events_variant", "events_map_fns",
            "q_join_anti_nullaware",
-           "mm_metadata", "mm_decode", "mm_resize", "mm_frame_sample"]
+           "mm_metadata", "mm_decode", "mm_resize", "mm_frame_sample",
+           # the full token/shingle pipelines over the SAME degenerate
+           # docs — zero-token and NULL bodies must flow through
+           # tfidf/bm25/LM/inverted-index/shingle oracles as empty sets
+           # on BOTH engines, not crash or diverge
+           "text_normalize", "text_tfidf", "text_bm25", "text_top_terms",
+           "text_vocab_oov", "text_repetition", "text_bigrams",
+           "text_lm_score", "text_inverted_index", "text_redact",
+           "dedup_near_jaccard", "dedup_minhash_lsh", "dedup_ngram_exact",
+           "dedup_chunks", "dedup_survivors", "dedup_decontaminate",
+           "doc_stable_ids",
+           # events consumers over the NULL/mistyped-props rows
+           "events_hourly", "events_histogram", "events_lead_lag"]
 
 ROWS = [
     # ≥20 tokens of English prose: the one row the curation gate keeps
