@@ -75,6 +75,13 @@ object Similarity {
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), quant(col("embedding")).as("qe"))
       .select(col("vec_id"), col("qe"), normSqL(col("qe")).as("nsq"))
+      // a ZERO-NORM vector (all components quantize to 0) is excluded
+      // for the same reason: cosine is undefined for it, and under ANSI
+      // mode the sim division THROWS DIVIDE_BY_ZERO at runtime — one
+      // such row in a refreshed corpus would kill every exact-ANN query
+      // (caught by tools/edge_oracle_probe.py's planted fixture). The
+      // oracles carry the same quantized-norm > 0 arm.
+      .filter(col("nsq") > 0)
   }
 
   /** Guarded integer dot product over quantized arrays — ONE definition
@@ -128,12 +135,18 @@ object Similarity {
   }
 
   val annTopkBruteforceSql: String =
-    s"""WITH q AS (
+    s"""WITH q0 AS (
       |  SELECT $QuantSql AS qb
       |  FROM embeddings WHERE vec_id = 0 AND embedding IS NOT NULL),
-      |v AS (
+      |q AS (
+      |  SELECT qb FROM q0
+      |  WHERE list_sum(list_transform(qb, x -> x * x)) > 0),
+      |v0 AS (
       |  SELECT vec_id, $QuantSql AS qa
       |  FROM embeddings WHERE vec_id <> 0 AND embedding IS NOT NULL),
+      |v AS (
+      |  SELECT vec_id, qa FROM v0
+      |  WHERE list_sum(list_transform(qa, x -> x * x)) > 0),
       |s AS (
       |  SELECT vec_id,
       |    CAST(CAST(list_sum(list_transform(list_zip(qa, qb), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
@@ -177,9 +190,11 @@ object Similarity {
       |  SELECT vec_id, $QuantSql AS qe
       |  FROM embeddings WHERE embedding IS NOT NULL),
       |v AS (
-      |  SELECT vec_id, qe,
-      |    CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nsq
-      |  FROM e),
+      |  SELECT vec_id, qe, nsq FROM (
+      |    SELECT vec_id, qe,
+      |      CAST(list_sum(list_transform(qe, x -> x * x)) AS BIGINT) AS nsq
+      |    FROM e)
+      |  WHERE nsq > 0),
       |q AS (
       |  SELECT vec_id AS query_id, qe AS qb, nsq AS nsqb
       |  FROM v WHERE vec_id < $BatchQueryCount),
@@ -284,9 +299,12 @@ object Similarity {
   }
 
   val annPairsBruteforceSql: String =
-    s"""WITH v AS (
+    s"""WITH v0 AS (
       |  SELECT vec_id, $QuantSql AS qe
-      |  FROM embeddings WHERE embedding IS NOT NULL)
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |v AS (
+      |  SELECT vec_id, qe FROM v0
+      |  WHERE list_sum(list_transform(qe, x -> x * x)) > 0)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  CAST(CAST(list_sum(list_transform(list_zip(a.qe, b.qe), p -> p[1] * p[2])) AS BIGINT) AS DOUBLE)
       |  / sqrt(CAST(CAST(list_sum(list_transform(a.qe, x -> x * x)) AS BIGINT)

@@ -52,7 +52,13 @@ QUERIES = ["dedup_exact", "text_token_count", "text_fingerprint",
            "dedup_chunks", "dedup_survivors", "dedup_decontaminate",
            "doc_stable_ids",
            # events consumers over the NULL/mistyped-props rows
-           "events_hourly", "events_histogram", "events_lead_lag"]
+           "events_hourly", "events_histogram", "events_lead_lag",
+           # exact-ANN oracles over a NULL embedding (the Similarity
+           # hardening's filter) and a ZERO-NORM vector (sim = 0/0:
+           # Spark's NaN >= t is FALSE while DuckDB compares NaN as
+           # greater — the engines must agree by construction, not luck)
+           "ann_topk_bruteforce", "ann_topk_batch",
+           "ann_pairs_bruteforce", "dedup_embedding_cosine"]
 
 ROWS = [
     # ≥20 tokens of English prose: the one row the curation gate keeps
@@ -104,6 +110,18 @@ def main():
         "props": pa.array(EVENT_PROPS, pa.string()),
     })
     pq.write_table(ev, f"{DATA}/events.parquet")
+    # embeddings: 11 deterministic non-trivial vectors, one NULL row
+    # (vec_id 11), one all-zero row (vec_id 12, norm 0 → sim 0/0)
+    dim = 8
+    vecs = [[((7 * i + 3 * d) % 11 - 5) / 7.0 for d in range(dim)]
+            for i in range(11)]
+    emb = pa.table({
+        "vec_id": pa.array(range(13), pa.int64()),
+        "embedding": pa.array(vecs + [None, [0.0] * dim],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(13)], pa.int32()),
+    })
+    pq.write_table(emb, f"{DATA}/embeddings.parquet")
 
     cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
@@ -129,7 +147,8 @@ def main():
             print(r.stderr[-2000:], file=sys.stderr)
         sys.exit("EDGE PROBE FAILED — engine and oracle diverge on degenerate rows")
     print("edge probe OK: engine == DuckDB oracle on zero-token/NULL/VT "
-          "documents and NULL/mistyped/nested props events")
+          "documents, NULL/mistyped/nested props events, and "
+          "NULL/zero-norm embeddings")
 
 
 if __name__ == "__main__":
