@@ -89,17 +89,14 @@ EVENTS = [
 EVENT_PROPS = [p for (_, _, p) in EVENTS]
 
 
-def main():
-    shutil.rmtree(SCRATCH, ignore_errors=True)
-    os.makedirs(DATA)
-    tbl = pa.table({
+def tables():
+    docs = pa.table({
         "doc_id": pa.array([r[0] for r in ROWS], pa.int64()),
         "text": pa.array([r[1] for r in ROWS], pa.string()),
         "lang": pa.array(["en"] * len(ROWS), pa.string()),
         "source": pa.array(["planted"] * len(ROWS), pa.string()),
         "n_chars": pa.array([len(r[1]) if r[1] else 0 for r in ROWS], pa.int64()),
     })
-    pq.write_table(tbl, f"{DATA}/documents.parquet")
     ev = pa.table({
         "event_id": pa.array(range(1, len(EVENT_PROPS) + 1), pa.int64()),
         "ts": pa.array([1700000000000000 + i * 1000000
@@ -109,7 +106,6 @@ def main():
         "value": pa.array([v for (_, v, _) in EVENTS], pa.float64()),
         "props": pa.array(EVENT_PROPS, pa.string()),
     })
-    pq.write_table(ev, f"{DATA}/events.parquet")
     # embeddings: 11 deterministic non-trivial vectors, one NULL row
     # (vec_id 11), one all-zero row (vec_id 12, norm 0 → sim 0/0)
     dim = 8
@@ -121,34 +117,55 @@ def main():
                               pa.list_(pa.float32())),
         "label": pa.array([i % 3 for i in range(13)], pa.int32()),
     })
-    pq.write_table(emb, f"{DATA}/embeddings.parquet")
+    return {"documents": docs, "events": ev, "embeddings": emb}
 
+
+def run_pass(label, data_dir, out_dir, tbls, queries):
+    """Plant `tbls`, run the REAL engine Verify + oracle_check, demand
+    every query passes. One pass per fixture class."""
+    os.makedirs(data_dir)
+    for name, t in tbls.items():
+        pq.write_table(t, f"{data_dir}/{name}.parquet")
     cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
     r = subprocess.run(
-        ["java", "-cp", cp, "-Xmx4g", "graft.Verify", DATA, OUT,
-         ",".join(QUERIES)],
+        ["java", "-cp", cp, "-Xmx4g", "graft.Verify", data_dir, out_dir,
+         ",".join(queries)],
         capture_output=True, text=True)
     failed = [l for l in r.stderr.splitlines() if "[verify] " in l]
     if r.returncode != 0 or failed:
         print("\n".join(failed) or r.stderr[-2000:])
-        sys.exit(f"engine Verify failed (exit {r.returncode})")
-
+        sys.exit(f"engine Verify failed on the {label} fixture "
+                 f"(exit {r.returncode})")
     r = subprocess.run(
-        [sys.executable, f"{ROOT}/tools/oracle_check.py", DATA, OUT],
+        [sys.executable, f"{ROOT}/tools/oracle_check.py", data_dir, out_dir],
         capture_output=True, text=True)
     print(r.stdout, end="")
     last = r.stdout.splitlines()[-1] if r.stdout.splitlines() else ""
-    if r.returncode != 0 or not last.startswith(f"{len(QUERIES)} pass, 0 fail"):
+    if r.returncode != 0 or not last.startswith(f"{len(queries)} pass, 0 fail"):
         # surface the checker's own crash (import error, corrupt
         # oracle_sql.json) — otherwise a tooling failure reads as a
         # false "divergence" with the real traceback thrown away
         if r.stderr:
             print(r.stderr[-2000:], file=sys.stderr)
-        sys.exit("EDGE PROBE FAILED — engine and oracle diverge on degenerate rows")
+        sys.exit(f"EDGE PROBE FAILED — engine and oracle diverge on the "
+                 f"{label} fixture")
+
+
+def main():
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    run_pass("degenerate-rows", DATA, OUT, tables(), QUERIES)
+    # pass 2: the SAME queries over fully EMPTY tables (schema preserved)
+    # — the count-over-empty / sum-returns-NULL divergence class (an
+    # aggregate-without-GROUP-BY emits one row whose SUMs are NULL and
+    # whose COUNTs are 0; both engines must emit the same single row or
+    # the same zero rows)
+    empties = {n: t.slice(0, 0) for n, t in tables().items()}
+    run_pass("empty-tables", f"{SCRATCH}/data_empty", f"{SCRATCH}/verify_empty",
+             empties, QUERIES)
     print("edge probe OK: engine == DuckDB oracle on zero-token/NULL/VT "
-          "documents, NULL/mistyped/nested props events, and "
-          "NULL/zero-norm embeddings")
+          "documents, NULL/mistyped/nested props events, NULL/zero-norm "
+          "embeddings, and fully EMPTY tables")
 
 
 if __name__ == "__main__":
