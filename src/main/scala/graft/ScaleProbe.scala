@@ -59,6 +59,19 @@ object ScaleProbe {
       // (sf1 carries 10× key-offset orders/lineitem replicas for it)
       "dedup_components_lsh", "maint_profile")
 
+  /** The five 100 TB scale paths, probed alone at sf10 (`--flagship`):
+    * everything quadratic-cornered (the exact shingle join, all-pairs
+    * brute force, the exact components fixpoint) is deliberately absent
+    * — at 100× the gate scale those are the operators this engine
+    * REPLACES, not ones to wait hours on. Quality at sf10 comes from
+    * receipts with linear truth sources instead: IVF recall vs the
+    * exact batch scan (∝ N), and LSH-components recall vs the
+    * generator-derived planted-duplicate pairs
+    * ([[graft.operators.Dedup.plantedPairRecall]]). */
+  private val FlagshipProbes =
+    Seq("dedup_minhash_lsh", "dedup_components_lsh", "ann_ivf_topk",
+      "maint_profile_approx", "doc_pack_shards")
+
   /** Every quality receipt is non-fatal by design: one failed metric
     * logs a JSON error line and the probe run continues — a thrown
     * receipt must never abort the remaining probes for the remaining
@@ -80,8 +93,11 @@ object ScaleProbe {
     // which rejects the empty ROOT locale)
     java.util.Locale.setDefault(
       java.util.Locale.Category.FORMAT, java.util.Locale.ROOT)
+    val flagship = args.contains("--flagship")
+    val dirArgs = args.toSeq.filterNot(_ == "--flagship")
     val dirs =
-      if (args.nonEmpty) args.toSeq
+      if (dirArgs.nonEmpty) dirArgs
+      else if (flagship) Seq("/root/repo/target/sf1", "/root/repo/target/sf10")
       else Seq("/root/testdata/sf0.1", "/root/repo/target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -97,7 +113,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     for (dir <- dirs) {
-      for (name <- Probes) {
+      for (name <- (if (flagship) FlagshipProbes else Probes)) {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dir)
         // toRdd.count() materializes the FULL output schema in one pass —
@@ -131,7 +147,7 @@ object ScaleProbe {
       // ComponentsLshRecallSpec). The whole block is likewise
       // non-fatal: a failed quality metric logs and the probe run
       // continues.
-      receipt("dedup_components_lsh_recall", dir) {
+      if (!flagship) receipt("dedup_components_lsh_recall", dir) {
         import graft.operators.Dedup.{coMembershipStats, componentLabelMap, lshComponentLabels}
         val exactLabels = componentLabelMap(
           SparkEntry.queries("dedup_components")(spark, dir))
@@ -157,6 +173,22 @@ object ScaleProbe {
         if (total > 0)
           println(f"""{"probe":"ann_ivf_recall_at_10","dir":"$dir","recall":${hit.toDouble / total}%.3f}""")
       }
+      // LSH-components recall against the generator's planted duplicate
+      // pairs (dup_pairs.parquet sidecar, filtered to >=threshold exact
+      // Jaccard per pair — a LINEAR truth source, so it survives sf10
+      // where the exact fixpoint's Σdf² edge join cannot run). At sf1
+      // this cross-checks the exact-truth co-membership receipt above
+      // from an independent ground truth.
+      receipt("dedup_components_lsh_planted_recall", dir) {
+        val sidecar = new org.apache.hadoop.fs.Path(s"$dir/dup_pairs.parquet")
+        val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(sidecar)) {
+          val (n, hit) = graft.operators.Dedup.plantedPairRecall(
+            spark, dir, spark.read.parquet(sidecar.toString))
+          if (n > 0)
+            println(f"""{"probe":"dedup_components_lsh_planted_recall","dir":"$dir","n":$n,"recall":${hit.toDouble / n}%.3f}""")
+        }
+      }
       // Semantic-dedup quality at this scale: pair recall of the
       // cluster-then-prune path against the exact all-pairs twin (the
       // sims are bit-identical by construction — DedupSemanticSpec pins
@@ -172,7 +204,7 @@ object ScaleProbe {
       // sf1) — collect ONCE and stratify driver-side, instead of
       // re-evaluating the O(N²) brute-force scan and the full
       // cluster-then-prune per band (6×/3× redundant distributed runs).
-      receipt("dedup_semantic_pair_recall", dir) {
+      if (!flagship) receipt("dedup_semantic_pair_recall", dir) {
         val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
           .select("vec_a", "vec_b", "sim")
           .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
@@ -198,7 +230,7 @@ object ScaleProbe {
       // isotropic bands above are the adversarial floor; this is the
       // number a user deduplicating actual near-copies sees. Fully
       // deterministic: vec_id-keyed selection and per-id seeded noise.
-      receipt("dedup_semantic_planted_dup_recall", dir) {
+      if (!flagship) receipt("dedup_semantic_planted_dup_recall", dir) {
         import org.apache.spark.sql.functions.{col, max => fmax}
         import spark.implicits._
         val emb = graft.engine.Tables.embeddings(spark, dir)

@@ -56,9 +56,9 @@ object SparkEntry {
     */
   val rowsOnly: Set[String] = Set(
     "dedup_components_lsh", // ComponentsLshRecallSpec: co-membership recall >= 0.95 vs exact
-    "dedup_simhash",        // SimhashSpec: bit-flip bound vs brute force
+    "dedup_simhash",        // SimhashPairsSpec + OperatorInvariantsSpec: pairs exactly brute-force Hamming<=3
     "dedup_simhash_pairs",  // SimhashPairsSpec: pigeonhole-exact banding
-    "dedup_sketch_sources", // sketch union — ApproxDistinctSpec twin
+    "dedup_sketch_sources", // SketchAccuracySpec: union estimate within 0.3 of exact Jaccard
     "ann_lsh_top1",         // AnnRecallSpec: recall@1 >= 0.9
     "ann_ivf_top1",         // AnnRecallSpec: recall@1 >= 0.9
     "ann_ivf_topk",         // AnnRecallSpec: batch recall@10 >= 0.9

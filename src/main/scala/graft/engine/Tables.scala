@@ -318,19 +318,27 @@ object Tables {
               MicrosLong
             }
             else if (minAbs > NanosFloor) NanosLong
-            else if (minAbs < SentinelCeil) {
-              // mixed magnitudes where the small side is not a plausible
-              // real timestamp in EITHER encoding (|v| below ~1970-01-12
-              // as micros / ~17 minutes as nanos): those are missing-value
-              // sentinels (0, -1, small epsilons — the same tolerance the
-              // magnitude rule already gives an otherwise-micros column),
-              // and the high side is impossible as micros (≥ NanosFloor ≫
-              // the year-2200 ceiling), so nanos is the only consistent
-              // reading, not a guess. Residual: a half-converted column
-              // whose micros half sits entirely BETWEEN SentinelCeil and
-              // the footer min/max extremes is invisible to min/max
-              // evidence — the ambiguity throw below still catches every
-              // mix whose small side is a real timestamp.
+            else if (Seq(lo, hi).forall { v =>
+              val a = math.abs(v); a < SentinelCeil || a > NanosFloor
+            }) {
+              // mixed magnitudes where EACH observed extreme is
+              // individually either a missing-value sentinel (|v| below
+              // ~1970-01-12 as micros / ~17 minutes as nanos — 0, -1,
+              // small epsilons, the same tolerance the magnitude rule
+              // already gives an otherwise-micros column) or nanos-range
+              // (|v| > NanosFloor, impossible as micros — ≫ the year-2200
+              // ceiling): nanos is the only consistent reading of both
+              // extremes, not a guess. The check is per-extreme, NOT on
+              // minAbs: a zero-spanning range forces minAbs to 0, which
+              // would let a plausible-micros extreme (e.g. hi ≈ 1.6e15
+              // paired with a nanos-scale negative lo) silently decide
+              // nanos and be misread as a 1970-era nano instant — that
+              // mix falls through to the ambiguity throw. Residual: a
+              // half-converted column whose micros half sits entirely
+              // BETWEEN SentinelCeil and the footer min/max extremes is
+              // invisible to min/max evidence — the throw below still
+              // catches every mix whose observed extreme is a real
+              // timestamp in the wrong encoding.
               NanosLong
             }
             else throw new IllegalStateException(

@@ -591,6 +591,45 @@ object Dedup {
     df.collect().map(r =>
       r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
 
+  /** Planted-duplicate recall of the LSH-seeded components labeling
+    * against GENERATOR-DERIVED ground truth (tools/make_sf1.py's
+    * dup_pairs.parquet sidecar): of the generated (base, copy) pairs
+    * whose EXACT shingle Jaccard clears [[JaccardThreshold]] — computed
+    * per sidecar pair, linear in |pairs|, never the Σdf² edge join —
+    * the fraction the labeling co-assigns to one component. This is
+    * the sf10 recall receipt, where re-running the exact fixpoint
+    * (whose edge build IS the quadratic corner) is deliberately not an
+    * option; at sf1 it cross-checks the exact-vs-LSH co-membership
+    * stats from an independent truth source. Returns
+    * (truthPairs, coAssignedPairs). */
+  def plantedPairRecall(
+      spark: SparkSession, dir: String, pairs: DataFrame): (Long, Long) = {
+    val sh = shingleSets(spark, dir)
+    val a = sh.select(col("doc_id").as("base_id"),
+      col("sh").as("sha"), col("sz").as("sza"))
+    val b = sh.select(col("doc_id").as("copy_id"),
+      col("sh").as("shb"), col("sz").as("szb"))
+    val truth = pairs.join(a, "base_id").join(b, "copy_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(col("uni") > 0 &&
+        col("inter").cast("double") / col("uni").cast("double")
+          >= JaccardThreshold)
+      .select("base_id", "copy_id")
+    val labels = lshComponentLabels(spark, dir)
+    val t = truth
+      .join(labels.select(col("doc_id").as("base_id"),
+        col("component").as("ca")), Seq("base_id"), "left")
+      .join(labels.select(col("doc_id").as("copy_id"),
+        col("component").as("cb")), Seq("copy_id"), "left")
+      .select(col("ca"), col("cb")).persist()
+    try {
+      val n = t.count()
+      val hit = t.filter(col("ca").isNotNull && col("ca") === col("cb")).count()
+      (n, hit)
+    } finally t.unpersist()
+  }
+
   /** Pair-counting co-membership stats of a CANDIDATE labeling (the
     * LSH-seeded fixpoint) against a REFERENCE one (the exact fixpoint),
     * WITHOUT enumerating pairs: counted from the (reference label,

@@ -209,11 +209,15 @@ object Maintenance {
     val b = li.agg(
       min("l_partkey"), max("l_partkey"),
       min("l_shipdate"), max("l_shipdate")).collect()(0)
-    // the ADVICE-r11 empty-fixture pattern (maintSketchRollup): fail
-    // with a dataset-named message, not an opaque NPE from getLong
-    require(!b.isNullAt(0) && !b.isNullAt(2),
-      s"maint_zorder: lineitem table at $dir is empty (or all-null on " +
-        "l_partkey/l_shipdate) — no bounds to normalize the z-curve over")
+    // empty lineitem (or all-null on both z dims): there is nothing to
+    // lay out — write the rows (if any) unchanged and return. Layout
+    // must never change results, only IO, so the degenerate rewrite is
+    // the identity copy, not an abort (the r11 loud require traded an
+    // opaque NPE for killing the whole battery on a just-created table)
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      li.write.mode("overwrite").parquet(dest)
+      return dest
+    }
     val (pkMin, pkMax) = (b.getLong(0), b.getLong(1))
     // l_shipdate is session-zone TIMESTAMP after Tables.conform
     // (java.sql.Timestamp externally; UTC is pinned) — accept the NTZ
@@ -399,13 +403,15 @@ object Maintenance {
       .write.mode("overwrite").parquet(snapPath)
     val daily = spark.read.parquet(snapPath)
     val hiRow = daily.agg(max(col("day"))).collect()(0)
-    // an empty events table yields a null max(day); fail with a message
-    // naming the dataset instead of an opaque NPE (ADVICE r11)
-    require(!hiRow.isNullAt(0),
-      s"maint_sketch_rollup: events table at $dir is empty — no max(day) to anchor the 28-day window")
-    val hi = hiRow.getDate(0)
-    daily
-      .filter(col("day") > date_sub(lit(hi), 28))
+    // an empty events table yields a null max(day): the 28-day window is
+    // vacuous, and the correct rollup is EMPTY with the same schema —
+    // not a throw (r11's loud require traded an opaque NPE for an abort,
+    // but a pipeline profiling a just-created table should get zero
+    // rows, the same answer every count-over-empty aggregate gives)
+    val windowed =
+      if (hiRow.isNullAt(0)) daily.filter(lit(false))
+      else daily.filter(col("day") > date_sub(lit(hiRow.getDate(0)), 28))
+    windowed
       .groupBy("event_type")
       .agg(
         hll_sketch_estimate(hll_union_agg(col("user_sketch"), lit(false)))

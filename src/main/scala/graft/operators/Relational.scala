@@ -1203,11 +1203,20 @@ object Relational {
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
   }
 
+  // HAVING count(*) > 0 on this and the other three grouping-analytics
+  // oracles pins SPARK's empty-input semantics: Spark's Expand-based
+  // rollup/cube/grouping-sets emit ZERO rows over an empty relation
+  // (0 input rows × k projections = 0), while the SQL standard (and
+  // DuckDB) emits the grand-total () row with count 0. The clause drops
+  // exactly that row and nothing else — every group over non-empty
+  // input contains ≥1 row, so non-empty results are untouched (edge
+  // probe, round 15).
   val qRollupSql: String =
     """SELECT r_name, n_name, count(*) AS n_cust
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+      |GROUP BY ROLLUP(r_name, n_name)
+      |HAVING count(*) > 0""".stripMargin
 
   /** CUBE over two lineitem dimensions. */
   def qCube(spark: SparkSession, dir: String): DataFrame =
@@ -1217,7 +1226,8 @@ object Relational {
 
   val qCubeSql: String =
     """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
-      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |HAVING count(*) > 0""".stripMargin // Spark's empty-input pin — see qRollupSql
 
   /** Explicit GROUPING SETS — the general form that rollup/cube compile
     * to (same Expand operator), exercised through `spark.sql` because the
@@ -1242,7 +1252,8 @@ object Relational {
       |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
       |  sum(l_quantity) AS sum_qty, count(*) AS n
       |FROM lineitem
-      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |HAVING count(*) > 0""".stripMargin // Spark's empty-input pin — see qRollupSql
 
   /** UNPIVOT (wide → long reshape): two per-flag measures melted into
     * (flag, measure, value) rows — the normalization step feature
@@ -1613,7 +1624,8 @@ object Relational {
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |GROUP BY ROLLUP(r_name, n_name)""".stripMargin
+      |GROUP BY ROLLUP(r_name, n_name)
+      |HAVING count(*) > 0""".stripMargin // Spark's empty-input pin — see qRollupSql
 
   /** TYPED COGROUP — per-key custom logic over BOTH sides of a
     * relationship at once (`KeyValueGroupedDataset.cogroup`), the API
@@ -1631,21 +1643,29 @@ object Relational {
     * JOIN. */
   def qCogroupReconcile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // Option-typed, not bare Long: a bare (Long, Long) encoder ASSERTS
+    // non-null, so one NULL o_totalprice / l_extendedprice row kills the
+    // whole job, where the oracle's sum/arithmetic just NULL-propagates.
+    // The typed function mirrors the oracle exactly: a NULL line price
+    // sums as 0 through coalesce(sum(..), 0) (sum skips NULLs), a NULL
+    // header price makes order_cents and diff_cents NULL, and NULL line
+    // keys are filtered because the equi-join can never match them.
     val o = Tables.orders(spark, dir)
       .selectExpr("o_orderkey", "CAST(round(o_totalprice * 100) AS LONG) AS cents")
-      .as[(Long, Long)]
+      .as[(Option[Long], Option[Long])]
     val l = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey").isNotNull)
       .selectExpr("l_orderkey", "CAST(round(l_extendedprice * 100) AS LONG) AS cents")
-      .as[(Long, Long)]
-    o.groupByKey(_._1).cogroup(l.groupByKey(_._1)) { (k, os, ls) =>
+      .as[(Long, Option[Long])]
+    o.groupByKey(_._1).cogroup(l.groupByKey(r => Option(r._1))) { (k, os, ls) =>
       val header = os.toList
       if (header.isEmpty) Iterator.empty
       else {
         var n = 0L
         var s = 0L
-        ls.foreach { r => n += 1L; s += r._2 }
+        ls.foreach { r => n += 1L; s += r._2.getOrElse(0L) }
         val oc = header.head._2
-        Iterator.single((k, n, s, oc, oc - s))
+        Iterator.single((k, n, s, oc, oc.map(_ - s)))
       }
     }.toDF("orderkey", "n_lines", "line_cents", "order_cents", "diff_cents")
   }

@@ -244,8 +244,12 @@ object Similarity {
       // one collect (degenerate case: the whole corpus onto the driver,
       // the exact OOM this tiling exists to prevent). The hash spreads
       // ANY id structure ~uniformly, so the per-block bound holds by
-      // construction, not by luck of the key space.
-      def blockOf(id: Long): Long = ((id * -7046029254386353131L) >>> 1) % numBlocks
+      // construction, not by luck of the key space. Keep the HIGH 32 bits
+      // of the product: low product bits depend only on low id bits, so
+      // ids strided by 2^s would still collapse onto multiples of
+      // 2^(s-1) under a low-bits modulus — the high bits mix every id
+      // bit into the block choice (numBlocks ≪ 2^32, so no truncation).
+      def blockOf(id: Long): Long = ((id * -7046029254386353131L) >>> 32) % numBlocks
       // each pair (x<y) is emitted by exactly the block containing y
       // (blockOf is deterministic). TRUE tiling: each block is its
       // own job — collect ≤~PairBlockRows rows, broadcast, stream the full
@@ -371,9 +375,10 @@ object Similarity {
       val head = Tables.embeddings(spark, dir)
         .filter(col("embedding").isNotNull)
         .select(size(col("embedding"))).limit(1).collect()
-      require(head.nonEmpty,
-        s"no non-null embeddings at $dir — cannot derive dimensionality")
-      head(0).getInt(0)
+      // empty (or all-NULL) embeddings: any dim plans fine — no rows
+      // ever reach the plane fold, so the hash-family queries return
+      // EMPTY with the right schema instead of aborting the battery
+      if (head.isEmpty) 1 else head(0).getInt(0)
     })
 
   /** ANN via LSH buckets: candidates share a bucket; rank candidates by
@@ -446,7 +451,12 @@ object Similarity {
       .as[Array[Float]]
       .collect()
       .map(e => unit(e.map(_.toDouble)))
-    require(sample.nonEmpty, s"no non-null embeddings to index at $dir")
+    // empty (or all-NULL) embeddings: an EMPTY index is the correct one —
+    // the assignment closures never run (the mapped dataset is empty
+    // too), so the IVF queries return empty with the right schema
+    // rather than aborting; a later refresh invalidates via the same
+    // per-JVM memo contract as a populated index
+    if (sample.isEmpty) return Array.empty
     val k = math.min(kTarget, sample.length)
     val dim = sample.head.length
     var cents = Array.tabulate(k)(i => sample(i).clone())

@@ -671,7 +671,11 @@ object TextAnalysis {
     import spark.implicits._
     val parts = spark.sessionState.conf.numShufflePartitions
     val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      // coalesce: size(tokens(NULL)) is NULL (not -1 — legacy sizeOfNull
+      // is off), and the typed prefix-sum below reads n_tokens with
+      // getLong — a NULL-body doc packs as zero tokens on both engines
+      .select(col("doc_id"),
+        coalesce(size(Text.tokens(col("text"))), lit(0)).cast("long").as("n_tokens"))
       .repartitionByRange(parts, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
@@ -694,7 +698,8 @@ object TextAnalysis {
 
   val docPackShardsSql: String =
     s"""WITH tok AS (
-      |  SELECT doc_id, CAST(len($TokSql) AS BIGINT) AS n_tokens FROM documents)
+      |  SELECT doc_id, CAST(coalesce(len($TokSql), 0) AS BIGINT) AS n_tokens
+      |  FROM documents)
       |SELECT doc_id, n_tokens,
       |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget AS BIGINT) AS shard
@@ -741,9 +746,12 @@ object TextAnalysis {
 
   def docShuffleShards(spark: SparkSession, dir: String): DataFrame = {
     val dest = graft.sources.Formats.tmp("doc_shuffle", dir)
-    docShuffleAssigned(spark, dir)
-      .write.mode("overwrite").partitionBy("shard").parquet(dest)
-    spark.read.parquet(dest)
+    val assigned = docShuffleAssigned(spark, dir)
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(dest)
+    // writer-side schema: an empty corpus writes no shard dirs and no
+    // footers — inference would abort; the explicit schema also pins
+    // shard to INT at the source instead of the narrowest inferred type
+    spark.read.schema(assigned.schema).parquet(dest)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         min("sort_key").as("first_key"),

@@ -106,10 +106,12 @@ object Formats {
     backfill.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day").parquet(path)
-    spark.read.parquet(path)
-      // partition-type inference reads the day dirs back as DATE;
-      // re-render to the written string form for the oracle compare
-      .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+    // explicit writer-side schema, twice over: an EMPTY seed write
+    // leaves no footer to infer from (the read would abort the whole
+    // battery on a just-created table), and it pins `day` to the
+    // written STRING form instead of partition-type inference's DATE
+    spark.read.schema(ev.schema).parquet(path)
+      .groupBy(col("day"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("val_sum"))
   }
@@ -240,7 +242,11 @@ object Formats {
     val props = new java.util.Properties()
     val src = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-    val maxKey = src.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    // an empty customer table has a NULL max — any bounds plan fine
+    // (the partitioned read just issues four empty range queries), so
+    // 0 keeps the battery alive instead of a getLong NPE
+    val maxRow = src.agg(max(col("c_custkey"))).collect()(0)
+    val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
     src.write.mode("overwrite").jdbc(url, "customer_jdbc", props)
     val agg = spark.read
       .option("partitionColumn", "c_custkey")
@@ -284,9 +290,11 @@ object Formats {
     */
   def fmtPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("docs_part", dir)
-    Tables.documents(spark, dir)
-      .write.mode("overwrite").partitionBy("lang").parquet(path)
-    spark.read.parquet(path)
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    // writer-side schema: an empty corpus writes no footers to infer
+    // from, and it removes partition-type inference as a drift source
+    spark.read.schema(docs.schema).parquet(path)
       .filter(col("lang") === "en")
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
@@ -481,9 +489,11 @@ object Formats {
     */
   def fmtFileLineage(spark: SparkSession, dir: String): DataFrame = {
     val path = tmp("documents_bylang", dir)
-    Tables.documents(spark, dir)
-      .write.mode("overwrite").partitionBy("lang").parquet(path)
-    spark.read.parquet(path)
+    val docs = Tables.documents(spark, dir)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    // writer-side schema (empty corpus = no footers); `_metadata` is
+    // still served — it is scan-provided, not part of the file schema
+    spark.read.schema(docs.schema).parquet(path)
       .select(col("n_chars"),
         hivePartitionValue(
           regexp_extract(col("_metadata.file_path"), "lang=([^/]+)/", 1))

@@ -1,171 +1,243 @@
 #!/usr/bin/env python3
-"""Edge-case oracle probe: run the REAL engine-vs-DuckDB gate on planted
-degenerate rows the shipped fixtures never contain —
+"""Edge-case oracle probe: run the REAL engine-vs-DuckDB gate — the full
+query battery, not a subset — on fixtures the shipped testdata never
+contains:
 
-documents: a zero-token (all-punctuation) document, a NULL body, and
-vertical-tab (U+000B) whitespace;
-events: a NULL props, a type-mismatched {"k": "abc"}, a props without
-the extracted key, and a nested-object value.
+pass 1 (degenerate rows): a referentially-consistent shrunk sample of
+every sf0.001 table PLUS planted degenerate rows — NULL join keys,
+NULL/zero/negative measures, NULL group-by keys, empty and
+unicode/quote-bearing strings, orphan foreign keys, zero-token and NULL
+document bodies, VT whitespace, NULL/mistyped/nested event props, and
+NULL / zero-norm embeddings.
 
-TextEdgeCasesSpec pins the ENGINE half of the text semantics; this probe
-executes the ORACLE half (the rewritten explicit whitespace classes in
-Text.WsClassRe2 / ContentHashSql / textTokenCountSql, NULL propagation,
-empty-list sums, the events TRY_CAST / has_missing CASE arms) through
-DuckDB on the same rows and diffs the two with tools/oracle_check.py —
-the exact compare the driver runs.
+pass 2 (empty tables): the SAME battery over fully empty tables (schema
+preserved) — the count-over-empty / sum-returns-NULL divergence class.
+
+Each pass runs graft.Verify (ALL registered queries — a rows-only query
+that crashes on degenerate input is a finding too) and diffs with
+tools/oracle_check.py, the exact compare the driver runs. The probe
+demands: zero engine crashes, zero oracle fails, and a pass count equal
+to the full oracle registry (so a query silently skipped counts as a
+failure, not a free pass).
 
 Usage: python3 tools/edge_oracle_probe.py   (needs target/scala-2.13/classes
 built; writes scratch under /tmp/graft_edge_probe)
 """
 import glob
+import json
 import os
+import re
 import shutil
 import subprocess
 import sys
 
+import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
 SCRATCH = "/tmp/graft_edge_probe"
-DATA = f"{SCRATCH}/data"
-OUT = f"{SCRATCH}/verify"
 
-# queries whose oracle SQL the probe must exercise on the degenerate
-# rows: every document query that interpolates TokensOracleSql,
-# ContentHashSql or the n_bpe class, and every events query that
-# extracts from props (lenient-cast / has_missing contract)
-QUERIES = ["dedup_exact", "text_token_count", "text_fingerprint",
-           "text_stats", "text_quality_filter", "text_array_fns",
-           "text_langid", "curation_e2e",
-           "events_json_kv", "events_variant", "events_map_fns",
-           "q_join_anti_nullaware",
-           "mm_metadata", "mm_decode", "mm_resize", "mm_frame_sample",
-           # the full token/shingle pipelines over the SAME degenerate
-           # docs — zero-token and NULL bodies must flow through
-           # tfidf/bm25/LM/inverted-index/shingle oracles as empty sets
-           # on BOTH engines, not crash or diverge
-           "text_normalize", "text_tfidf", "text_bm25", "text_top_terms",
-           "text_vocab_oov", "text_repetition", "text_bigrams",
-           "text_lm_score", "text_inverted_index", "text_redact",
-           "dedup_near_jaccard", "dedup_minhash_lsh", "dedup_ngram_exact",
-           "dedup_chunks", "dedup_survivors", "dedup_decontaminate",
-           "doc_stable_ids",
-           # events consumers over the NULL/mistyped-props rows
-           "events_hourly", "events_histogram", "events_lead_lag",
-           # exact-ANN oracles over a NULL embedding (the Similarity
-           # hardening's filter) and a ZERO-NORM vector (sim = 0/0:
-           # Spark's NaN >= t is FALSE while DuckDB compares NaN as
-           # greater — the engines must agree by construction, not luck)
-           "ann_topk_bruteforce", "ann_topk_batch",
-           "ann_pairs_bruteforce", "dedup_embedding_cosine"]
-
-ROWS = [
-    # ≥20 tokens of English prose: the one row the curation gate keeps
-    (1, "the cat sat on the mat and the dog lay by the door "
-        "while the bird flew over the tall tree in the yard"),
-    (2, "!!! ??? ... --- !!!"),          # zero tokens after punct strip
-    (3, None),                             # NULL body
-    (4, "alpha\x0bbeta gamma"),           # VT whitespace (Java \s, not RE2 \s)
-    (5, "tab\tand\nnewline\x0cform feed"),  # the rest of the \s set
+# ---------------------------------------------------------------------------
+# planted documents (unchanged contract from the 40-query probe: the text
+# pipeline's zero-token / NULL / VT-whitespace arms) + lang/source edge rows
+# for the hive-partitioned lines dump and the per-source samplers
+DOC_ROWS = [
+    # >=20 tokens of English prose: the one planted row the curation gate keeps
+    (900001, "the cat sat on the mat and the dog lay by the door "
+             "while the bird flew over the tall tree in the yard", "en", "planted"),
+    (900002, "!!! ??? ... --- !!!", "en", "planted"),   # zero tokens after punct strip
+    (900003, None, "en", "planted"),                     # NULL body
+    (900004, "alpha\x0bbeta gamma", "en", "planted"),    # VT ws (Java \s, not RE2 \s)
+    (900005, "tab\tand\nnewline\x0cform feed", "en", "planted"),  # rest of \s
+    (900006, "a plain short doc about rivers and stones", None, None),  # NULL lang+source
+    (900007, 'quote " comma , doc', "pt-BR", 'src "q"'),  # non-[a-z]+ lang; quoted source
 ]
 
 # (event_type, value, props) — the error/value>=490 rows feed
-# q_join_anti_nullaware's `blocked` CTE: without them the NOT-IN set is
-# empty and the props-extraction contract is never load-bearing for that
-# query (any divergence would compare trivially-equal full counts). The
-# mistyped error props puts the NULL arm INSIDE the blocked set — the
-# exact null-aware semantics the query exists to pin: both engines must
-# agree the set contains NULL (empty result) or the counts diverge.
-EVENTS = [
-    ("click", 0.0, '{"k": 7}'),        # the fixture's clean shape
-    ("view", 1.0, '{"k": "abc"}'),     # type mismatch: lenient cast must NULL, not abort
-    ("click", 2.0, '{"x": 1}'),        # extracted key absent
-    ("view", 3.0, None),                # NULL props: has_missing groups under NULL
-    ("click", 4.0, '{"k": {"a": 1}}'), # nested value: per-field cast NULLs, keys still count
-    ("error", 500.0, '{"k": 7}'),      # blocked: clean key
-    ("error", 495.0, '{"k": "abc"}'),  # blocked: extraction-NULL arm
+# q_join_anti_nullaware's `blocked` CTE; the mistyped error props puts the
+# NULL arm INSIDE the blocked set — the exact null-aware semantics that
+# query exists to pin.
+EVENT_ROWS = [
+    ("click", 0.0, '{"k": 7}'),         # the fixture's clean shape
+    ("view", 1.0, '{"k": "abc"}'),      # type mismatch: lenient cast must NULL
+    ("click", 2.0, '{"x": 1}'),         # extracted key absent
+    ("view", 3.0, None),                 # NULL props
+    ("click", 4.0, '{"k": {"a": 1}}'),  # nested value
+    ("error", 500.0, '{"k": 7}'),       # blocked: clean key
+    ("error", 495.0, '{"k": "abc"}'),   # blocked: extraction-NULL arm
 ]
-EVENT_PROPS = [p for (_, _, p) in EVENTS]
+
+EMB_DIM = 64  # must match the real corpus: ANN ops assume one dim per table
 
 
-def tables():
-    docs = pa.table({
-        "doc_id": pa.array([r[0] for r in ROWS], pa.int64()),
-        "text": pa.array([r[1] for r in ROWS], pa.string()),
-        "lang": pa.array(["en"] * len(ROWS), pa.string()),
-        "source": pa.array(["planted"] * len(ROWS), pa.string()),
-        "n_chars": pa.array([len(r[1]) if r[1] else 0 for r in ROWS], pa.int64()),
-    })
-    ev = pa.table({
-        "event_id": pa.array(range(1, len(EVENT_PROPS) + 1), pa.int64()),
-        "ts": pa.array([1700000000000000 + i * 1000000
-                        for i in range(len(EVENT_PROPS))], pa.timestamp("us")),
-        "user_id": pa.array([1] * len(EVENT_PROPS), pa.int64()),
-        "event_type": pa.array([t for (t, _, _) in EVENTS], pa.string()),
-        "value": pa.array([v for (_, v, _) in EVENTS], pa.float64()),
-        "props": pa.array(EVENT_PROPS, pa.string()),
-    })
-    # embeddings: 11 deterministic non-trivial vectors, one NULL row
-    # (vec_id 11), one all-zero row (vec_id 12, norm 0 → sim 0/0)
-    dim = 8
-    vecs = [[((7 * i + 3 * d) % 11 - 5) / 7.0 for d in range(dim)]
+def sampled(con, sql):
+    return con.sql(sql).arrow()
+
+
+def build_tables():
+    """Referentially-consistent shrunk sample of sf0.001 + planted rows."""
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+    region = sampled(con, "SELECT * FROM region")
+    nation = sampled(con, "SELECT * FROM nation")
+    supplier = sampled(con, "SELECT * FROM supplier")
+    customer = sampled(con, "SELECT * FROM customer ORDER BY c_custkey LIMIT 30")
+    orders = sampled(con, """
+        SELECT * FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 30)
+        ORDER BY o_orderkey LIMIT 80""")
+    lineitem = sampled(con, """
+        SELECT l.* FROM lineitem l
+        WHERE l.l_orderkey IN (
+          SELECT o_orderkey FROM orders
+          WHERE o_custkey IN (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 30)
+          ORDER BY o_orderkey LIMIT 80)""")
+    part = sampled(con, """
+        SELECT * FROM part WHERE p_partkey IN (
+          SELECT l_partkey FROM lineitem
+          WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 30)
+            ORDER BY o_orderkey LIMIT 80))
+        OR p_partkey <= 20""")
+    events = sampled(con, "SELECT * FROM events ORDER BY event_id LIMIT 80")
+    documents = sampled(con, "SELECT * FROM documents ORDER BY doc_id LIMIT 25")
+    embeddings = sampled(con, "SELECT * FROM embeddings ORDER BY vec_id LIMIT 25")
+    con.close()
+
+    def extend(base, rows):
+        extra = pa.table(
+            {f.name: pa.array([r[i] for r in rows], f.type)
+             for i, f in enumerate(base.schema)})
+        return pa.concat_tables([base, extra])
+
+    # --- TPC-H planted degenerates (keys 90xxxx, clear of the sample) ---
+    region = extend(region, [(90, None), (91, "")])
+    nation = extend(nation, [(90, None, 0), (91, "ZZ-ünïcode", None)])
+    supplier = extend(supplier, [
+        (9001, None, None, None),            # NULL name / nationkey / acctbal
+        (9002, 'Süpp "q", co', 0, -999.99)])
+    part = extend(part, [
+        (90001, None, None, None, None, None),   # all-NULL attributes
+        (90002, "", "Brand#00", "", 0, 0.0),
+        (90003, "neg part", "Brand#99", "ECONOMY ANODIZED STEEL", -1, -5.0)])
+    customer = extend(customer, [
+        (90001, None, None, None, None),         # all-NULL attributes
+        (90002, "", 0, -10.5, ""),
+        (90003, 'Ünï "q" cust', 1, 0.0, "BUILDING")])
+    ts = lambda s: None if s is None else __import__("datetime").datetime.fromisoformat(s)
+    orders = extend(orders, [
+        (900001, 90001, "", None, None, None),   # NULL price/date/priority
+        (900002, 90002, "O", 0.0, ts("1995-06-15"), "1-URGENT"),
+        (900003, 4242424, "F", 1.0, ts("1996-01-02"), "5-LOW"),  # orphan custkey
+        (900004, None, "O", 2.0, ts("1996-03-03"), "2-HIGH")])   # NULL custkey
+    lineitem = extend(lineitem, [
+        # NULL measures and NULL group-by keys on a planted order
+        (900001, 90001, 9001, 1, None, None, None, None, None, None, None),
+        # zero quantity, zero price, discount 1.0 (revenue multiplier 0)
+        (900002, 90002, 9002, 1, 0.0, 0.0, 1.0, 0.0, "N", "O", ts("1995-06-17")),
+        # negative quantity/price
+        (900002, 90003, 9002, 2, -3.0, -100.0, 0.05, 0.01, "R", "F", ts("1995-07-01")),
+        # orphan order/part/supp keys
+        (8888888, 7777777, 666666, 1, 5.0, 500.0, 0.1, 0.02, "A", "F", ts("1996-02-10")),
+        # NULL orderkey (NULL join key through every lineitem join)
+        (None, 90001, 9001, 3, 2.0, 20.0, 0.0, 0.0, "N", "O", ts("1996-05-05"))])
+
+    # --- documents / events / embeddings planted degenerates ---
+    documents = extend(
+        documents,
+        [(i, t, lang, src, len(t) if t else 0)
+         for (i, t, lang, src) in DOC_ROWS])
+    base_us = 1704067200000000 + 4 * 86400000000  # 2024-01-05 UTC, in-range
+    events = extend(events, [
+        (900001 + i, ts_us(base_us + i * 1000000), 900001, et, v, p)
+        for i, (et, v, p) in enumerate(EVENT_ROWS)])
+    vecs = [[((7 * i + 3 * d) % 11 - 5) / 7.0 for d in range(EMB_DIM)]
             for i in range(11)]
-    emb = pa.table({
-        "vec_id": pa.array(range(13), pa.int64()),
-        "embedding": pa.array(vecs + [None, [0.0] * dim],
-                              pa.list_(pa.float32())),
-        "label": pa.array([i % 3 for i in range(13)], pa.int32()),
-    })
-    return {"documents": docs, "events": ev, "embeddings": emb}
+    embeddings = extend(embeddings, [
+        (900001 + i, v, i % 3)
+        for i, v in enumerate(vecs + [None, [0.0] * EMB_DIM])])
+
+    return {"region": region, "nation": nation, "customer": customer,
+            "supplier": supplier, "part": part, "orders": orders,
+            "lineitem": lineitem, "events": events, "documents": documents,
+            "embeddings": embeddings}
 
 
-def run_pass(label, data_dir, out_dir, tbls, queries):
-    """Plant `tbls`, run the REAL engine Verify + oracle_check, demand
-    every query passes. One pass per fixture class."""
+def ts_us(us):
+    import datetime
+    return (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+            + datetime.timedelta(microseconds=us)).replace(tzinfo=None)
+
+
+def run_pass(label, data_dir, out_dir, tbls):
+    """Plant `tbls`, run the REAL engine Verify over the FULL battery +
+    oracle_check; demand zero crashes, zero fails, full pass count."""
     os.makedirs(data_dir)
     for name, t in tbls.items():
         pq.write_table(t, f"{data_dir}/{name}.parquet")
     cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
+    # the same JPMS opens build.sbt injects (Spark 4 on JDK 17 outside
+    # spark-submit) — without sun.util.calendar every driver-side
+    # java.sql.Date decode (collected max(day) anchors) throws
+    # EXPRESSION_DECODING_FAILED and reads as a fake engine bug
+    opens = [f"--add-opens={p}=ALL-UNNAMED" for p in [
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"]]
     r = subprocess.run(
-        ["java", "-cp", cp, "-Xmx4g", "graft.Verify", data_dir, out_dir,
-         ",".join(queries)],
-        capture_output=True, text=True)
-    failed = [l for l in r.stderr.splitlines() if "[verify] " in l]
-    if r.returncode != 0 or failed:
-        print("\n".join(failed) or r.stderr[-2000:])
-        sys.exit(f"engine Verify failed on the {label} fixture "
-                 f"(exit {r.returncode})")
+        ["java", "-cp", cp, "-Xmx8g", *opens, "graft.Verify",
+         data_dir, out_dir],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+    crashed = [l for l in r.stderr.splitlines() if "[verify] " in l]
+    if r.returncode != 0 or crashed:
+        print("\n".join(crashed) or r.stderr[-3000:])
+        sys.exit(f"engine Verify CRASHED on the {label} fixture "
+                 f"(exit {r.returncode}, {len(crashed)} query failures)")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        n_oracle = len(json.load(f))
     r = subprocess.run(
         [sys.executable, f"{ROOT}/tools/oracle_check.py", data_dir, out_dir],
         capture_output=True, text=True)
     print(r.stdout, end="")
     last = r.stdout.splitlines()[-1] if r.stdout.splitlines() else ""
-    if r.returncode != 0 or not last.startswith(f"{len(queries)} pass, 0 fail"):
-        # surface the checker's own crash (import error, corrupt
-        # oracle_sql.json) — otherwise a tooling failure reads as a
-        # false "divergence" with the real traceback thrown away
+    m = re.match(r"(\d+) pass, (\d+) fail, (\d+) rows-only", last)
+    if r.returncode != 0 or not m or int(m.group(2)) != 0:
         if r.stderr:
             print(r.stderr[-2000:], file=sys.stderr)
         sys.exit(f"EDGE PROBE FAILED — engine and oracle diverge on the "
                  f"{label} fixture")
+    if int(m.group(1)) != n_oracle:
+        sys.exit(f"EDGE PROBE INCOMPLETE on {label}: {m.group(1)} oracle "
+                 f"passes but the registry holds {n_oracle} — a query was "
+                 "skipped or wrote no result")
+    print(f"[{label}] {m.group(1)}/{n_oracle} oracle queries pass, "
+          f"{m.group(3)} rows-only ran without crashing")
 
 
 def main():
     shutil.rmtree(SCRATCH, ignore_errors=True)
-    run_pass("degenerate-rows", DATA, OUT, tables(), QUERIES)
-    # pass 2: the SAME queries over fully EMPTY tables (schema preserved)
-    # — the count-over-empty / sum-returns-NULL divergence class (an
-    # aggregate-without-GROUP-BY emits one row whose SUMs are NULL and
-    # whose COUNTs are 0; both engines must emit the same single row or
-    # the same zero rows)
-    empties = {n: t.slice(0, 0) for n, t in tables().items()}
-    run_pass("empty-tables", f"{SCRATCH}/data_empty", f"{SCRATCH}/verify_empty",
-             empties, QUERIES)
-    print("edge probe OK: engine == DuckDB oracle on zero-token/NULL/VT "
-          "documents, NULL/mistyped/nested props events, NULL/zero-norm "
-          "embeddings, and fully EMPTY tables")
+    tbls = build_tables()
+    run_pass("degenerate-rows", f"{SCRATCH}/data", f"{SCRATCH}/verify", tbls)
+    # pass 2: the SAME battery over fully EMPTY tables (schema preserved)
+    empties = {n: t.slice(0, 0) for n, t in tbls.items()}
+    run_pass("empty-tables", f"{SCRATCH}/data_empty",
+             f"{SCRATCH}/verify_empty", empties)
+    print("edge probe OK: FULL battery, engine == DuckDB oracle on the "
+          "degenerate fixture (NULL keys/measures, orphan FKs, empty+unicode "
+          "strings, zero-token/NULL docs, NULL/mistyped props, NULL/zero-norm "
+          "embeddings) and on fully EMPTY tables")
 
 
 if __name__ == "__main__":

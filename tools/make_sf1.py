@@ -17,10 +17,16 @@ fixed, deterministic):
   dedup_fuzzy_names; names extend the observed `Customer#%09d`
   sequential scheme.
 
-Output: /root/repo/target/sf1/{documents,customer,embeddings,orders,
-lineitem,events}.parquet (orders/lineitem/events are 10x key-offset
-replicas for the maint_profile volume probe — see the comments at
-their writers).
+Output: <outdir>/{documents,customer,embeddings,orders,lineitem,
+events}.parquet (orders/lineitem/events are MULT-x key-offset replicas
+for the maint_profile volume probe — see the comments at their writers)
+plus dup_pairs.parquet, the generator-derived duplicate ground truth the
+sf10 flagship recall receipt consumes.
+
+Usage: python3 tools/make_sf1.py [outdir] [mult]
+  default outdir /root/repo/target/sf1, mult 10 (sf1);
+  `python3 tools/make_sf1.py /root/repo/target/sf10 100` emits the sf10
+  rung (~100x the gate scale, ~1.75 GB parquet).
 This is builder tooling (driver-side python), NOT part of the Spark
 library; /root/testdata is never written.
 """
@@ -32,8 +38,13 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
-N_DOCS = 50_000
-N_CUST = 150_000
+# scale multiplier over sf0.1: 10 (default) -> sf1, 100 -> sf10. The RNG
+# streams are consumed identically per row, so the first 10%-of-rows of an
+# sf10 corpus follow the same law (not the same bytes — the copy pool
+# grows) as an sf1 run; all documented growth exponents are law-level.
+MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+N_DOCS = 5_000 * MULT
+N_CUST = 15_000 * MULT
 COPY_RATE = 0.049  # measured: ~244 copy docs / 5000 at sf0.1
 
 con = duckdb.connect()
@@ -56,9 +67,18 @@ src_names = [s for s, _ in sources]
 src_w = [c for _, c in sources]
 
 docs = []
+# generator-derived duplicate truth: (base_doc_id, copy_doc_id) for every
+# copy-branch doc. At sf10 the EXACT components fixpoint (whose edge build
+# is the Sigma-df^2 shingle join) is deliberately not run, so the LSH
+# recall receipt needs an independent ground truth — these pairs, filtered
+# to >=threshold Jaccard at probe time, are exactly that (the generative
+# law is the truth the smaller-scale exact oracles already validated).
+dup_pairs = []
 for doc_id in range(N_DOCS):
     if docs and rng.random() < COPY_RATE:
-        base = rng.choice(docs)[1].split()
+        base_row = rng.choice(docs)
+        base = base_row[1].split()
+        dup_pairs.append((base_row[0], doc_id))
         mut = rng.random()
         if mut < 0.4 and len(base) > 10:
             words = base[:-1]                      # drop last word
@@ -79,12 +99,17 @@ con.sql("create table docs(doc_id bigint, text varchar, lang varchar, "
         "source varchar, n_chars bigint)")
 con.executemany("insert into docs values (?,?,?,?,?)", docs)
 con.sql(f"copy docs to '{OUT}/documents.parquet' (format parquet)")
+# sidecar, NOT one of the ten engine table names: only the ScaleProbe
+# flagship receipts read it (Tables accessors and oracle_check never will)
+con.sql("create table dup_pairs(base_id bigint, copy_id bigint)")
+con.executemany("insert into dup_pairs values (?,?)", dup_pairs)
+con.sql(f"copy dup_pairs to '{OUT}/dup_pairs.parquet' (format parquet)")
 
 # embeddings (2,000 -> 20,000): measured sf0.1 law = 64-dim unit vectors,
 # 10 roughly balanced labels, WEAK label clustering (within-label mean
 # cos ~0.019 vs cross-label ~0.001 => centroid weight ~ sqrt(0.019) ~ 0.14
 # against unit gaussian noise).
-N_VEC = 20_000
+N_VEC = 2_000 * MULT
 DIM = 64
 N_LABELS = 10
 CENTROID_W = 0.14
@@ -140,7 +165,7 @@ for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
                 "l_extendedprice, l_discount, l_tax, l_returnflag, "
                 "l_linestatus, l_shipdate" % mx)
     con.sql(f"""copy (select {cols}
-                from '{SRC}/{t}.parquet', range(10) t(i))
+                from '{SRC}/{t}.parquet', range({MULT}) t(i))
                 to '{OUT}/{t}.parquet' (format parquet)""")
 
 # events (10x by key-offset replication): consumed only by the
@@ -155,7 +180,7 @@ ev_mx = con.sql(
     f"select max(event_id) + 1 from '{SRC}/events.parquet'").fetchone()[0]
 con.sql(f"""copy (select event_id + i * cast({ev_mx} as bigint) as event_id,
                    ts, user_id, event_type, value, props
-            from '{SRC}/events.parquet', range(10) t(i))
+            from '{SRC}/events.parquet', range({MULT}) t(i))
             to '{OUT}/events.parquet' (format parquet)""")
 
 print("wrote", OUT)
