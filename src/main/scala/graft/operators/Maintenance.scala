@@ -209,7 +209,8 @@ object Maintenance {
     val b = li.agg(
       min("l_partkey"), max("l_partkey"),
       min("l_shipdate"), max("l_shipdate")).collect()(0)
-    // empty lineitem (or all-null on both z dims): there is nothing to
+    // empty lineitem, or EITHER z dim all-null (one unbounded axis makes
+    // the whole interleave NULL for every row anyway): nothing to
     // lay out — write the rows (if any) unchanged and return. Layout
     // must never change results, only IO, so the degenerate rewrite is
     // the identity copy, not an abort (the r11 loud require traded an

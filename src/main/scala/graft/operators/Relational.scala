@@ -1658,14 +1658,24 @@ object Relational {
       .selectExpr("l_orderkey", "CAST(round(l_extendedprice * 100) AS LONG) AS cents")
       .as[(Long, Option[Long])]
     o.groupByKey(_._1).cogroup(l.groupByKey(r => Option(r._1))) { (k, os, ls) =>
-      val header = os.toList
-      if (header.isEmpty) Iterator.empty
+      val headers = os.toList
+      if (headers.isEmpty) Iterator.empty
       else {
         var n = 0L
         var s = 0L
         ls.foreach { r => n += 1L; s += r._2.getOrElse(0L) }
-        val oc = header.head._2
-        Iterator.single((k, n, s, oc, oc.map(_ - s)))
+        // one output row per DISTINCT header price, scaled by how many
+        // header rows carry it — exactly the oracle's
+        // GROUP BY (o_orderkey, o_totalprice) over the join output,
+        // where m same-priced orders each join every matching line
+        // (m × the counts and sums). Unique keys (the shipped data)
+        // degenerate to the single-header row; the arms only differ for
+        // duplicate or NULL order keys, where header.head would have
+        // nondeterministically dropped all but one price group.
+        headers.groupBy(_._2).iterator.map { case (oc, grp) =>
+          val m = grp.size
+          (k, n * m, s * m, oc, oc.map(_ - s * m))
+        }
       }
     }.toDF("orderkey", "n_lines", "line_cents", "order_cents", "diff_cents")
   }

@@ -368,8 +368,11 @@ object Similarity {
     * job) — the LSH plane literals need it at plan time. */
   private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  private def embeddingDim(spark: SparkSession, dir: String): Int =
-    dimCache.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), _ => {
+  private def embeddingDim(spark: SparkSession, dir: String): Int = {
+    val key = graft.sources.Formats.canonicalDir(dir)
+    val cached = dimCache.get(key)
+    if (cached != null) cached.intValue()
+    else {
       // skip NULL embeddings: size(NULL) is NULL and getInt would NPE if
       // the arbitrary limit(1) row happened to be a NULL-embedding row
       val head = Tables.embeddings(spark, dir)
@@ -377,9 +380,19 @@ object Similarity {
         .select(size(col("embedding"))).limit(1).collect()
       // empty (or all-NULL) embeddings: any dim plans fine — no rows
       // ever reach the plane fold, so the hash-family queries return
-      // EMPTY with the right schema instead of aborting the battery
-      if (head.isEmpty) 1 else head(0).getInt(0)
-    })
+      // EMPTY with the right schema instead of aborting the battery.
+      // The placeholder is NOT memoized: a real dim gone stale serves
+      // stale-but-consistent buckets, but a cached placeholder would
+      // silently bucket on one component forever after the dir is
+      // populated in the same JVM
+      if (head.isEmpty) 1
+      else {
+        val d = head(0).getInt(0)
+        dimCache.putIfAbsent(key, d)
+        d
+      }
+    }
+  }
 
   /** ANN via LSH buckets: candidates share a bucket; rank candidates by
     * quantized cosine, keep the top-1 neighbour per vector. Approximate
@@ -419,9 +432,20 @@ object Similarity {
   private val ivfIndex =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long], Long)]]()
 
-  private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] =
-    ivfIndex.computeIfAbsent(graft.sources.Formats.canonicalDir(dir),
-      _ => buildCentroids(spark, dir, IvfClusters))
+  private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] = {
+    val key = graft.sources.Formats.canonicalDir(dir)
+    val cached = ivfIndex.get(key)
+    if (cached != null) cached
+    else {
+      val built = buildCentroids(spark, dir, IvfClusters)
+      // never memoize an EMPTY index: a populated memo gone stale serves
+      // stale-but-consistent results, but an empty one cached past a
+      // same-JVM refresh would crash the assignment closure (head of an
+      // empty centroid score list) once rows exist
+      if (built.nonEmpty) ivfIndex.putIfAbsent(key, built)
+      built
+    }
+  }
 
   /** Deterministic sampled-centroid quantizer: a hash-ordered sample of
     * ≤`IvfSampleRows` vectors (one small Spark job, bounded driver
@@ -673,11 +697,18 @@ object Similarity {
   private val semIndex =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long], Long)]]()
 
-  private def semCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] =
-    semIndex.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), _ => {
+  private def semCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] = {
+    val key = graft.sources.Formats.canonicalDir(dir)
+    val cached = semIndex.get(key)
+    if (cached != null) cached
+    else {
       val n = Tables.embeddings(spark, dir).count()
-      buildCentroids(spark, dir, semClusterCount(n))
-    })
+      val built = buildCentroids(spark, dir, semClusterCount(n))
+      // same no-empty-memo rule as ivfCentroids — see the comment there
+      if (built.nonEmpty) semIndex.putIfAbsent(key, built)
+      built
+    }
+  }
 
   /** Drops every per-dir cached index structure (semantic-dedup
     * centroids, IVF centroids, dimensionality) for `dir` — for harnesses

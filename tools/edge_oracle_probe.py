@@ -83,27 +83,32 @@ def build_tables():
               "lineitem", "events", "documents", "embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
+    # the sampled KEY SETS are materialized ONCE and every dependent
+    # sample reads them — duplicating the LIMIT subqueries per table
+    # would let one edited LIMIT silently break the referential
+    # consistency this fixture exists to guarantee
+    con.execute("""CREATE TEMP TABLE cust_keys AS
+        SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 30""")
+    con.execute("""CREATE TEMP TABLE order_keys AS
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM cust_keys)
+        ORDER BY o_orderkey LIMIT 80""")
     region = sampled(con, "SELECT * FROM region")
     nation = sampled(con, "SELECT * FROM nation")
     supplier = sampled(con, "SELECT * FROM supplier")
-    customer = sampled(con, "SELECT * FROM customer ORDER BY c_custkey LIMIT 30")
+    customer = sampled(con, """
+        SELECT * FROM customer
+        WHERE c_custkey IN (SELECT c_custkey FROM cust_keys)""")
     orders = sampled(con, """
         SELECT * FROM orders
-        WHERE o_custkey IN (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 30)
-        ORDER BY o_orderkey LIMIT 80""")
+        WHERE o_orderkey IN (SELECT o_orderkey FROM order_keys)""")
     lineitem = sampled(con, """
-        SELECT l.* FROM lineitem l
-        WHERE l.l_orderkey IN (
-          SELECT o_orderkey FROM orders
-          WHERE o_custkey IN (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 30)
-          ORDER BY o_orderkey LIMIT 80)""")
+        SELECT * FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM order_keys)""")
     part = sampled(con, """
         SELECT * FROM part WHERE p_partkey IN (
           SELECT l_partkey FROM lineitem
-          WHERE l_orderkey IN (
-            SELECT o_orderkey FROM orders
-            WHERE o_custkey IN (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 30)
-            ORDER BY o_orderkey LIMIT 80))
+          WHERE l_orderkey IN (SELECT o_orderkey FROM order_keys))
         OR p_partkey <= 20""")
     events = sampled(con, "SELECT * FROM events ORDER BY event_id LIMIT 80")
     documents = sampled(con, "SELECT * FROM documents ORDER BY doc_id LIMIT 25")
