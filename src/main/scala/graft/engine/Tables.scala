@@ -57,6 +57,20 @@ object Tables {
   def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
     withConf(spark, "spark.sql.shuffle.partitions", n.toString)(body)
 
+  /** Serializes every engine-internal "register temp view(s), then
+    * ANALYZE the SQL that reads them" critical section. Temp views are
+    * SESSION-GLOBAL, and sbt provably runs suites concurrently on the
+    * shared session (overlapping junit timestamps, r14) — without the
+    * lock, a second caller's `createOrReplaceTempView` can land between
+    * a first caller's registration and its `spark.sql` analysis, binding
+    * the first caller's plan to the second caller's data whenever the
+    * two pass different dirs. Analysis resolves the view INTO the plan,
+    * so only the short register+analyze window needs the lock — the
+    * returned DataFrame stays correct through any later replacement,
+    * and execution never holds it. */
+  def withViews[T](body: => T): T = viewLock.synchronized(body)
+  private val viewLock = new Object
+
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
@@ -298,10 +312,18 @@ object Tables {
         minMax match {
           case None => MicrosLong
           case Some((lo, hi)) =>
-            val maxAbs = math.max(math.abs(lo), math.abs(hi))
+            // saturating |v|: math.abs(Long.MinValue) overflows NEGATIVE,
+            // which would read the most-negative possible extreme as
+            // magnitude-below-everything and silently decide micros (then
+            // overflow the micros decode); clamping to MaxValue makes it
+            // read as nanos-range-or-beyond, so a MinValue extreme paired
+            // with a plausible-micros one routes to the ambiguity throw
+            def mag(v: Long): Long =
+              if (v == Long.MinValue) Long.MaxValue else math.abs(v)
+            val maxAbs = math.max(mag(lo), mag(hi))
             val minAbs = // NOT min(|lo|,|hi|): a range spanning 0 contains 0
               if (lo <= 0L && hi >= 0L) 0L
-              else math.min(math.abs(lo), math.abs(hi))
+              else math.min(mag(lo), mag(hi))
             if (maxAbs < NanosFloor) {
               // the guard is on hi, NOT maxAbs: only a POSITIVE extreme
               // can be a far-future decode (the blind-window artifact —
@@ -319,7 +341,7 @@ object Tables {
             }
             else if (minAbs > NanosFloor) NanosLong
             else if (Seq(lo, hi).forall { v =>
-              val a = math.abs(v); a < SentinelCeil || a > NanosFloor
+              val a = mag(v); a < SentinelCeil || a > NanosFloor
             }) {
               // mixed magnitudes where EACH observed extreme is
               // individually either a missing-value sentinel (|v| below
@@ -542,6 +564,7 @@ object Tables {
     * the same normalized schema as DataFrame consumers (and, under the
     * legacy nanos encoding, don't hit [PARQUET_TYPE_ILLEGAL] at scan
     * time). */
-  def registerAll(spark: SparkSession, dir: String): Unit =
+  def registerAll(spark: SparkSession, dir: String): Unit = withViews {
     names.foreach(n => loadConformed(spark, dir, n).createOrReplaceTempView(n))
+  }
 }

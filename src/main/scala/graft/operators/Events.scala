@@ -565,7 +565,7 @@ object Events {
     * hash-exact. Expressed through spark.sql over the registered views
     * (the SQL INTERVAL frame literal), which also exercises the
     * ns-timestamp-safe events view registration. */
-  def eventsWindowTimeRange(spark: SparkSession, dir: String): DataFrame = {
+  def eventsWindowTimeRange(spark: SparkSession, dir: String): DataFrame = Tables.withViews {
     // canonical un-prefixed view name: the oracle text IS dialect-neutral
     // SQL — run the identical string in both engines so the pair can
     // never desynchronize (only the one table the query reads is

@@ -167,22 +167,37 @@ object Relational {
     val suffix = graft.sources.Formats.sanitize(dir)
     val ot = s"orders_bkt_$suffix"
     val lt = s"lineitem_bkt_$suffix"
-    // gate on BOTH tables: a failure between the two writes must not
-    // wedge the session into skipping the missing one forever
-    if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
-      Tables.orders(spark, dir).write
-        .option("path", graft.sources.Formats.tmp("orders_bkt", dir))
-        .mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(ot)
-      Tables.lineitem(spark, dir).write
-        .option("path", graft.sources.Formats.tmp("lineitem_bkt", dir))
-        .mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(lt)
+    // per-dataset lock around the check-then-write: the bare
+    // tableExists gate alone leaves a window where two concurrent
+    // same-dataset callers (sbt provably overlaps suites on the shared
+    // session) both observe "missing" and race saveAsTable on one
+    // catalog name + scratch path — same serialization contract as
+    // Dedup's lshWriteLocks
+    val lock = bucketedTableLocks.computeIfAbsent(
+      graft.sources.Formats.canonicalDir(dir), _ => new Object)
+    lock.synchronized {
+      // gate on BOTH tables: a failure between the two writes must not
+      // wedge the session into skipping the missing one forever
+      if (!spark.catalog.tableExists(ot) || !spark.catalog.tableExists(lt)) {
+        Tables.orders(spark, dir).write
+          .option("path", graft.sources.Formats.tmp("orders_bkt", dir))
+          .mode("overwrite")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ot)
+        Tables.lineitem(spark, dir).write
+          .option("path", graft.sources.Formats.tmp("lineitem_bkt", dir))
+          .mode("overwrite")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(lt)
+      }
     }
     (ot, lt)
   }
+
+  /** Per-dataset locks for [[ensureBucketedTables]]'s check-then-write —
+    * see its doc. */
+  private val bucketedTableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** The conf window [[qBloomJoin]] executes in — shared with
     * BloomJoinSpec so the spec can never drift into asserting injection
@@ -282,7 +297,7 @@ object Relational {
     * unfiltered set blocks everything and the result is vacuous) but
     * never by `k IS NOT NULL`, so the planner cannot strengthen the
     * plan to a non-null plain anti join. */
-  def qJoinAntiNullaware(spark: SparkSession, dir: String): DataFrame = {
+  def qJoinAntiNullaware(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
     Tables.events(spark, dir).createOrReplaceTempView("anw_events")
     spark.sql(
       """WITH probe AS (
@@ -1191,7 +1206,7 @@ object Relational {
     * the join-side attributes), while the SQL path resolves cleanly. The
     * tiny dimensions auto-broadcast under the 10 MB threshold.
     */
-  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+  def qRollup(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
     Tables.customer(spark, dir).createOrReplaceTempView("rollup_customer")
     Tables.nation(spark, dir).createOrReplaceTempView("rollup_nation")
     Tables.region(spark, dir).createOrReplaceTempView("rollup_region")
@@ -1235,7 +1250,7 @@ object Relational {
     * flags disambiguate subtotal rows from genuine null groups (bit-order
     * of the combined grouping_id differs across engines; the per-column
     * form is engine-neutral). */
-  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
     Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gsets")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
@@ -1293,7 +1308,7 @@ object Relational {
     * query: the declarative form costs nothing over the manual rewrite.
     * Unique tiebreak (c_name) keeps the top-2 deterministic for the
     * hash compare. */
-  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+  def qLateral(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
     Tables.nation(spark, dir).createOrReplaceTempView("lat_nation")
     Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
     spark.sql(
@@ -1601,7 +1616,7 @@ object Relational {
     * convention the oracle contract shouldn't depend on. Same Expand
     * plan as every grouping-sets query — one scan fans out per set
     * before one exchange. */
-  def qGroupingId(spark: SparkSession, dir: String): DataFrame = {
+  def qGroupingId(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
     Tables.customer(spark, dir).createOrReplaceTempView("gid_customer")
     Tables.nation(spark, dir).createOrReplaceTempView("gid_nation")
     Tables.region(spark, dir).createOrReplaceTempView("gid_region")
@@ -1698,7 +1713,7 @@ object Relational {
     * Catalyst plan as the DataFrame equivalent; the oracle is literally
     * the same SQL modulo dialect (which is why these views, uniquely,
     * keep the canonical un-prefixed names). */
-  def qSqlInterface(spark: SparkSession, dir: String): DataFrame = {
+  def qSqlInterface(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
     Tables.orders(spark, dir).createOrReplaceTempView("orders")
     Tables.customer(spark, dir).createOrReplaceTempView("customer")
     Tables.nation(spark, dir).createOrReplaceTempView("nation")

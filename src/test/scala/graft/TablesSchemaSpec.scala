@@ -155,6 +155,23 @@ class TablesSchemaSpec extends AnyFunSuite {
       e.getMessage.contains("ambiguous"), e.getMessage)
   }
 
+  test("a Long.MinValue extreme cannot silently decide micros (abs overflow)") {
+    // math.abs(Long.MinValue) overflows NEGATIVE; an unsaturated
+    // magnitude rule would read [MinValue, 2024-micros] as
+    // maxAbs = 1.7e15 < NanosFloor and silently decide micros, decoding
+    // MinValue under the micros arm. The saturating magnitude must route
+    // this mix to the same loud ambiguity as any other frontier-straddle
+    val t0 = 1704067200000000L // 2024-01-01T00:00:00Z micros
+    val dir = TestSpark.plantParquetFile(
+      Seq((1L, Long.MinValue, 1L, "corrupt", 0.0, "{}"),
+        (2L, t0, 1L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "events.parquet")
+    val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
+    assert(e.getMessage.contains("events.ts") &&
+      e.getMessage.contains("ambiguous"), e.getMessage)
+  }
+
   test("DECIMAL(n,0)-encoded keys normalize back to the canonical integral") {
     val dir = TestSpark.plantParquetFile(
       Seq((1L, "c1", 0, 1.0, "BUILDING"), (2L, "c2", 1, 2.0, "AUTO"))
