@@ -232,8 +232,19 @@ object Maintenance {
         s"l_shipdate bound of unsupported external class: $other")
     }
     val (dtMin, dtMax) = (toLdt(b.get(2)), toLdt(b.get(3)))
-    val pkNorm = (col("l_partkey") - lit(pkMin)) * lit(65535L) /
-      lit(math.max(1L, pkMax - pkMin))
+    // DOUBLE-domain normalization: the long form
+    // ((v - min) * 65535 / range) overflows 64-bit ANSI arithmetic the
+    // moment the key range exceeds Long.Max/65535 ≈ 1.4e14 — snowflake-
+    // scale ids sit at ~1e18, where even the subtraction overflows for
+    // mixed-sign bounds; ANSI throws, non-ANSI silently wraps the z
+    // value (wrong clustering). Doubles lose ≤2^-53 relative precision,
+    // which can shift a boundary row one lattice cell — LAYOUT only,
+    // never results, the operator's contract. floor + least keep the
+    // value inside [0, 65535] against that same rounding.
+    val pkNorm = least(
+      floor((col("l_partkey").cast("double") - lit(pkMin.toDouble)) *
+        lit(65535.0) / lit(math.max(1.0, pkMax.toDouble - pkMin.toDouble))),
+      lit(65535.0))
     // Span must use the SAME day arithmetic as the per-row datediff
     // (calendar-day boundaries): Duration.toDays truncates partial
     // days, so with time-of-day on the endpoints the ratio could

@@ -559,8 +559,13 @@ object Similarity {
     ivfCandidates(spark, dir, k = 1, queryLimit = None)
       .toDF("vec_id", "nn", "sim")
       .groupBy("vec_id")
-      .agg(max(struct(col("sim"), (-col("nn")).as("neg_nn"))).as("best"))
-      .select(col("vec_id"), (-col("best.neg_nn")).as("nn"), col("best.sim").as("sim"))
+      // bitwise NOT, not unary minus, as the order-reverser: ~n is a
+      // strictly decreasing TOTAL map on int64 (¬MinValue = MaxValue),
+      // while -n overflows ANSI arithmetic on a MinValue id — the
+      // extreme-key edge fixture crashes exactly there
+      .agg(max(struct(col("sim"), bitwise_not(col("nn")).as("inv_nn"))).as("best"))
+      .select(col("vec_id"), bitwise_not(col("best.inv_nn")).as("nn"),
+        col("best.sim").as("sim"))
 
   /** Shared inverted-list machinery behind BOTH IVF queries: assignment
     * + probing over the broadcast centroid array, ONE shuffle on cluster

@@ -247,11 +247,20 @@ object Formats {
     // 0 keeps the battery alive instead of a getLong NPE
     val maxRow = src.agg(max(col("c_custkey"))).collect()(0)
     val maxKey = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    // Bounds shape the STRIDE only — Spark's first/last JDBC partitions
+    // are open-ended, so rows outside [lower, upper) are still read.
+    // Two overflow arms the extreme-key fixture crashes without:
+    // maxKey + 1 wraps NEGATIVE at Long.MaxValue (saturate), and an
+    // all-negative key space puts maxKey + 1 at or below the fixed
+    // lower bound 0 (floor at 1 — Spark requires lower < upper)
+    val upperKey =
+      if (maxKey == Long.MaxValue) Long.MaxValue
+      else math.max(1L, maxKey + 1L)
     src.write.mode("overwrite").jdbc(url, "customer_jdbc", props)
     val agg = spark.read
       .option("partitionColumn", "c_custkey")
       .option("lowerBound", "0")
-      .option("upperBound", (maxKey + 1).toString)
+      .option("upperBound", upperKey.toString)
       .option("numPartitions", "4")
       .jdbc(url, "customer_jdbc", props)
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
@@ -427,7 +436,11 @@ object Formats {
       .option("pathGlobFilter", "doc_*.bin")
       .load(path)
       .select(
-        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+        // -? arm: a NEGATIVE doc_id names its file doc_-N.bin, and a
+        // sign-blind \d+ extract returns '' there — an ANSI cast crash
+        // (found by the extreme-key edge fixture), where the oracle
+        // (reading ids from the source table) sails through
+        regexp_extract(col("path"), "doc_(-?\\d+)\\.bin$", 1)
           .cast("long").as("doc_id"),
         col("length").as("n_bytes"),
         md5(col("content")).as("content_md5"))

@@ -75,6 +75,35 @@ class ZorderSpec extends AnyFunSuite {
     assert(bothHit <= 10, s"2-D slice should skip several files: $bothHit")
   }
 
+  test("z-order survives a snowflake-scale partkey range without overflow") {
+    // the long-domain normalization ((v - min) * 65535 / range) throws
+    // ARITHMETIC_OVERFLOW under ANSI the moment the key range exceeds
+    // Long.Max/65535 ≈ 1.4e14 (and the subtraction alone overflows for
+    // mixed-sign bounds) — production id spaces sit at ~1e18. The
+    // double-domain rewrite must lay these rows out and, per the
+    // operator's contract, change LAYOUT only, never content.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val rows = Seq(
+      (1L, -9223372036854775000L, 1L, 1, 1.0, 10.0, 0.0, 0.0, "N", "O",
+        t("1996-03-05T00:00:00Z")),
+      (2L, 0L, 1L, 1, 2.0, 20.0, 0.0, 0.0, "N", "O",
+        t("1997-03-05T00:00:00Z")),
+      (3L, Long.MaxValue, 1L, 1, 3.0, 30.0, 0.0, 0.0, "R", "F",
+        t("1998-03-05T00:00:00Z")))
+    val df = rows.toDF("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+    val dir = TestSpark.plantParquetFile(df, "lineitem.parquet")
+    val dest = Maintenance.zorderedCopy(spark, dir) // must not throw
+    val out = spark.read.parquet(dest)
+    val src = graft.engine.Tables.lineitem(spark, dir)
+    assert(out.count() === 3)
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty,
+      "z-order rewrite changed content on the extreme-range fixture")
+  }
+
   test("1-D clustering leaves the second dimension unprunable") {
     val spark = TestSpark.spark
     val dir = TestSpark.Sf0001

@@ -7,8 +7,9 @@ pass 1 (degenerate rows): a referentially-consistent shrunk sample of
 every sf0.001 table PLUS planted degenerate rows — NULL join keys,
 NULL/zero/negative measures, NULL group-by keys, empty and
 unicode/quote-bearing strings, orphan foreign keys, zero-token and NULL
-document bodies, VT whitespace, NULL/mistyped/nested event props, and
-NULL / zero-norm embeddings.
+document bodies, VT whitespace, NULL/mistyped/nested event props,
+NULL / zero-norm embeddings, and EXTREME-MAGNITUDE keys (Int/Long
+Min/MaxValue ids — the 64-bit abs/mul-overflow class, r15).
 
 pass 2 (empty tables): the SAME battery over fully empty tables (schema
 preserved) — the count-over-empty / sum-returns-NULL divergence class.
@@ -121,26 +122,39 @@ def build_tables():
              for i, f in enumerate(base.schema)})
         return pa.concat_tables([base, extra])
 
-    # --- TPC-H planted degenerates (keys 90xxxx, clear of the sample) ---
-    region = extend(region, [(90, None), (91, "")])
-    nation = extend(nation, [(90, None, 0), (91, "ZZ-ünïcode", None)])
+    # --- TPC-H planted degenerates (keys 90xxxx, clear of the sample;
+    #     EXTREME-MAGNITUDE keys probe the 64-bit-arithmetic class the
+    #     r15 review found by hand — abs/mul overflow on Min/MaxValue
+    #     ids, the magnitudes snowflake-style id spaces actually use) ---
+    I32MAX = 2147483647
+    I64MAX = 9223372036854775807
+    I64MIN = -9223372036854775808
+    region = extend(region, [(90, None), (91, ""), (I32MAX, "REGION_X")])
+    nation = extend(nation, [
+        (90, None, 0), (91, "ZZ-ünïcode", None),
+        (I32MAX - 1, "NATION_X", I32MAX)])
     supplier = extend(supplier, [
         (9001, None, None, None),            # NULL name / nationkey / acctbal
-        (9002, 'Süpp "q", co', 0, -999.99)])
+        (9002, 'Süpp "q", co', 0, -999.99),
+        (I64MAX, "extreme supp", I32MAX - 1, 10.0)])
     part = extend(part, [
         (90001, None, None, None, None, None),   # all-NULL attributes
         (90002, "", "Brand#00", "", 0, 0.0),
-        (90003, "neg part", "Brand#99", "ECONOMY ANODIZED STEEL", -1, -5.0)])
+        (90003, "neg part", "Brand#99", "ECONOMY ANODIZED STEEL", -1, -5.0),
+        (I64MAX, "extreme part", "Brand#77", "STANDARD BURNISHED TIN",
+         I32MAX, 55.0)])
     customer = extend(customer, [
         (90001, None, None, None, None),         # all-NULL attributes
         (90002, "", 0, -10.5, ""),
-        (90003, 'Ünï "q" cust', 1, 0.0, "BUILDING")])
+        (90003, 'Ünï "q" cust', 1, 0.0, "BUILDING"),
+        (I64MAX, "extreme key cust", I32MAX - 1, 123.45, "MACHINERY")])
     ts = lambda s: None if s is None else __import__("datetime").datetime.fromisoformat(s)
     orders = extend(orders, [
         (900001, 90001, "", None, None, None),   # NULL price/date/priority
         (900002, 90002, "O", 0.0, ts("1995-06-15"), "1-URGENT"),
         (900003, 4242424, "F", 1.0, ts("1996-01-02"), "5-LOW"),  # orphan custkey
-        (900004, None, "O", 2.0, ts("1996-03-03"), "2-HIGH")])   # NULL custkey
+        (900004, None, "O", 2.0, ts("1996-03-03"), "2-HIGH"),    # NULL custkey
+        (I64MAX, I64MAX, "F", 100.0, ts("1996-06-01"), "3-MEDIUM")])
     lineitem = extend(lineitem, [
         # NULL measures and NULL group-by keys on a planted order
         (900001, 90001, 9001, 1, None, None, None, None, None, None, None),
@@ -151,22 +165,42 @@ def build_tables():
         # orphan order/part/supp keys
         (8888888, 7777777, 666666, 1, 5.0, 500.0, 0.1, 0.02, "A", "F", ts("1996-02-10")),
         # NULL orderkey (NULL join key through every lineitem join)
-        (None, 90001, 9001, 3, 2.0, 20.0, 0.0, 0.0, "N", "O", ts("1996-05-05"))])
+        (None, 90001, 9001, 3, 2.0, 20.0, 0.0, 0.0, "N", "O", ts("1996-05-05")),
+        # extreme-magnitude keys on a consistent planted order: the
+        # MaxValue l_partkey makes the z-order key RANGE span ~1e19 —
+        # the 64-bit normalization-overflow arm — and the MaxValue
+        # order/supp keys ride every lineitem join and bucket write
+        (I64MAX, I64MAX, I64MAX, 1, 5.0, 500.0, 0.1, 0.02, "N", "O",
+         ts("1996-06-03"))])
 
     # --- documents / events / embeddings planted degenerates ---
     documents = extend(
         documents,
         [(i, t, lang, src, len(t) if t else 0)
-         for (i, t, lang, src) in DOC_ROWS])
+         for (i, t, lang, src) in DOC_ROWS]
+        # extreme-magnitude doc ids: ride md5-coin sampling, %-derived
+        # eval carve-outs, range-partitioned stable ids / prefix sums,
+        # and the first-occurrence chunk window at both ends of the
+        # id ordering (distinctive vocab: never near-dups anything)
+        + [(I64MAX, "zebra quokka axolotl wombat numbat", "en", "planted", 34),
+           (I64MIN, "xylophone marimba vibraphone celesta glockenspiel",
+            "en", "planted", 50)])
     base_us = 1704067200000000 + 4 * 86400000000  # 2024-01-05 UTC, in-range
     events = extend(events, [
         (900001 + i, ts_us(base_us + i * 1000000), 900001, et, v, p)
-        for i, (et, v, p) in enumerate(EVENT_ROWS)])
+        for i, (et, v, p) in enumerate(EVENT_ROWS)]
+        # extreme event/user ids through the %-arm CASEs, lead/lag
+        # tiebreaks, sessionization, and the partitioned format sinks
+        + [(I64MAX, ts_us(base_us + 50000000), I64MAX, "click", 1.0, '{"k": 1}'),
+           (I64MIN, ts_us(base_us + 51000000), I64MAX, "view", 2.0, '{"k": 2}')])
     vecs = [[((7 * i + 3 * d) % 11 - 5) / 7.0 for d in range(EMB_DIM)]
             for i in range(11)]
     embeddings = extend(embeddings, [
         (900001 + i, v, i % 3)
-        for i, v in enumerate(vecs + [None, [0.0] * EMB_DIM])])
+        for i, v in enumerate(vecs + [None, [0.0] * EMB_DIM])]
+        # extreme vec ids: pair tiling's multiplicative block hash, the
+        # (x < y) pair orientation, and top-k id tiebreaks at both ends
+        + [(I64MAX, vecs[0], 0), (I64MIN, vecs[1], 1)])
 
     return {"region": region, "nation": nation, "customer": customer,
             "supplier": supplier, "part": part, "orders": orders,
