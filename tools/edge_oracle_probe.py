@@ -154,7 +154,13 @@ def build_tables():
         (900002, 90002, "O", 0.0, ts("1995-06-15"), "1-URGENT"),
         (900003, 4242424, "F", 1.0, ts("1996-01-02"), "5-LOW"),  # orphan custkey
         (900004, None, "O", 2.0, ts("1996-03-03"), "2-HIGH"),    # NULL custkey
-        (I64MAX, I64MAX, "F", 100.0, ts("1996-06-01"), "3-MEDIUM")])
+        (I64MAX, I64MAX, "F", 100.0, ts("1996-06-01"), "3-MEDIUM"),
+        # time-domain extremes (batch tables only — events stay inside
+        # the 2024 window so streaming watermark semantics are
+        # untouched): pre-epoch and far-future order dates pin
+        # year/strftime/date_format parity off the TPC-H date windows
+        (900005, 90003, "F", 3.0, ts("1965-05-05"), "5-LOW"),
+        (900006, 90003, "O", 4.0, ts("2150-12-31"), "4-NOT SPECIFIED")])
     lineitem = extend(lineitem, [
         # NULL measures and NULL group-by keys on a planted order
         (900001, 90001, 9001, 1, None, None, None, None, None, None, None),
@@ -171,7 +177,15 @@ def build_tables():
         # the 64-bit normalization-overflow arm — and the MaxValue
         # order/supp keys ride every lineitem join and bucket write
         (I64MAX, I64MAX, I64MAX, 1, 5.0, 500.0, 0.1, 0.02, "N", "O",
-         ts("1996-06-03"))])
+         ts("1996-06-03")),
+        # pre-epoch / far-future ship dates on the planted time-extreme
+        # orders: the z-order date span widens to ~185 years (the
+        # datediff × 65535 arm), and Q1's ≤1998 window now spans a
+        # pre-epoch row in both engines
+        (900005, 90003, 9002, 1, 1.0, 10.0, 0.0, 0.0, "R", "F",
+         ts("1965-05-06")),
+        (900006, 90003, 9002, 1, 2.0, 20.0, 0.0, 0.0, "N", "O",
+         ts("2150-12-30"))])
 
     # --- documents / events / embeddings planted degenerates ---
     documents = extend(
