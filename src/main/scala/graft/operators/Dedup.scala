@@ -1140,12 +1140,41 @@ object Dedup {
         levenshtein(col("name_a"), col("name_b")).cast("long"))
   }
 
+  /** The quadratic oracle, in the CODEPOINT domain. DuckDB's native
+    * `levenshtein` counts BYTE edits (probed live: one emoji insertion
+    * reads as 4) while Spark's counts code points — the two diverge on
+    * any non-ASCII name exactly at the <= 1 boundary this query sits
+    * on, and the codepoint definition is the entity-resolution contract
+    * (one perceived character edit = distance 1; the engine's deletion
+    * blocking is codepoint-exact by construction). So the oracle states
+    * dist <= 1 definitionally via the longest-common-prefix
+    * characterization — distinct a, b are at codepoint distance 1 iff
+    * skipping ONE codepoint at the first mismatch aligns the suffixes —
+    * over DuckDB's codepoint-domain length/slicing, with the native
+    * byte levenshtein kept only as a cheap ENVELOPE prefilter (a single
+    * codepoint edit is at most 4 byte edits, so `byte_lev <= 4` never
+    * drops a true pair and spares the per-pair prefix scan on the
+    * quadratic bulk). Every emitted pair has distance exactly 1
+    * (distinct names), which also pins the engine's computed dist
+    * column to 1 through the hash compare. */
   val dedupFuzzyNamesSql: String =
-    """WITH v AS (SELECT DISTINCT c_name AS name FROM customer)
-      |SELECT a.name AS name_a, b.name AS name_b,
-      |  levenshtein(a.name, b.name) AS dist
-      |FROM v a JOIN v b
-      |  ON a.name < b.name AND levenshtein(a.name, b.name) <= 1""".stripMargin
+    """WITH v AS (SELECT DISTINCT c_name AS name FROM customer),
+      |cand AS (
+      |  SELECT a.name AS name_a, b.name AS name_b
+      |  FROM v a JOIN v b ON a.name < b.name
+      |    AND abs(length(a.name) - length(b.name)) <= 1
+      |    AND levenshtein(a.name, b.name) <= 4),
+      |p AS (
+      |  SELECT name_a, name_b,
+      |    length(name_a) AS la, length(name_b) AS lb,
+      |    len([i FOR i IN range(1, least(length(name_a), length(name_b)) + 1)
+      |         IF name_a[1:i] = name_b[1:i]]) AS lcp
+      |  FROM cand)
+      |SELECT name_a, name_b, CAST(1 AS BIGINT) AS dist
+      |FROM p
+      |WHERE (la = lb AND name_a[lcp+2:] = name_b[lcp+2:])
+      |   OR (la + 1 = lb AND name_a[lcp+1:] = name_b[lcp+2:])
+      |   OR (lb + 1 = la AND name_b[lcp+1:] = name_a[lcp+2:])""".stripMargin
 
   // ---- registry ------------------------------------------------------------
 

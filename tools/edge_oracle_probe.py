@@ -54,6 +54,11 @@ DOC_ROWS = [
     (900005, "tab\tand\nnewline\x0cform feed", "en", "planted"),  # rest of \s
     (900006, "a plain short doc about rivers and stones", None, None),  # NULL lang+source
     (900007, 'quote " comma , doc', "pt-BR", 'src "q"'),  # non-[a-z]+ lang; quoted source
+    # astral-plane (surrogate-pair) content: UTF-16-unit engines count
+    # these chars as 2 where codepoint engines count 1 — the length /
+    # substr / regex / fingerprint divergence class
+    (900008, "smile \U0001F600 and \U0001D54F marks the spot here today",
+     "en", "planted"),
 ]
 
 # (event_type, value, props) — the error/value>=490 rows feed
@@ -147,7 +152,15 @@ def build_tables():
         (90001, None, None, None, None),         # all-NULL attributes
         (90002, "", 0, -10.5, ""),
         (90003, 'Ünï "q" cust', 1, 0.0, "BUILDING"),
-        (I64MAX, "extreme key cust", I32MAX - 1, 123.45, "MACHINERY")])
+        (I64MAX, "extreme key cust", I32MAX - 1, 123.45, "MACHINERY"),
+        # astral-pair names at Levenshtein-codepoint distance exactly 1
+        # (one surrogate-pair INSERTION, one astral-for-astral
+        # SUBSTITUTION): a UTF-16-unit edit distance reads both as 2
+        # and diverges from DuckDB's codepoint distance at the <= 1
+        # boundary of the fuzzy-name join
+        (90004, "astral \U0001F600 cust", 2, 1.0, "AUTOMOBILE"),
+        (90005, "astral \U0001F600\U0001F600 cust", 2, 2.0, "AUTOMOBILE"),
+        (90006, "astral \U0001D54F cust", 3, 3.0, "HOUSEHOLD")])
     ts = lambda s: None if s is None else __import__("datetime").datetime.fromisoformat(s)
     orders = extend(orders, [
         (900001, 90001, "", None, None, None),   # NULL price/date/priority
