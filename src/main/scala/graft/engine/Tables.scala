@@ -563,7 +563,14 @@ object Tables {
     * table routes through its conforming accessor, so SQL consumers see
     * the same normalized schema as DataFrame consumers (and, under the
     * legacy nanos encoding, don't hit [PARQUET_TYPE_ILLEGAL] at scan
-    * time). */
+    * time).
+    *
+    * CONTRACT: registration alone cannot protect the caller's LATER
+    * `spark.sql` analysis — a concurrent registrant of the same
+    * canonical name can land in between. Callers that analyze SQL over
+    * these views while other view users may run concurrently must wrap
+    * registerAll + their spark.sql call together in [[withViews]]
+    * (reentrant, so the nesting is safe). */
   def registerAll(spark: SparkSession, dir: String): Unit = withViews {
     names.foreach(n => loadConformed(spark, dir, n).createOrReplaceTempView(n))
   }

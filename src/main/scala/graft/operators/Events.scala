@@ -565,13 +565,19 @@ object Events {
     * hash-exact. Expressed through spark.sql over the registered views
     * (the SQL INTERVAL frame literal), which also exercises the
     * ns-timestamp-safe events view registration. */
-  def eventsWindowTimeRange(spark: SparkSession, dir: String): DataFrame = Tables.withViews {
+  def eventsWindowTimeRange(spark: SparkSession, dir: String): DataFrame = {
     // canonical un-prefixed view name: the oracle text IS dialect-neutral
     // SQL — run the identical string in both engines so the pair can
     // never desynchronize (only the one table the query reads is
-    // registered; loading all ten per invocation was pure overhead)
-    Tables.events(spark, dir).createOrReplaceTempView("events")
-    spark.sql(eventsWindowTimeRangeSql)
+    // registered; loading all ten per invocation was pure overhead).
+    // The load (conform probing, possibly a footer/probe job on first
+    // touch of a dir) runs BEFORE the lock — withViews guards only the
+    // register+analyze window it exists for, not seconds of IO
+    val ev = Tables.events(spark, dir)
+    Tables.withViews {
+      ev.createOrReplaceTempView("events")
+      spark.sql(eventsWindowTimeRangeSql)
+    }
   }
 
   val eventsWindowTimeRangeSql: String =

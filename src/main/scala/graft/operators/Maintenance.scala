@@ -239,12 +239,15 @@ object Maintenance {
     // mixed-sign bounds; ANSI throws, non-ANSI silently wraps the z
     // value (wrong clustering). Doubles lose ≤2^-53 relative precision,
     // which can shift a boundary row one lattice cell — LAYOUT only,
-    // never results, the operator's contract. floor + least keep the
-    // value inside [0, 65535] against that same rounding.
-    val pkNorm = least(
+    // never results, the operator's contract. floor + clamp keep the
+    // value inside [0, 65535] against that same rounding; the clamp is
+    // null-GATED because Spark's least() SKIPS null arguments — a bare
+    // least(NULL, 65535) would silently re-route a NULL-partkey row
+    // from the z=NULL region to the max lattice cell.
+    val pkScaled =
       floor((col("l_partkey").cast("double") - lit(pkMin.toDouble)) *
-        lit(65535.0) / lit(math.max(1.0, pkMax.toDouble - pkMin.toDouble))),
-      lit(65535.0))
+        lit(65535.0) / lit(math.max(1.0, pkMax.toDouble - pkMin.toDouble)))
+    val pkNorm = when(pkScaled.isNotNull, least(pkScaled, lit(65535.0)))
     // Span must use the SAME day arithmetic as the per-row datediff
     // (calendar-day boundaries): Duration.toDays truncates partial
     // days, so with time-of-day on the endpoints the ratio could

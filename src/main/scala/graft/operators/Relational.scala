@@ -297,8 +297,12 @@ object Relational {
     * unfiltered set blocks everything and the result is vacuous) but
     * never by `k IS NOT NULL`, so the planner cannot strengthen the
     * plan to a non-null plain anti join. */
-  def qJoinAntiNullaware(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
-    Tables.events(spark, dir).createOrReplaceTempView("anw_events")
+  def qJoinAntiNullaware(spark: SparkSession, dir: String): DataFrame = {
+    // load outside the lock (see eventsWindowTimeRange — withViews
+    // guards only register+analyze, never conform/probe IO)
+    val ev = Tables.events(spark, dir)
+    graft.engine.Tables.withViews {
+    ev.createOrReplaceTempView("anw_events")
     spark.sql(
       """WITH probe AS (
         |  SELECT event_type,
@@ -312,6 +316,7 @@ object Relational {
         |FROM probe
         |WHERE k NOT IN (SELECT k FROM blocked)
         |GROUP BY event_type""".stripMargin)
+    }
   }
 
   val qJoinAntiNullawareSql: String =
@@ -1206,16 +1211,20 @@ object Relational {
     * the join-side attributes), while the SQL path resolves cleanly. The
     * tiny dimensions auto-broadcast under the 10 MB threshold.
     */
-  def qRollup(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
-    Tables.customer(spark, dir).createOrReplaceTempView("rollup_customer")
-    Tables.nation(spark, dir).createOrReplaceTempView("rollup_nation")
-    Tables.region(spark, dir).createOrReplaceTempView("rollup_region")
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val (c, n, r) = (Tables.customer(spark, dir),
+      Tables.nation(spark, dir), Tables.region(spark, dir))
+    graft.engine.Tables.withViews {
+    c.createOrReplaceTempView("rollup_customer")
+    n.createOrReplaceTempView("rollup_nation")
+    r.createOrReplaceTempView("rollup_region")
     spark.sql(
       """SELECT r_name, n_name, count(*) AS n_cust
         |FROM rollup_customer
         |JOIN rollup_nation ON c_nationkey = n_nationkey
         |JOIN rollup_region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+    }
   }
 
   // HAVING count(*) > 0 on this and the other three grouping-analytics
@@ -1250,8 +1259,10 @@ object Relational {
     * flags disambiguate subtotal rows from genuine null groups (bit-order
     * of the combined grouping_id differs across engines; the per-column
     * form is engine-neutral). */
-  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gsets")
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    graft.engine.Tables.withViews {
+    li.createOrReplaceTempView("lineitem_gsets")
     spark.sql(
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
@@ -1259,6 +1270,7 @@ object Relational {
         |  sum(l_quantity) AS sum_qty, count(*) AS n
         |FROM lineitem_gsets
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+    }
   }
 
   val qGroupingSetsSql: String =
@@ -1308,15 +1320,18 @@ object Relational {
     * query: the declarative form costs nothing over the manual rewrite.
     * Unique tiebreak (c_name) keeps the top-2 deterministic for the
     * hash compare. */
-  def qLateral(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
-    Tables.nation(spark, dir).createOrReplaceTempView("lat_nation")
-    Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
+  def qLateral(spark: SparkSession, dir: String): DataFrame = {
+    val (n, c) = (Tables.nation(spark, dir), Tables.customer(spark, dir))
+    graft.engine.Tables.withViews {
+    n.createOrReplaceTempView("lat_nation")
+    c.createOrReplaceTempView("lat_customer")
     spark.sql(
       """SELECT n_name, t.c_name, CAST(t.c_acctbal AS DOUBLE) AS acctbal
         |FROM lat_nation,
         |LATERAL (SELECT c_name, c_acctbal FROM lat_customer
         |         WHERE c_nationkey = n_nationkey
         |         ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t""".stripMargin)
+    }
   }
 
   val qLateralSql: String =
@@ -1616,10 +1631,13 @@ object Relational {
     * convention the oracle contract shouldn't depend on. Same Expand
     * plan as every grouping-sets query — one scan fans out per set
     * before one exchange. */
-  def qGroupingId(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
-    Tables.customer(spark, dir).createOrReplaceTempView("gid_customer")
-    Tables.nation(spark, dir).createOrReplaceTempView("gid_nation")
-    Tables.region(spark, dir).createOrReplaceTempView("gid_region")
+  def qGroupingId(spark: SparkSession, dir: String): DataFrame = {
+    val (c, n, r) = (Tables.customer(spark, dir),
+      Tables.nation(spark, dir), Tables.region(spark, dir))
+    graft.engine.Tables.withViews {
+    c.createOrReplaceTempView("gid_customer")
+    n.createOrReplaceTempView("gid_nation")
+    r.createOrReplaceTempView("gid_region")
     spark.sql(
       """SELECT r_name, n_name,
         |  CAST(2 * grouping(r_name) + grouping(n_name) AS BIGINT) AS gid,
@@ -1629,6 +1647,7 @@ object Relational {
         |JOIN gid_nation ON c_nationkey = n_nationkey
         |JOIN gid_region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)
+    }
   }
 
   val qGroupingIdSql: String =
@@ -1713,10 +1732,13 @@ object Relational {
     * Catalyst plan as the DataFrame equivalent; the oracle is literally
     * the same SQL modulo dialect (which is why these views, uniquely,
     * keep the canonical un-prefixed names). */
-  def qSqlInterface(spark: SparkSession, dir: String): DataFrame = graft.engine.Tables.withViews {
-    Tables.orders(spark, dir).createOrReplaceTempView("orders")
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+  def qSqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    val (o, c, n) = (Tables.orders(spark, dir),
+      Tables.customer(spark, dir), Tables.nation(spark, dir))
+    graft.engine.Tables.withViews {
+    o.createOrReplaceTempView("orders")
+    c.createOrReplaceTempView("customer")
+    n.createOrReplaceTempView("nation")
     spark.sql(
       """SELECT n_name,
         |  count(*) AS n_orders,
@@ -1726,6 +1748,7 @@ object Relational {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderstatus = 'F'
         |GROUP BY n_name""".stripMargin)
+    }
   }
 
   val qSqlInterfaceSql: String =

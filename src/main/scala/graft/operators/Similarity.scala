@@ -549,8 +549,10 @@ object Similarity {
     * loop does the identical arithmetic in ~0.2 s. mapPartitions is the
     * documented last-resort rung, earned here by measurement. Per-query
     * per-cluster winners (≤ nprobe rows per query) then collapse with a
-    * partial-aggregable max(struct(sim, -nn)) — the (sim desc, nn asc)
-    * tie-break as lexicographic struct order, no window sort.
+    * partial-aggregable max(struct(sim, ~nn)) — the (sim desc, nn asc)
+    * tie-break as lexicographic struct order (bitwise NOT, the total
+    * order-reverser; -nn overflows ANSI on a MinValue id), no window
+    * sort.
     *
     * Deterministic (seeded sample order, fixed iteration count); still
     * rows-only for the oracle — cluster boundaries are engine-side state.

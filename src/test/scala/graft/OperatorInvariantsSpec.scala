@@ -298,15 +298,19 @@ class OperatorInvariantsSpec extends AnyFunSuite {
   test("relational: Q15 emits exactly the argmax suppliers of the quarter's revenue") {
     // independent recomputation of per-supplier revenue via a different
     // route (SQL over the registered views), then compare the argmax set
-    graft.engine.Tables.registerAll(spark, dir)
-    val rev = spark.sql(
-      """SELECT l_suppkey,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS r
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-        |GROUP BY l_suppkey""".stripMargin)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // registerAll's contract: register + analyze must share one
+    // withViews window (reentrant), or a concurrent same-name
+    // registrant could bind this sql to another dir's data
+    val rev = graft.engine.Tables.withViews {
+      graft.engine.Tables.registerAll(spark, dir)
+      spark.sql(
+        """SELECT l_suppkey,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS r
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |GROUP BY l_suppkey""".stripMargin)
+    }.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val best = rev.values.max
     val want = rev.collect { case (k, v) if v == best => k }.toSet
     val got = Relational.qTpchQ15(spark, dir).collect()
