@@ -571,7 +571,13 @@ object Tables {
     * these views while other view users may run concurrently must wrap
     * registerAll + their spark.sql call together in [[withViews]]
     * (reentrant, so the nesting is safe). */
-  def registerAll(spark: SparkSession, dir: String): Unit = withViews {
-    names.foreach(n => loadConformed(spark, dir, n).createOrReplaceTempView(n))
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    // load (conform probing, possibly first-touch footer/probe jobs)
+    // OUTSIDE the lock — the same load-before-lock discipline every
+    // view-based operator follows; the lock covers registration only
+    val dfs = names.map(n => n -> loadConformed(spark, dir, n))
+    withViews {
+      dfs.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    }
   }
 }

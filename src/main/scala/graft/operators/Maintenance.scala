@@ -256,9 +256,13 @@ object Maintenance {
     // braces: derive the span from epoch-day difference AND clamp.
     val dtSpan = math.max(1L,
       dtMax.toLocalDate.toEpochDay - dtMin.toLocalDate.toEpochDay)
-    val dtNorm = least(
-      datediff(col("l_shipdate"), lit(dtMin)) * lit(65535L) / lit(dtSpan),
-      lit(65535L))
+    // null-gated like pkNorm: least() SKIPS null arguments, so the bare
+    // clamp silently re-routed a NULL-shipdate row to the latest-date
+    // lattice cell (polluting the last files' footer max-date stats)
+    // instead of the z=NULL region a NULL axis belongs in
+    val dtScaled =
+      datediff(col("l_shipdate"), lit(dtMin)) * lit(65535L) / lit(dtSpan)
+    val dtNorm = when(dtScaled.isNotNull, least(dtScaled, lit(65535L)))
     li.withColumn("z",
         interleave16(pkNorm.cast("long"), dtNorm.cast("long")))
       .repartitionByRange(16, col("z"))

@@ -209,9 +209,9 @@ def build_tables():
         # eval carve-outs, range-partitioned stable ids / prefix sums,
         # and the first-occurrence chunk window at both ends of the
         # id ordering (distinctive vocab: never near-dups anything)
-        + [(I64MAX, "zebra quokka axolotl wombat numbat", "en", "planted", 34),
-           (I64MIN, "xylophone marimba vibraphone celesta glockenspiel",
-            "en", "planted", 50)])
+        + [doc_row(I64MAX, "zebra quokka axolotl wombat numbat"),
+           doc_row(I64MIN,
+                   "xylophone marimba vibraphone celesta glockenspiel")])
     base_us = 1704067200000000 + 4 * 86400000000  # 2024-01-05 UTC, in-range
     events = extend(events, [
         (900001 + i, ts_us(base_us + i * 1000000), 900001, et, v, p)
@@ -233,6 +233,13 @@ def build_tables():
             "supplier": supplier, "part": part, "orders": orders,
             "lineitem": lineitem, "events": events, "documents": documents,
             "embeddings": embeddings}
+
+
+def doc_row(doc_id, text, lang="en", source="planted"):
+    """A planted documents row with n_chars DERIVED from the text, the
+    same invariant the DOC_ROWS comprehension maintains (a hand-counted
+    literal drifted off-by-one once)."""
+    return (doc_id, text, lang, source, len(text))
 
 
 def ts_us(us):
