@@ -263,8 +263,17 @@ object Maintenance {
     val dtScaled =
       datediff(col("l_shipdate"), lit(dtMin)) * lit(65535L) / lit(dtSpan)
     val dtNorm = when(dtScaled.isNotNull, least(dtScaled, lit(65535L)))
-    li.withColumn("z",
-        interleave16(pkNorm.cast("long"), dtNorm.cast("long")))
+    // Generate barrier (the curationE2e idiom) between the norm math
+    // and the interleave: interleave16 references each input 16×, and
+    // CollapseProject would inline the full double-domain/null-gated
+    // norm pipeline into every reference — measured 2.0 → 12.2 s at
+    // sf0.1 when the when/least layers landed. Behind the barrier each
+    // norm is evaluated ONCE per row and the 32 interleave terms read
+    // plain struct fields.
+    li.select(col("*"), explode_outer(array(struct(
+        pkNorm.cast("long").as("pk_n"), dtNorm.cast("long").as("dt_n")))).as("zn"))
+      .withColumn("z", interleave16(col("zn.pk_n"), col("zn.dt_n")))
+      .drop("zn")
       .repartitionByRange(16, col("z"))
       .sortWithinPartitions("z")
       .drop("z")
