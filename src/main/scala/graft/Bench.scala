@@ -10,6 +10,21 @@ import org.apache.spark.sql.SparkSession
   * time is NOT folded into the total.
   */
 object Bench {
+
+  /** The band-breach self-report rule (one definition, spec-pinned):
+    * given each query's BEST successful reading of a run, the entries
+    * whose best exceeds max(1.5 x its recorded band median, 1 s),
+    * with their best/median ratio. Queries without a recorded median
+    * are skipped — they have no band to breach (the 3 s smear fallback
+    * still governs their re-runs), and BenchBandsSpec forbids that
+    * state from surviving a round boundary anyway. */
+  def overBandEntries(best: Iterable[(String, Double)]): Seq[(String, Double)] =
+    best.toSeq.sorted.collect {
+      case (n, v) if BenchBands.medianSec.get(n).exists(m =>
+          v > math.max(1.5 * m, 1.0)) =>
+        (n, v / BenchBands.medianSec(n))
+    }
+
   def main(args: Array[String]): Unit = {
     // the artifact numbers below go through f"..%.3f" interpolators,
     // which format via the default FORMAT-category locale — under a
@@ -250,6 +265,39 @@ object Bench {
         case other => other
       }
     } else results
+    // Per-query band breach self-report (ADVICE/VERDICT r15: TWO closing
+    // benches shipped with a 6x maint_zorder regression invisible in
+    // totals+drift — the manual REPEAT=2 sweep that caught it now lives
+    // in the artifact itself). The reading per query is its BEST
+    // successful time across everything this run tried (passes under
+    // REPEAT, adjudication re-runs otherwise): a host smear collapses
+    // under re-runs, so a best that still exceeds max(1.5x median, 1 s)
+    // is a plan-cost signal, not noise. Reported as `over_band`
+    // (name -> best/median ratio) in BOTH artifact lines and echoed
+    // loud on stderr. The /verify closing gate reads it from the
+    // REPEAT=2 touched-queries run — there the best-of-passes has
+    // already survived a same-JVM re-run, so any entry is a REPRODUCED
+    // regression and closing numbers must not be recorded until it is
+    // explained or fixed; in a single-pass full-battery run a 1.5-2.0x
+    // entry can still be one unlucky smear (below the 2x re-run
+    // trigger) and means "re-time in isolation", not necessarily "real".
+    val bestByName = scala.collection.mutable.Map[String, Double]()
+    finalResults.foreach { case (n, v, ok) =>
+      if (ok) {
+        val base = if (repeat == 1) n else n.replaceAll("#\\d+$", "")
+        if (!bestByName.get(base).exists(_ <= v)) bestByName(base) = v
+      }
+    }
+    val overBand = overBandEntries(bestByName)
+    val overBandJson = overBand
+      .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+      .mkString("{", ",", "}")
+    overBand.foreach { case (n, r) =>
+      System.err.println(
+        f"[bench] BAND ALERT: $n best-of-run is $r%.2fx its recorded median "
+          + "(rule: best > max(1.5x median, 1s)) — re-time in isolation "
+          + "before recording closing numbers")
+    }
     val qs = finalResults
       .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
@@ -325,18 +373,27 @@ object Bench {
       case c => c.toString
     } + "\""
     val line =
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"errors":$errors,"sf":$sfJson}"""
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","over_band":$overBandJson,"over_band_rule":"best_of_run>max(1.5x_median,1s)","total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"errors":$errors,"sf":$sfJson}"""
     println(line)
     // The driver keeps only the LAST 2000 chars of stdout, which
     // truncates a 168-query line (every BENCH_r artifact since r2 has
     // parsed:null) — so persist the full artifact next to the build
-    // (committed with the round snapshot) and finish with a compact
-    // trailer that always fits the tail AND parses: headline total,
-    // counts, and the slowest 20 queries. BASELINE.md §f.
+    // and finish with a compact trailer that always fits the tail AND
+    // parses: headline total, counts, and the slowest 20 queries.
+    // BASELINE.md §f. The tracked BENCH_FULL_LATEST.json is updated only
+    // when SPARK_GRAFT_BENCH_OUT names it EXPLICITLY (VERDICT r15 ask 4:
+    // the unconditional overwrite left the working tree holding whatever
+    // ran last — including the driver's own post-commit run — instead of
+    // the recorded closing artifact, twice in one session); every other
+    // run, aux or focused, lands under target/bench/ untracked.
+    val benchOutPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        s"target/bench/bench_${System.currentTimeMillis()}.json"))
     val fullArtifactWritten =
       try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+        Option(benchOutPath.getParent)
+          .foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(benchOutPath,
           (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         true
       } catch {
@@ -350,11 +407,18 @@ object Bench {
       .mkString("{", ",", "}")
     // advertise the full-artifact file only when this run actually
     // wrote it — a consumer following a stale pointer would read the
-    // previous run's numbers
+    // previous run's numbers (path JSON-escaped like sfJson: it comes
+    // from the environment)
+    val outJson = "\"" + benchOutPath.toString.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val detail =
-      if (fullArtifactWritten) ""","detail":"BENCH_FULL_LATEST.json"""" else ""
+      if (fullArtifactWritten) s""","detail":$outJson""" else ""
     println(
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sfJson,"nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"slowest20":$slowest$detail}""")
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sfJson,"nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"over_band":$overBandJson,"total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"slowest20":$slowest$detail}""")
     spark.stop()
   }
 }

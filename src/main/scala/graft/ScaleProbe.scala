@@ -72,6 +72,16 @@ object ScaleProbe {
     Seq("dedup_minhash_lsh", "dedup_components_lsh", "ann_ivf_topk",
       "maint_profile_approx", "doc_pack_shards")
 
+  /** The two LSH scale paths alone (`--lsh <dirs>`), for the
+    * VOCABULARY-GROWTH arm (tools/make_sf1.py --vocab-growth): those
+    * dirs carry ONLY documents + dup_pairs, so only the document-side
+    * probes and the planted-recall receipt can run. This is the
+    * measurement the fixed-vocab rungs cannot give — the LSH walls
+    * under the real-corpus law where the shingle vocabulary grows with
+    * N and bucket densification disappears. */
+  private val LshProbes =
+    Seq("dedup_minhash_lsh", "dedup_components_lsh")
+
   /** Every quality receipt is non-fatal by design: one failed metric
     * logs a JSON error line and the probe run continues — a thrown
     * receipt must never abort the remaining probes for the remaining
@@ -94,9 +104,11 @@ object ScaleProbe {
     java.util.Locale.setDefault(
       java.util.Locale.Category.FORMAT, java.util.Locale.ROOT)
     val flagship = args.contains("--flagship")
-    val dirArgs = args.toSeq.filterNot(_ == "--flagship")
+    val lsh = args.contains("--lsh")
+    val dirArgs = args.toSeq.filterNot(a => a == "--flagship" || a == "--lsh")
     val dirs =
       if (dirArgs.nonEmpty) dirArgs
+      else if (lsh) Seq("/root/repo/target/sf1v", "/root/repo/target/sf10v")
       else if (flagship) Seq("/root/repo/target/sf1", "/root/repo/target/sf10")
       else Seq("/root/testdata/sf0.1", "/root/repo/target/sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -113,7 +125,8 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     for (dir <- dirs) {
-      for (name <- (if (flagship) FlagshipProbes else Probes)) {
+      for (name <- (if (lsh) LshProbes
+        else if (flagship) FlagshipProbes else Probes)) {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dir)
         // toRdd.count() materializes the FULL output schema in one pass —
@@ -147,7 +160,7 @@ object ScaleProbe {
       // ComponentsLshRecallSpec). The whole block is likewise
       // non-fatal: a failed quality metric logs and the probe run
       // continues.
-      if (!flagship) receipt("dedup_components_lsh_recall", dir) {
+      if (!flagship && !lsh) receipt("dedup_components_lsh_recall", dir) {
         import graft.operators.Dedup.{coMembershipStats, componentLabelMap, lshComponentLabels}
         val exactLabels = componentLabelMap(
           SparkEntry.queries("dedup_components")(spark, dir))
@@ -161,7 +174,9 @@ object ScaleProbe {
       // the exact batch scan over the SAME 32 queries — AnnRecallSpec
       // bounds this at the gate scale only; the probe measures whether
       // the bound survives the 10× corpus.
-      receipt("ann_ivf_recall_at_10", dir) {
+      // --lsh dirs carry no embeddings table — the ANN and semantic
+      // receipts would only log spurious error lines there
+      if (!lsh) receipt("ann_ivf_recall_at_10", dir) {
         val exact = SparkEntry.queries("ann_topk_batch")(spark, dir)
           .select("query_id", "vec_id")
         val ivf = SparkEntry.queries("ann_ivf_topk")(spark, dir)
@@ -183,10 +198,14 @@ object ScaleProbe {
         val sidecar = new org.apache.hadoop.fs.Path(s"$dir/dup_pairs.parquet")
         val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(sidecar)) {
-          val (n, hit) = graft.operators.Dedup.plantedPairRecall(
+          val (raw, n, hit) = graft.operators.Dedup.plantedPairRecall(
             spark, dir, spark.read.parquet(sidecar.toString))
+          // sidecar_pairs = the UNFILTERED generator pair count; n is the
+          // >=threshold subset the recall is measured over — reported
+          // side by side so denominator shrinkage (most planted copies
+          // falling below threshold) reads as shrinkage, not high recall
           if (n > 0)
-            println(f"""{"probe":"dedup_components_lsh_planted_recall","dir":"$dir","n":$n,"recall":${hit.toDouble / n}%.3f}""")
+            println(f"""{"probe":"dedup_components_lsh_planted_recall","dir":"$dir","sidecar_pairs":$raw,"n":$n,"recall":${hit.toDouble / n}%.3f}""")
         }
       }
       // Semantic-dedup quality at this scale: pair recall of the
@@ -204,7 +223,7 @@ object ScaleProbe {
       // sf1) — collect ONCE and stratify driver-side, instead of
       // re-evaluating the O(N²) brute-force scan and the full
       // cluster-then-prune per band (6×/3× redundant distributed runs).
-      if (!flagship) receipt("dedup_semantic_pair_recall", dir) {
+      if (!flagship && !lsh) receipt("dedup_semantic_pair_recall", dir) {
         val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
           .select("vec_a", "vec_b", "sim")
           .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
@@ -230,7 +249,7 @@ object ScaleProbe {
       // isotropic bands above are the adversarial floor; this is the
       // number a user deduplicating actual near-copies sees. Fully
       // deterministic: vec_id-keyed selection and per-id seeded noise.
-      if (!flagship) receipt("dedup_semantic_planted_dup_recall", dir) {
+      if (!flagship && !lsh) receipt("dedup_semantic_planted_dup_recall", dir) {
         import org.apache.spark.sql.functions.{col, max => fmax}
         import spark.implicits._
         val emb = graft.engine.Tables.embeddings(spark, dir)

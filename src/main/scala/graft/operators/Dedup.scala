@@ -601,9 +601,13 @@ object Dedup {
     * (whose edge build IS the quadratic corner) is deliberately not an
     * option; at sf1 it cross-checks the exact-vs-LSH co-membership
     * stats from an independent truth source. Returns
-    * (truthPairs, coAssignedPairs). */
+    * (rawSidecarPairs, truthPairs, coAssignedPairs) — the raw count is
+    * the UNFILTERED sidecar size, reported so denominator shrinkage
+    * (planted pairs dropped by the zero-union guard or the Jaccard
+    * threshold) is visible in the receipt instead of silently turning
+    * a tiny surviving n into a high-recall reading (ADVICE r15). */
   def plantedPairRecall(
-      spark: SparkSession, dir: String, pairs: DataFrame): (Long, Long) = {
+      spark: SparkSession, dir: String, pairs: DataFrame): (Long, Long, Long) = {
     val sh = shingleSets(spark, dir)
     val a = sh.select(col("doc_id").as("base_id"),
       col("sh").as("sha"), col("sz").as("sza"))
@@ -624,9 +628,10 @@ object Dedup {
         col("component").as("cb")), Seq("copy_id"), "left")
       .select(col("ca"), col("cb")).persist()
     try {
+      val raw = pairs.count()
       val n = t.count()
       val hit = t.filter(col("ca").isNotNull && col("ca") === col("cb")).count()
-      (n, hit)
+      (raw, n, hit)
     } finally t.unpersist()
   }
 
@@ -1150,26 +1155,39 @@ object Dedup {
     * dist <= 1 definitionally via the longest-common-prefix
     * characterization — distinct a, b are at codepoint distance 1 iff
     * skipping ONE codepoint at the first mismatch aligns the suffixes —
-    * over DuckDB's codepoint-domain length/slicing, with the native
-    * byte levenshtein kept only as a cheap ENVELOPE prefilter (a single
-    * codepoint edit is at most 4 byte edits, so `byte_lev <= 4` never
-    * drops a true pair and spares the per-pair prefix scan on the
-    * quadratic bulk). Every emitted pair has distance exactly 1
-    * (distinct names), which also pins the engine's computed dist
-    * column to 1 through the hash compare. */
+    * over DuckDB's codepoint-domain length/slicing. The native byte
+    * levenshtein serves two roles, split on an ASCII test: for a pair
+    * of ALL-ASCII names (byte length = codepoint length on both sides,
+    * DuckDB strlen vs length — v1.0.0 has no octet_length for VARCHAR)
+    * byte edits ARE codepoint edits, so `byte_lev = 1` is accepted outright
+    * and the pair never reaches the O(len²) LCP list-comprehension —
+    * the bulk, since sequential Customer#%09d names are all ASCII and
+    * a loose envelope admitted every shared-5-digit-prefix pair to the
+    * scan (ADVICE r15). Only pairs where EITHER name carries a
+    * non-ASCII byte take the envelope path: `byte_lev <= 4` (a single
+    * codepoint edit is at most 4 byte edits, so the envelope never
+    * drops a true pair) followed by the LCP characterization. Every
+    * emitted pair has distance exactly 1 (distinct names), which also
+    * pins the engine's computed dist column to 1 through the hash
+    * compare. */
   val dedupFuzzyNamesSql: String =
     """WITH v AS (SELECT DISTINCT c_name AS name FROM customer),
-      |cand AS (
-      |  SELECT a.name AS name_a, b.name AS name_b
+      |pairs AS (
+      |  SELECT a.name AS name_a, b.name AS name_b,
+      |    (strlen(a.name) = length(a.name) AND
+      |     strlen(b.name) = length(b.name)) AS is_ascii,
+      |    levenshtein(a.name, b.name) AS blev
       |  FROM v a JOIN v b ON a.name < b.name
-      |    AND abs(length(a.name) - length(b.name)) <= 1
-      |    AND levenshtein(a.name, b.name) <= 4),
+      |    AND abs(length(a.name) - length(b.name)) <= 1),
       |p AS (
       |  SELECT name_a, name_b,
       |    length(name_a) AS la, length(name_b) AS lb,
       |    len([i FOR i IN range(1, least(length(name_a), length(name_b)) + 1)
       |         IF name_a[1:i] = name_b[1:i]]) AS lcp
-      |  FROM cand)
+      |  FROM pairs WHERE NOT is_ascii AND blev <= 4)
+      |SELECT name_a, name_b, CAST(1 AS BIGINT) AS dist
+      |FROM pairs WHERE is_ascii AND blev = 1
+      |UNION ALL
       |SELECT name_a, name_b, CAST(1 AS BIGINT) AS dist
       |FROM p
       |WHERE (la = lb AND name_a[lcp+2:] = name_b[lcp+2:])

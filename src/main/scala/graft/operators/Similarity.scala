@@ -381,16 +381,15 @@ object Similarity {
       // empty (or all-NULL) embeddings: any dim plans fine — no rows
       // ever reach the plane fold, so the hash-family queries return
       // EMPTY with the right schema instead of aborting the battery.
-      // The placeholder is NOT memoized: a real dim gone stale serves
-      // stale-but-consistent buckets, but a cached placeholder would
-      // silently bucket on one component forever after the dir is
-      // populated in the same JVM
-      if (head.isEmpty) 1
-      else {
-        val d = head(0).getInt(0)
-        dimCache.putIfAbsent(key, d)
-        d
-      }
+      // The placeholder IS memoized (ADVICE r15): same-JVM regeneration
+      // of a dir already must call invalidateIndexCaches — the contract
+      // every POPULATED memo here relies on (ScaleProbe's planted-dir
+      // block does exactly that) — so an uncached placeholder bought no
+      // correctness, only a re-run of the limit(1) job on every call
+      // against an empty dir
+      val d = if (head.isEmpty) 1 else head(0).getInt(0)
+      dimCache.putIfAbsent(key, d)
+      d
     }
   }
 
@@ -438,11 +437,12 @@ object Similarity {
     if (cached != null) cached
     else {
       val built = buildCentroids(spark, dir, IvfClusters)
-      // never memoize an EMPTY index: a populated memo gone stale serves
-      // stale-but-consistent results, but an empty one cached past a
-      // same-JVM refresh would crash the assignment closure (head of an
-      // empty centroid score list) once rows exist
-      if (built.nonEmpty) ivfIndex.putIfAbsent(key, built)
+      // the EMPTY index is memoized as a tombstone like a populated one
+      // (ADVICE r15): same-JVM regeneration already must go through
+      // invalidateIndexCaches — the contract the populated memo relies
+      // on — so skipping the memo only re-ran the sample scan per call
+      // against an empty dir
+      ivfIndex.putIfAbsent(key, built)
       built
     }
   }
@@ -711,8 +711,8 @@ object Similarity {
     else {
       val n = Tables.embeddings(spark, dir).count()
       val built = buildCentroids(spark, dir, semClusterCount(n))
-      // same no-empty-memo rule as ivfCentroids — see the comment there
-      if (built.nonEmpty) semIndex.putIfAbsent(key, built)
+      // same empty-tombstone rule as ivfCentroids — see the comment there
+      semIndex.putIfAbsent(key, built)
       built
     }
   }

@@ -36,4 +36,20 @@ class BenchBandsSpec extends AnyFunSuite {
       assert(m > 0.0 && m < 60.0, s"implausible recorded median for $n: $m")
     }
   }
+
+  test("over_band self-report follows best > max(1.5x median, 1s)") {
+    // the r15 maint_zorder case: a 6x-its-band reading must be reported
+    // with its ratio; a reading at exactly the threshold must not (the
+    // rule is strict >, so band-edge noise doesn't alert); sub-1s bests
+    // never alert regardless of ratio (the 1 s floor); unbanded names
+    // are skipped (no band to breach — the smear fallback governs them)
+    val m = BenchBands.medianSec("maint_zorder") // 2.476 at r15
+    val report = Bench.overBandEntries(Seq(
+      "maint_zorder" -> 6.0 * m,
+      "q_topk" -> BenchBands.medianSec("q_topk") * 4.0, // 0.676s < 1s floor
+      "wordcount" -> math.max(1.5 * BenchBands.medianSec("wordcount"), 1.0),
+      "__new_query__" -> 99.0))
+    assert(report === Seq("maint_zorder" -> 6.0))
+    assert(Bench.overBandEntries(Nil).isEmpty)
+  }
 }

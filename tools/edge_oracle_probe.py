@@ -8,8 +8,12 @@ every sf0.001 table PLUS planted degenerate rows — NULL join keys,
 NULL/zero/negative measures, NULL group-by keys, empty and
 unicode/quote-bearing strings, orphan foreign keys, zero-token and NULL
 document bodies, VT whitespace, NULL/mistyped/nested event props,
-NULL / zero-norm embeddings, and EXTREME-MAGNITUDE keys (Int/Long
-Min/MaxValue ids — the 64-bit abs/mul-overflow class, r15).
+NULL / zero-norm embeddings, EXTREME-MAGNITUDE keys (Int/Long
+Min/MaxValue ids — the 64-bit abs/mul-overflow class, r15), and
+STREAMING TIME EXTREMES (epoch-boundary, far-future watermark driver,
+late/out-of-order arrivals ~127 years older than the final watermark —
+the append-emission / dedup / stream-stream-join drop-vs-emit class,
+r16; see STREAM_EXTREME_EVENT_ROWS).
 
 pass 2 (empty tables): the SAME battery over fully empty tables (schema
 preserved) — the count-over-empty / sum-returns-NULL divergence class.
@@ -59,6 +63,46 @@ DOC_ROWS = [
     # substr / regex / fingerprint divergence class
     (900008, "smile \U0001F600 and \U0001D54F marks the spot here today",
      "en", "planted"),
+]
+
+# streaming-extremes arm (r16, VERDICT r15 ask 3): late/out-of-order and
+# extreme event TIMES through the WATERMARKED streaming paths
+# (stream_hourly_append, stream_sessions_append, stream_dedup,
+# stream_stream_join) — the one domain the r15 fixture deliberately kept
+# inside the 2024 window. What each planted user pins:
+#   900101 — epoch-boundary: a click at 1970-01-01T00:00:00.001 — one
+#     millisecond past the INITIAL watermark (batch 1 of an AvailableNow
+#     run executes against watermark = epoch 0, and the row-level late
+#     filters of dropDuplicatesWithinWatermark and the stream-stream join
+#     drop ts <= watermark: a ts of EXACTLY 0 is dropped, measured r16
+#     and pinned engine-side in StreamExtremesSpec; the windowed aggs
+#     filter on window END and keep it) — plus a purchase 20 min later →
+#     an epoch-starting session and a stream-stream joined pair.
+#   900103 — far-future watermark driver: a click/purchase pair at
+#     2150-12-31T23:00/23:30 becomes the global max(ts), dragging the
+#     final append watermark ~127 years forward — every 2024 window and
+#     session must now EMIT (state evicted) while 900103's own window and
+#     session end past the watermark and must be HELD BACK; the
+#     max(ts)-relative oracle truncations express exactly this.
+#   900104 — late/out-of-order: rows appended LAST in file order (after
+#     the 2150 driver) with event times ~127 years OLDER than the final
+#     watermark. Single-batch AvailableNow semantics: batch 1 runs at
+#     watermark = epoch, so these rows are aggregated/deduped/joined like
+#     any others and their long-closed windows emit at the terminal
+#     flush — the duplicate (user, type, day) click pair must collapse in
+#     stream_dedup, and the purchase joins BOTH clicks (within 1 h).
+# PRE-epoch event times are deliberately ABSENT: rows before the initial
+# watermark are dropped by every watermarked stateful operator in batch 1
+# (real Spark drop semantics the full-battery batch oracles cannot
+# express) — pinned engine-side in StreamExtremesSpec instead.
+STREAM_EXTREME_EVENT_ROWS = [
+    (910001, "1970-01-01T00:00:00.001", 900101, "click", 1.0, '{"k": 1}'),
+    (910002, "1970-01-01T00:20:00", 900101, "purchase", 2.0, '{"k": 2}'),
+    (910003, "2150-12-31T23:00:00", 900103, "click", 1.0, '{"k": 3}'),
+    (910004, "2150-12-31T23:30:00", 900103, "purchase", 2.0, '{"k": 4}'),
+    (910005, "2023-12-20T10:00:00", 900104, "click", 1.0, '{"k": 5}'),
+    (910006, "2023-12-20T10:05:00", 900104, "click", 1.5, '{"k": 6}'),
+    (910007, "2023-12-20T10:20:00", 900104, "purchase", 2.5, '{"k": 7}'),
 ]
 
 # (event_type, value, props) — the error/value>=490 rows feed
@@ -219,7 +263,16 @@ def build_tables():
         # extreme event/user ids through the %-arm CASEs, lead/lag
         # tiebreaks, sessionization, and the partitioned format sinks
         + [(I64MAX, ts_us(base_us + 50000000), I64MAX, "click", 1.0, '{"k": 1}'),
-           (I64MIN, ts_us(base_us + 51000000), I64MAX, "view", 2.0, '{"k": 2}')])
+           (I64MIN, ts_us(base_us + 51000000), I64MAX, "view", 2.0, '{"k": 2}')]
+        # streaming time extremes LAST in file (= arrival) order, so the
+        # 2023 rows arrive after the 2150 watermark driver — see the
+        # STREAM_EXTREME_EVENT_ROWS doc. Each planted user's own span
+        # stays under an hour: events_resample's per-user hourly grid and
+        # the retention 64-day state bitmap are per-user linear, so ONLY
+        # per-user spans may not stretch (a single user seen in both 1970
+        # and 2150 would demand a ~1.6M-cell grid and a >64-day bitmap)
+        + [(i, ts_iso(s), u, et, v, p)
+           for (i, s, u, et, v, p) in STREAM_EXTREME_EVENT_ROWS])
     vecs = [[((7 * i + 3 * d) % 11 - 5) / 7.0 for d in range(EMB_DIM)]
             for i in range(11)]
     embeddings = extend(embeddings, [
@@ -246,6 +299,11 @@ def ts_us(us):
     import datetime
     return (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
             + datetime.timedelta(microseconds=us)).replace(tzinfo=None)
+
+
+def ts_iso(s):
+    import datetime
+    return datetime.datetime.fromisoformat(s)
 
 
 def run_pass(label, data_dir, out_dir, tbls):

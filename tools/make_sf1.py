@@ -23,10 +23,26 @@ for the maint_profile volume probe — see the comments at their writers)
 plus dup_pairs.parquet, the generator-derived duplicate ground truth the
 sf10 flagship recall receipt consumes.
 
-Usage: python3 tools/make_sf1.py [outdir] [mult]
+Usage: python3 tools/make_sf1.py [outdir] [mult] [--vocab-growth]
   default outdir /root/repo/target/sf1, mult 10 (sf1);
   `python3 tools/make_sf1.py /root/repo/target/sf10 100` emits the sf10
   rung (~100x the gate scale, ~1.75 GB parquet).
+
+--vocab-growth (VERDICT r15 ask 2): the REAL-corpus vocabulary law arm
+for the two LSH scale paths. The default corpus keeps the driver's
+31-word vocabulary FIXED as N grows, so shingle frequencies grow ∝ N and
+LSH buckets densify — the adversarial corner behind the measured ~N^1.1+
+superlinear walls. Real corpora grow their vocabulary with N instead, so
+shingle document-frequencies stay ~flat. This arm measures that law
+rather than arguing it: the word vocabulary is synthesized at 31·MULT
+words (∝ N, the strongest form of the growth law), every other
+generative knob (seed, doc-length law, copy rate and mutation mix,
+lang/source marginals) identical to the fixed-vocab corpus, so
+vocabulary size is the ONLY changed variable between the two arms.
+Writes ONLY documents.parquet + dup_pairs.parquet — the tables the LSH
+pair (dedup_minhash_lsh, dedup_components_lsh) and its planted-recall
+receipt consume; pair with `sbt "runMain graft.ScaleProbe --lsh <dirs>"`.
+
 This is builder tooling (driver-side python), NOT part of the Spark
 library; /root/testdata is never written.
 """
@@ -37,28 +53,35 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/target/sf1"
+VOCAB_GROWTH = "--vocab-growth" in sys.argv
+argv = [a for a in sys.argv if a != "--vocab-growth"]
+OUT = argv[1] if len(argv) > 1 else "/root/repo/target/sf1"
 # scale multiplier over sf0.1: 10 (default) -> sf1, 100 -> sf10. The RNG
 # streams are consumed identically per row, so the first 10%-of-rows of an
 # sf10 corpus follow the same law (not the same bytes — the copy pool
 # grows) as an sf1 run; all documented growth exponents are law-level.
-MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+MULT = int(argv[2]) if len(argv) > 2 else 10
 N_DOCS = 5_000 * MULT
 N_CUST = 15_000 * MULT
 COPY_RATE = 0.049  # measured: ~244 copy docs / 5000 at sf0.1
 
 con = duckdb.connect()
 
-vocab = [r[0] for r in con.sql(
-    f"select distinct unnest(string_split(text,' ')) w "
-    f"from '{SRC}/documents.parquet' order by 1").fetchall()]
+if VOCAB_GROWTH:
+    # vocabulary ∝ N: 31 words per sf0.1-equivalent of corpus (see the
+    # module doc) — synthesized tokens, same uniform draw as the base arm
+    vocab = [f"w{i:06d}" for i in range(31 * MULT)]
+else:
+    vocab = [r[0] for r in con.sql(
+        f"select distinct unnest(string_split(text,' ')) w "
+        f"from '{SRC}/documents.parquet' order by 1").fetchall()]
+    assert len(vocab) == 31, vocab
 langs = con.sql(
     f"select lang, count(*) from '{SRC}/documents.parquet' group by 1 order by 1"
 ).fetchall()
 sources = con.sql(
     f"select source, count(*) from '{SRC}/documents.parquet' group by 1 order by 1"
 ).fetchall()
-assert len(vocab) == 31, vocab
 
 rng = random.Random(20260813)
 lang_names = [l for l, _ in langs]
@@ -104,6 +127,15 @@ con.sql(f"copy docs to '{OUT}/documents.parquet' (format parquet)")
 con.sql("create table dup_pairs(base_id bigint, copy_id bigint)")
 con.executemany("insert into dup_pairs values (?,?)", dup_pairs)
 con.sql(f"copy dup_pairs to '{OUT}/dup_pairs.parquet' (format parquet)")
+
+if VOCAB_GROWTH:
+    # LSH-arm dataset only — see the module doc
+    print("wrote", OUT, "(vocab-growth arm: documents + dup_pairs only,",
+          f"vocab {len(vocab)} words)")
+    for t in ("documents", "dup_pairs"):
+        print(t, con.sql(
+            f"select count(*) from '{OUT}/{t}.parquet'").fetchone()[0])
+    sys.exit(0)
 
 # embeddings (2,000 -> 20,000): measured sf0.1 law = 64-dim unit vectors,
 # 10 roughly balanced labels, WEAK label clustering (within-label mean
