@@ -25,6 +25,18 @@ object Bench {
         (n, v / BenchBands.medianSec(n))
     }
 
+  /** JSON string literal for an environment-derived value (sf dir,
+    * artifact path) — ONE definition for both artifact lines, so an
+    * escaping fix cannot reach one field and miss the other. Query
+    * names never need it (code-side identifiers). */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     // the artifact numbers below go through f"..%.3f" interpolators,
     // which format via the default FORMAT-category locale — under a
@@ -293,9 +305,14 @@ object Bench {
       .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
       .mkString("{", ",", "}")
     overBand.foreach { case (n, r) =>
+      // the right reaction differs by mode (see the comment above): a
+      // REPEAT>=2 entry already survived a same-JVM re-run
+      val action =
+        if (repeat > 1) "REPRODUCED across passes — explain or fix"
+        else "re-time in isolation"
       System.err.println(
         f"[bench] BAND ALERT: $n best-of-run is $r%.2fx its recorded median "
-          + "(rule: best > max(1.5x median, 1s)) — re-time in isolation "
+          + s"(rule: best > max(1.5x median, 1s)) — $action "
           + "before recording closing numbers")
     }
     val qs = finalResults
@@ -362,16 +379,11 @@ object Bench {
           .map(java.nio.file.Files.size).sum
         finally walk.close()
       } catch { case _: Throwable => -1L }
-    // JSON-escape the one interpolated string that comes from the
+    // JSON-escape the interpolated strings that come from the
     // environment — a quote or backslash in SPARK_GRAFT_SF_DIR would
     // otherwise make both artifact lines unparseable (the same class
-    // Verify.q exists for; query names are code-side identifiers)
-    val sfJson = "\"" + sfDir.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // Verify.q exists for)
+    val sfJson = jsonStr(sfDir)
     val line =
       s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"smears":$smears,"rerun_rule":"max(2x_recorded_median,1s)_else_3s","over_band":$overBandJson,"over_band_rule":"best_of_run>max(1.5x_median,1s)","total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"errors":$errors,"sf":$sfJson}"""
     println(line)
@@ -409,14 +421,10 @@ object Bench {
     // wrote it — a consumer following a stale pointer would read the
     // previous run's numbers (path JSON-escaped like sfJson: it comes
     // from the environment)
-    val outJson = "\"" + benchOutPath.toString.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val detail =
-      if (fullArtifactWritten) s""","detail":$outJson""" else ""
+      if (fullArtifactWritten)
+        s""","detail":${jsonStr(benchOutPath.toString)}"""
+      else ""
     println(
       s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sfJson,"nqueries":${finalResults.size},"nerrors":${finalResults.count(!_._3)},"nsmears":${adjudicated.size},"over_band":$overBandJson,"total_firstpass":$firstPassStr,"band_drift":$driftStr,"sf_bytes":$sfBytes,"slowest20":$slowest$detail}""")
     spark.stop()

@@ -365,13 +365,33 @@ object Similarity {
   }
 
   /** Embedding dimensionality, looked up once per dataset (one tiny
-    * job) — the LSH plane literals need it at plan time. */
-  private val dimCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    * job) — the LSH plane literals need it at plan time. The memo value
+    * carries the SOURCE FINGERPRINT it was computed from (file
+    * length+mtime — a couple of FS stats per lookup, no Spark job):
+    * unlike the ivf/sem index memos, whose stale-EMPTY entry fails
+    * loud (head of an empty centroid list) if a dir is regenerated
+    * without invalidateIndexCaches, a stale dim placeholder would fail
+    * SILENT — lshBuckets would hash every real vector against a
+    * 1-dimensional plane family and return wrong-but-plausible buckets
+    * forever. The fingerprint makes the tombstone (and a stale
+    * populated dim) self-invalidating instead of trusting the calling
+    * convention (review r16; same mechanism as Dedup.lshComponentLabels'
+    * marker). */
+  private val dimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  /** "absent" when the table does not exist — a stable fingerprint for
+    * the not-yet-populated state, distinct from any real file's. */
+  private def embSourceFingerprint(spark: SparkSession, dir: String): String =
+    try graft.sources.Formats.sourceFingerprint(
+      spark.sessionState.newHadoopConf(), dir, "embeddings")
+    catch { case _: java.io.FileNotFoundException => "absent" }
 
   private def embeddingDim(spark: SparkSession, dir: String): Int = {
     val key = graft.sources.Formats.canonicalDir(dir)
+    val fp = embSourceFingerprint(spark, dir)
     val cached = dimCache.get(key)
-    if (cached != null) cached.intValue()
+    if (cached != null && cached._1 == fp) cached._2
     else {
       // skip NULL embeddings: size(NULL) is NULL and getInt would NPE if
       // the arbitrary limit(1) row happened to be a NULL-embedding row
@@ -381,14 +401,13 @@ object Similarity {
       // empty (or all-NULL) embeddings: any dim plans fine — no rows
       // ever reach the plane fold, so the hash-family queries return
       // EMPTY with the right schema instead of aborting the battery.
-      // The placeholder IS memoized (ADVICE r15): same-JVM regeneration
-      // of a dir already must call invalidateIndexCaches — the contract
-      // every POPULATED memo here relies on (ScaleProbe's planted-dir
-      // block does exactly that) — so an uncached placeholder bought no
-      // correctness, only a re-run of the limit(1) job on every call
-      // against an empty dir
+      // The placeholder IS memoized (ADVICE r15) — fingerprint-guarded
+      // per the doc above, so a later population recomputes even
+      // without an invalidate call.
       val d = if (head.isEmpty) 1 else head(0).getInt(0)
-      dimCache.putIfAbsent(key, d)
+      // put, not putIfAbsent: on a fingerprint mismatch the stale entry
+      // must be REPLACED (putIfAbsent would pin the old one forever)
+      dimCache.put(key, (fp, d))
       d
     }
   }

@@ -42,14 +42,20 @@ class BenchBandsSpec extends AnyFunSuite {
     // with its ratio; a reading at exactly the threshold must not (the
     // rule is strict >, so band-edge noise doesn't alert); sub-1s bests
     // never alert regardless of ratio (the 1 s floor); unbanded names
-    // are skipped (no band to breach — the smear fallback governs them)
-    val m = BenchBands.medianSec("maint_zorder") // 2.476 at r15
+    // are skipped (no band to breach — the smear fallback governs them).
+    // Constructed band-value-relative throughout, with an FP tolerance
+    // on the ratio — the bands are re-recorded every round and the spec
+    // must survive that (e.g. (6.0*m)/m lands one ulp off 6.0 for many
+    // 3-decimal medians; an absolute q_topk reading would drift across
+    // the 1 s floor if its median quadrupled).
+    val m = BenchBands.medianSec("maint_zorder")
     val report = Bench.overBandEntries(Seq(
       "maint_zorder" -> 6.0 * m,
-      "q_topk" -> BenchBands.medianSec("q_topk") * 4.0, // 0.676s < 1s floor
+      "q_topk" -> 0.999, // under the 1 s floor no matter the ratio
       "wordcount" -> math.max(1.5 * BenchBands.medianSec("wordcount"), 1.0),
       "__new_query__" -> 99.0))
-    assert(report === Seq("maint_zorder" -> 6.0))
+    assert(report.map(_._1) === Seq("maint_zorder"), s"got $report")
+    assert(math.abs(report.head._2 - 6.0) < 1e-9, s"ratio ${report.head._2}")
     assert(Bench.overBandEntries(Nil).isEmpty)
   }
 }
