@@ -1,10 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -20,11 +19,25 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * `nullSafeEval` is provided for completeness (constant folding, edge
   * paths).
   *
+  * `failOnOverflow` mirrors the arithmetic mode of the HOF chain this
+  * expression stands in for (review r16): under Spark 4's default
+  * ANSI mode the HOF's Multiply/Add THROW on Long overflow, so both
+  * construction routes capture the mode — the `dot_l` builder reads
+  * `SQLConf.get.ansiEnabled` at analysis time, and [[RewriteDotProduct]]
+  * copies the matched operators' own EvalMode — and the loop uses
+  * `Math.multiplyExact`/`addExact` (JIT-intrinsified; the overflow
+  * branch costs nothing untaken) when set. A wrapping loop here would
+  * have let the optimizer rule silently CHANGE results for
+  * overflow-range inputs. The engine's own callers feed quantized
+  * int8-range values (|acc| ≤ dims·127² ≪ 2⁶³) — the mode exists for
+  * the SQL surface's unbounded inputs.
+  *
   * The preference ladder from the design brief: built-in functions →
   * native Expression → UDF. This is the middle rung, used where the
   * built-ins genuinely can't express a primitive loop.
   */
-case class DotProductLong(left: Expression, right: Expression)
+case class DotProductLong(left: Expression, right: Expression,
+    failOnOverflow: Boolean)
     extends BinaryExpression {
 
   // Manual type check: AbstractDataType (ExpectsInputTypes' vocabulary)
@@ -60,10 +73,18 @@ case class DotProductLong(left: Expression, right: Expression)
     if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getLong(i) * y.getLong(i)
-      i += 1
+    if (failOnOverflow) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
     }
     acc
   }
@@ -73,6 +94,11 @@ case class DotProductLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val step =
+        if (failOnOverflow)
+          s"$acc = java.lang.Math.addExact($acc, " +
+            s"java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+        else s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = $a.numElements();
          |long $acc = 0L;
@@ -80,7 +106,7 @@ case class DotProductLong(left: Expression, right: Expression)
          |if (!${ev.isNull}) {
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |    $step
          |  }
          |}
          |${ev.value} = $acc;

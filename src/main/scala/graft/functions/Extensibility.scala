@@ -27,15 +27,21 @@ object Extensibility {
     * equivalent codegen'd expression
     * `length(regexp_replace(lower(s), "[^aeiou]", "")) / length(s)`;
     * the UDF exists to exercise `spark.udf.register`. Same IEEE division
-    * on both engines → exact oracle.
+    * on both engines → exact oracle. NULL and '' yield NULL — the SQL
+    * semantics the oracle's `/ nullif(length, 0)` form states (a 0/0
+    * ratio is undefined, not 0.0); an earlier 0.0-on-empty special case
+    * diverged from the oracle on exactly the inputs TPC-H names never
+    * contain (review r16 — latent, surfaced by reading, not by the
+    * gate, whose c_custkey <= 200 slice is degenerate-free).
     */
-  private val vowelRatio: String => Double = { s =>
-    if (s == null || s.isEmpty) 0.0
+  private val vowelRatio: String => java.lang.Double = { s =>
+    if (s == null || s.isEmpty) null
     // Locale.ROOT: the oracle's lower() is locale-insensitive, while a
     // bare toLowerCase follows the JVM default locale (Turkish 'I' →
     // dotless 'ı', missing the vowel set)
-    else s.toLowerCase(java.util.Locale.ROOT)
-      .count("aeiou".contains(_)).toDouble / s.length
+    else java.lang.Double.valueOf(
+      s.toLowerCase(java.util.Locale.ROOT)
+        .count("aeiou".contains(_)).toDouble / s.length)
   }
 
   def udfVowelRatio(spark: SparkSession, dir: String): DataFrame = {
@@ -48,7 +54,7 @@ object Extensibility {
   val udfVowelRatioSql: String =
     """SELECT c_custkey, c_name,
       |  CAST(length(regexp_replace(lower(c_name), '[^aeiou]', '', 'g')) AS DOUBLE)
-      |    / length(c_name) AS vr
+      |    / nullif(length(c_name), 0) AS vr
       |FROM customer WHERE c_custkey <= 200""".stripMargin
 
   // ---- typed Aggregator (UDAF) ---------------------------------------------

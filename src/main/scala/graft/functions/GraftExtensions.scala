@@ -49,8 +49,14 @@ object GraftFunctions {
   }
 
   val all: Seq[Description] = Seq(
+    // the builder runs at analysis time on the driver, so SQLConf.get is
+    // the calling session's conf: dot_l inherits the session's ANSI
+    // arithmetic exactly as the HOF chain it documents itself against
+    // (DotProductLong doc; review r16)
     fn("dot_l", 2, classOf[DotProductLong],
-      exprs => DotProductLong(exprs.head, exprs(1))),
+      exprs => DotProductLong(exprs.head, exprs(1),
+        failOnOverflow =
+          org.apache.spark.sql.internal.SQLConf.get.ansiEnabled)),
     fn("dot_d", 2, classOf[DotProductDouble],
       exprs => DotProductDouble(exprs.head, exprs(1))),
     fn("count_in", 2, classOf[CountInSet],
@@ -82,11 +88,18 @@ object GraftFunctions {
     * as the already-registered sentinel: the only writers are this
     * method and the extension injection, and both install the whole
     * list — so one lookup short-circuits the call-per-Column fast path
-    * (Text.tokens & co. call this on every Column construction). */
+    * (Text.tokens & co. call this on every Column construction). The
+    * SENTINEL IS REGISTERED LAST (review r16): registering it first
+    * would publish "installed" to a concurrent caller on the shared
+    * session while the rest of the list is still missing — that caller
+    * would skip installation and hit an undefined-function analysis
+    * error on e.g. graft_shingles. With the sentinel last, a racing
+    * reader either sees it absent (and runs the idempotent install
+    * itself) or sees the complete list. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(all.head._1)) {
-      all.foreach { case (id, info, builder) =>
+      (all.tail :+ all.head).foreach { case (id, info, builder) =>
         registry.registerFunction(id, info, builder)
       }
     }

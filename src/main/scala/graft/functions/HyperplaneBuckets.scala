@@ -37,10 +37,17 @@ case class HyperplaneBuckets(child: Expression, dim: Int, tables: Int,
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) if dim > 0 && tables > 0 && planesPerTable > 0 =>
+    // planes <= 63: the Horner fold leaves bucket < 2^planes, so 63 sign
+    // bits still fit a Long exactly (max 2^63 - 1); a 64th plane's
+    // `bucket * 2` would wrap silently and collapse bucket ids with no
+    // error (review r16). Validated here so SQL-surface misuse fails at
+    // analysis, not as arbitrary collisions.
+    case ArrayType(DoubleType, _)
+        if dim > 0 && tables > 0 && planesPerTable > 0 && planesPerTable <= 63 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"lsh_buckets expects (array<double>, positive dim/tables/planes), got " +
+      s"lsh_buckets expects (array<double>, positive dim/tables, " +
+        s"planes in 1..63), got " +
         s"(${child.dataType.simpleString}, $dim, $tables, $planesPerTable)")
   }
 

@@ -3,12 +3,11 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
@@ -132,9 +131,16 @@ case class MinHashUnion(
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
-      val n = math.min(k, a.numElements())
+      // strict: a signature shorter than k would leave its tail slots at
+      // the Long.MaxValue sentinel, and sentinel slots AGREE across every
+      // group — a silently inflated Jaccard estimate (~ +missing/k) is
+      // strictly worse than failing the query (review r16; the same
+      // spurious-agreement hazard the MinHashSigs EmptySlot doc pins)
+      if (a.numElements() != k) throw new IllegalArgumentException(
+        s"minhash_union(sig, k=$k): signature has ${a.numElements()} slots; " +
+          "k must equal the minhash_sigs width that produced the column")
       var i = 0
-      while (i < n) {
+      while (i < k) {
         if (!a.isNullAt(i)) {
           val x = a.getLong(i)
           if (x < buffer(i)) buffer(i) = x

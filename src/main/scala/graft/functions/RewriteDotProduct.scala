@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply,
-  NamedLambdaVariable, ZipWith}
+  Add, ArrayAggregate, EvalMode, Expression, LambdaFunction, Literal,
+  Multiply, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, LongType}
@@ -20,10 +20,20 @@ import org.apache.spark.sql.types.{ArrayType, LongType}
   * Expression" done BY the engine rather than by every query author.
   *
   * Null semantics are preserved exactly: DotProductLong returns null for
-  * null inputs and null elements, as the HOF chain does. Installed via
-  * `spark.experimental.extraOptimizations` (the public hook for extra
-  * optimizer rules on an existing session; a deployment owning the
-  * session builder would use `SparkSessionExtensions.injectOptimizerRule`).
+  * null inputs and null elements, as the HOF chain does. ARITHMETIC
+  * semantics are preserved too (review r16): the matched Multiply/Add
+  * carry an EvalMode — under Spark 4's default ANSI mode they THROW on
+  * Long overflow — so the rewrite copies that mode into the
+  * expression's `failOnOverflow` rather than silently substituting
+  * wrapping Java arithmetic, and it declines TRY mode entirely
+  * (try-arithmetic nulls out per OPERATION; a whole-loop null is not
+  * equivalent). Both operators must agree on the mode — in practice
+  * they always do (both come from the session's ansi setting at
+  * analysis), and a hand-built mixed-mode plan keeps its HOF form.
+  * Installed via `spark.experimental.extraOptimizations` (the public
+  * hook for extra optimizer rules on an existing session; a deployment
+  * owning the session builder would use
+  * `SparkSessionExtensions.injectOptimizerRule`).
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
 
@@ -32,14 +42,19 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** merge/zip lambdas must combine exactly their own two variables. */
-  private def combinesOwnArgs(fn: LambdaFunction): Option[String] = fn match {
-    case LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), args, _)
-        if args.map(_.exprId).toSet == Set(x, y).map(_.exprId) => Some("mul")
-    case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, _), args, _)
-        if args.map(_.exprId).toSet == Set(x, y).map(_.exprId) => Some("add")
-    case _ => None
-  }
+  /** merge/zip lambdas must combine exactly their own two variables;
+    * returns the operator tag and its EvalMode (Spark 4.1 wraps the
+    * mode in a NumericEvalContext on Add/Multiply). */
+  private def combinesOwnArgs(fn: LambdaFunction): Option[(String, EvalMode.Value)] =
+    fn match {
+      case LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, c), args, _)
+          if args.map(_.exprId).toSet == Set(x, y).map(_.exprId) =>
+        Some(("mul", c.evalMode))
+      case LambdaFunction(Add(x: NamedLambdaVariable, y: NamedLambdaVariable, c), args, _)
+          if args.map(_.exprId).toSet == Set(x, y).map(_.exprId) =>
+        Some(("add", c.evalMode))
+      case _ => None
+    }
 
   private def isIdentity(fn: LambdaFunction): Boolean = fn match {
     case LambdaFunction(v: NamedLambdaVariable, Seq(arg), _) => v.exprId == arg.exprId
@@ -47,16 +62,18 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case ArrayAggregate(
+    case agg @ ArrayAggregate(
           ZipWith(a, b, zipFn: LambdaFunction),
           Literal(0L, LongType),
           mergeFn: LambdaFunction,
           finishFn: LambdaFunction)
-        if isLongArray(a) && isLongArray(b) &&
-          combinesOwnArgs(zipFn).contains("mul") &&
-          combinesOwnArgs(mergeFn).contains("add") &&
-          isIdentity(finishFn) =>
-      DotProductLong(a, b)
+        if isLongArray(a) && isLongArray(b) && isIdentity(finishFn) =>
+      (combinesOwnArgs(zipFn), combinesOwnArgs(mergeFn)) match {
+        case (Some(("mul", mz)), Some(("add", ma)))
+            if mz == ma && mz != EvalMode.TRY =>
+          DotProductLong(a, b, failOnOverflow = mz == EvalMode.ANSI)
+        case _ => agg
+      }
   }
 
   /** Install on a live session (idempotent). */

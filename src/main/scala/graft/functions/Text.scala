@@ -60,19 +60,25 @@ object Text {
   def cleanToken(t: Column): Column =
     lower(regexp_replace(regexp_replace(t, s"^$PunctClass+", ""), s"$PunctClass+\\z", ""))
 
+  /** Register-then-call for the native expressions: registration rides
+    * the ACTIVE session (the one assembling this very query plan on the
+    * driver), so every call site — operator or test — resolves without
+    * per-operator register calls; [[GraftExtensions]] sessions already
+    * carry the list and the lookup short-circuits. ONE definition for
+    * all three consumers below, so the registration strategy cannot
+    * drift between them (review r16). */
+  private def registered(name: String, cols: Column*): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(GraftFunctions.register)
+    call_function(name, cols: _*)
+  }
+
   /** Line/document → array of clean non-empty tokens, as the native
     * codegen'd [[Tokenize]] expression — one primitive scan per row
     * where the HOF twin below pays interpreted lambda dispatch plus two
     * regex machines per token, in the hot path of every text / dedup /
-    * wordcount query. Registration rides the active session (the one
-    * assembling this very query plan on the driver), so every call site
-    * — operator or test — resolves without per-operator register calls;
-    * [[GraftExtensions]] sessions already carry it. */
-  def tokens(c: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(GraftFunctions.register)
-    call_function("graft_tokens", c)
-  }
+    * wordcount query. */
+  def tokens(c: Column): Column = registered("graft_tokens", c)
 
   /** Reference-compat (Penn Treebank) tokenizer — the fidelity shim for
     * byte-parity with the reference's NLTK pipeline (contraction splits,
@@ -80,11 +86,7 @@ object Text {
     * [[tokens]] stays the default: it is one primitive scan per row
     * where this pays the ~18-pass PTB regex chain.
     */
-  def tokensPtb(c: Column): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(GraftFunctions.register)
-    call_function("graft_tokens_ptb", c)
-  }
+  def tokensPtb(c: Column): Column = registered("graft_tokens_ptb", c)
 
   /** The declarative HOF formulation of the SAME tokenizer spec — kept
     * as the reference twin [[Tokenize]] is pinned bit-identical to
@@ -111,11 +113,8 @@ object Text {
     * [[Shingles]] expression (registration rides the active session as
     * in [[tokens]]); the HOF twin below is the pinned reference.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(GraftFunctions.register)
-    call_function("graft_shingles", toks, lit(n))
-  }
+  def shingles(toks: Column, n: Int): Column =
+    registered("graft_shingles", toks, lit(n))
 
   /** Declarative twin of [[shingles]] — the pinned reference form. The
     * explicit NULL arm keeps the twins identical on NULL input: the

@@ -82,4 +82,47 @@ class RewriteDotProductSpec extends AnyFunSuite {
       .selectExpr("dot_l(a, b) AS d")
     assert(df.collect().head.isNullAt(0))
   }
+
+  test("overflow semantics follow the session's ANSI mode (rewrite + dot_l)") {
+    graft.functions.DotProduct.register(spark)
+    // 3037000500^2 > Long.MaxValue: under ANSI the HOF form throws, so
+    // the rewritten/registered expression must throw too — a silently
+    // wrapped value would mean the optimizer CHANGED results (review
+    // r16). Under legacy mode both wrap to the same value.
+    val big = 3037000500L
+    def dotBig() = Seq((Seq(big), Seq(big))).toDF("a", "b")
+      .selectExpr("dot_l(a, b) AS d").collect().head
+    def hofBig() = Seq((Seq(big), Seq(big))).toDF("a", "b")
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("d")).collect().head
+    // all collects run INSIDE their conf window (the r14 test-trap
+    // class: a restored conf before the action re-plans under the
+    // wrong mode); withConf restores set-or-unset even on failure
+    graft.engine.Tables.withConf(spark, "spark.sql.ansi.enabled", "true") {
+      assertThrows[Exception](hofBig())   // the reference behavior
+      assertThrows[Exception](dotBig())   // dot_l must match it
+    }
+    graft.engine.Tables.withConf(spark, "spark.sql.ansi.enabled", "false") {
+      val wrapped = big * big             // Java wrapping product
+      assert(hofBig().getLong(0) === wrapped)
+      assert(dotBig().getLong(0) === wrapped)
+      // the REWRITE path under legacy mode: results equal the HOF's.
+      // Input derived from range(1)'s id so ConstantFolding cannot
+      // evaluate the whole expression before the rule sees it (the
+      // hofDot comment's trap — a literal-array form folds to a
+      // LocalRelation and no rewrite is observable)
+      RewriteDotProduct.install(spark)
+      try {
+        val viaRule = spark.range(1)
+          .select(array(col("id") + big).as("a"), array(col("id") + big).as("b"))
+          .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("d"))
+        assert(viaRule.queryExecution.optimizedPlan.toString.contains("dot_l"))
+        assert(viaRule.collect().head.getLong(0) === wrapped)
+      } finally {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
+      }
+    }
+  }
 }
