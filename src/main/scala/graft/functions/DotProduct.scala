@@ -25,10 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * construction routes capture the mode — the `dot_l` builder reads
   * `SQLConf.get.ansiEnabled` at analysis time, and [[RewriteDotProduct]]
   * copies the matched operators' own EvalMode — and the loop uses
-  * `Math.multiplyExact`/`addExact` (JIT-intrinsified; the overflow
-  * branch costs nothing untaken) when set. A wrapping loop here would
-  * have let the optimizer rule silently CHANGE results for
-  * overflow-range inputs. The engine's own callers feed quantized
+  * Spark's `MathUtils.multiplyExact`/`addExact` (thin wrappers over the
+  * JIT-intrinsified java.lang.Math ops that rethrow as
+  * SparkArithmeticException / ARITHMETIC_OVERFLOW, the same error class
+  * and hint the ANSI operators raise; the overflow branch costs nothing
+  * untaken) when set. A wrapping loop here would have let the optimizer
+  * rule silently CHANGE results for overflow-range inputs. The engine's own callers feed quantized
   * int8-range values (|acc| ≤ dims·127² ≪ 2⁶³) — the mode exists for
   * the SQL surface's unbounded inputs.
   *
@@ -74,9 +76,16 @@ case class DotProductLong(left: Expression, right: Expression,
     var acc = 0L
     var i = 0
     if (failOnOverflow) {
+      // Spark's own checked ops (MathUtils), not java.lang.Math: the HOF
+      // chain's ANSI Multiply/Add throw SparkArithmeticException with
+      // error class ARITHMETIC_OVERFLOW and the try_/ansi-off hint, and
+      // error-class-keyed handlers must keep matching after the rewrite
+      // (review r16 follow-up; a bare 'long overflow' carried no class)
       while (i < n) {
         if (x.isNullAt(i) || y.isNullAt(i)) return null
-        acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+        acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc,
+          org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
+            x.getLong(i), y.getLong(i)))
         i += 1
       }
     } else {
@@ -94,10 +103,13 @@ case class DotProductLong(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // same MathUtils ops as the interpreted path (SparkArithmeticException
+      // with the ARITHMETIC_OVERFLOW error class — see nullSafeEval)
+      val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
       val step =
         if (failOnOverflow)
-          s"$acc = java.lang.Math.addExact($acc, " +
-            s"java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));"
+          s"$acc = $mu.addExact($acc, " +
+            s"$mu.multiplyExact($a.getLong($i), $b.getLong($i)));"
         else s"$acc += $a.getLong($i) * $b.getLong($i);"
       s"""
          |int $n = $a.numElements();

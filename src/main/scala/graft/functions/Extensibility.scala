@@ -25,7 +25,9 @@ object Extensibility {
 
   /** Vowel ratio of a string. A production pipeline would use the
     * equivalent codegen'd expression
-    * `length(regexp_replace(lower(s), "[^aeiou]", "")) / length(s)`;
+    * `length(regexp_replace(lower(s), "[^aeiou]", "")) /
+    * nullif(length(s), 0)` — the nullif matches this UDF's ''→NULL
+    * contract (a bare `/ length(s)` yields NaN from 0.0/0 instead);
     * the UDF exists to exercise `spark.udf.register`. Same IEEE division
     * on both engines → exact oracle. NULL and '' yield NULL — the SQL
     * semantics the oracle's `/ nullif(length, 0)` form states (a 0/0

@@ -82,4 +82,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
     }
+
+  /** Remove from a live session — the inverse [[install]] callers (test
+    * windows especially) need, kept HERE so the removal logic cannot be
+    * hand-rolled differently at each site (review r16). */
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == this)
 }

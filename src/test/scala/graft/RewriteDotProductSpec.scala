@@ -36,10 +36,7 @@ class RewriteDotProductSpec extends AnyFunSuite {
       assert(after.contains("dot_l"), s"rule did not fire; plan:\n$after")
       assert(!after.contains("aggregate("), "HOF form should be gone")
       assert(hofDot.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === reference)
-    } finally {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
-    }
+    } finally RewriteDotProduct.uninstall(spark)
   }
 
   test("rule leaves non-matching aggregates alone") {
@@ -56,10 +53,7 @@ class RewriteDotProductSpec extends AnyFunSuite {
           lit(0.0), (acc, v) => acc + v).as("d"))
       assert(!dd.queryExecution.optimizedPlan.toString.contains("dot_l"))
       assert(dd.collect().head.getDouble(0) === 11.0)
-    } finally {
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
-    }
+    } finally RewriteDotProduct.uninstall(spark)
   }
 
   test("mismatched lengths yield null — same as the HOF form it replaces") {
@@ -95,34 +89,53 @@ class RewriteDotProductSpec extends AnyFunSuite {
     def hofBig() = Seq((Seq(big), Seq(big))).toDF("a", "b")
       .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
         lit(0L), (acc, v) => acc + v).as("d")).collect().head
+    // Input derived from range(1)'s id so ConstantFolding cannot
+    // evaluate the whole expression before the rule sees it (the hofDot
+    // comment's trap — a literal-array form folds to a LocalRelation
+    // and no rewrite is observable)
+    def hofBigViaRange() = spark.range(1)
+      .select(array(col("id") + big).as("a"), array(col("id") + big).as("b"))
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("d"))
+    // ArithmeticException, not bare Exception: SparkArithmeticException
+    // extends it, while an AnalysisException (e.g. a registration
+    // failure) must FAIL the test, not satisfy the throw assert. Checked
+    // down the cause chain because a task-side throw surfaces wrapped in
+    // SparkException, while a constant-folded one throws directly.
+    def assertOverflows(body: => Any): Unit = {
+      val ex = intercept[Exception](body)
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10).toSeq
+      assert(chain.exists(_.isInstanceOf[ArithmeticException]),
+        s"expected an ArithmeticException (ANSI overflow), got: $ex")
+    }
     // all collects run INSIDE their conf window (the r14 test-trap
     // class: a restored conf before the action re-plans under the
     // wrong mode); withConf restores set-or-unset even on failure
     graft.engine.Tables.withConf(spark, "spark.sql.ansi.enabled", "true") {
-      assertThrows[Exception](hofBig())   // the reference behavior
-      assertThrows[Exception](dotBig())   // dot_l must match it
+      assertOverflows(hofBig())   // the reference behavior
+      assertOverflows(dotBig())   // dot_l must match it
+      // the REWRITE's ANSI branch end-to-end: the rule must carry the
+      // operators' ANSI mode into failOnOverflow — a silently wrapped
+      // value here is exactly the optimizer-changes-results bug class
+      RewriteDotProduct.install(spark)
+      try {
+        val viaRule = hofBigViaRange()
+        assert(viaRule.queryExecution.optimizedPlan.toString.contains("dot_l"))
+        assertOverflows(viaRule.collect())
+      } finally RewriteDotProduct.uninstall(spark)
     }
     graft.engine.Tables.withConf(spark, "spark.sql.ansi.enabled", "false") {
       val wrapped = big * big             // Java wrapping product
       assert(hofBig().getLong(0) === wrapped)
       assert(dotBig().getLong(0) === wrapped)
-      // the REWRITE path under legacy mode: results equal the HOF's.
-      // Input derived from range(1)'s id so ConstantFolding cannot
-      // evaluate the whole expression before the rule sees it (the
-      // hofDot comment's trap — a literal-array form folds to a
-      // LocalRelation and no rewrite is observable)
+      // the REWRITE path under legacy mode: results equal the HOF's
       RewriteDotProduct.install(spark)
       try {
-        val viaRule = spark.range(1)
-          .select(array(col("id") + big).as("a"), array(col("id") + big).as("b"))
-          .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
-            lit(0L), (acc, v) => acc + v).as("d"))
+        val viaRule = hofBigViaRange()
         assert(viaRule.queryExecution.optimizedPlan.toString.contains("dot_l"))
         assert(viaRule.collect().head.getLong(0) === wrapped)
-      } finally {
-        spark.experimental.extraOptimizations =
-          spark.experimental.extraOptimizations.filterNot(_ == RewriteDotProduct)
-      }
+      } finally RewriteDotProduct.uninstall(spark)
     }
   }
 }
