@@ -36,6 +36,8 @@ import shutil
 import subprocess
 import sys
 
+import datetime
+
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -205,7 +207,7 @@ def build_tables():
         (90004, "astral \U0001F600 cust", 2, 1.0, "AUTOMOBILE"),
         (90005, "astral \U0001F600\U0001F600 cust", 2, 2.0, "AUTOMOBILE"),
         (90006, "astral \U0001D54F cust", 3, 3.0, "HOUSEHOLD")])
-    ts = lambda s: None if s is None else __import__("datetime").datetime.fromisoformat(s)
+    ts = lambda s: None if s is None else ts_iso(s)
     orders = extend(orders, [
         (900001, 90001, "", None, None, None),   # NULL price/date/priority
         (900002, 90002, "O", 0.0, ts("1995-06-15"), "1-URGENT"),
@@ -296,13 +298,14 @@ def doc_row(doc_id, text, lang="en", source="planted"):
 
 
 def ts_us(us):
-    import datetime
     return (datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
             + datetime.timedelta(microseconds=us)).replace(tzinfo=None)
 
 
 def ts_iso(s):
-    import datetime
+    """The ONE ISO-timestamp parse for planted fixtures (review r16:
+    a lambda twin drifted beside it) — None-intolerant on purpose; the
+    orders `ts` lambda adds the None arm its rows need."""
     return datetime.datetime.fromisoformat(s)
 
 

@@ -55,6 +55,14 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 VOCAB_GROWTH = "--vocab-growth" in sys.argv
 argv = [a for a in sys.argv if a != "--vocab-growth"]
+# reject unrecognized flags LOUDLY: a typo like --vocab_growth would
+# otherwise be consumed as the positional outdir, silently generating
+# the BASE arm into a directory named after the typo — the user then
+# measures the fixed-vocab adversarial corner believing it is the
+# vocab-growth law (review r16)
+bad = [a for a in argv[1:] if a.startswith("--")]
+if bad:
+    sys.exit(f"unrecognized flag(s) {bad}; only --vocab-growth is supported")
 OUT = argv[1] if len(argv) > 1 else "/root/repo/target/sf1"
 # scale multiplier over sf0.1: 10 (default) -> sf1, 100 -> sf10. The RNG
 # streams are consumed identically per row, so the first 10%-of-rows of an
@@ -64,6 +72,21 @@ MULT = int(argv[2]) if len(argv) > 2 else 10
 N_DOCS = 5_000 * MULT
 N_CUST = 15_000 * MULT
 COPY_RATE = 0.049  # measured: ~244 copy docs / 5000 at sf0.1
+
+# arm-mixing guard (review r16): --vocab-growth writes ONLY
+# documents + dup_pairs, so pointing it at an existing BASE-arm dir
+# (e.g. the default target/sf1 after a plain run) would overwrite just
+# those two tables and leave a silently MIXED dataset — a vocab-growth
+# documents corpus beside base-arm orders/embeddings/customer — that
+# every later ScaleProbe run over that dir would measure as if coherent.
+if VOCAB_GROWTH:
+    mixed = [t for t in ("orders", "lineitem", "events", "customer",
+                         "embeddings")
+             if os.path.exists(f"{OUT}/{t}.parquet")]
+    if mixed:
+        sys.exit(f"--vocab-growth refuses to write into {OUT}: it holds "
+                 f"base-arm tables {mixed} — use a dedicated dir "
+                 "(convention: target/sf1v, target/sf10v)")
 
 con = duckdb.connect()
 
@@ -118,15 +141,31 @@ for doc_id in range(N_DOCS):
                  len(text)))
 
 os.makedirs(OUT, exist_ok=True)
-con.sql("create table docs(doc_id bigint, text varchar, lang varchar, "
-        "source varchar, n_chars bigint)")
-con.executemany("insert into docs values (?,?,?,?,?)", docs)
-con.sql(f"copy docs to '{OUT}/documents.parquet' (format parquet)")
+
+
+def copy_rows(rows, schema, dest):
+    """Bulk-ingest generated row tuples via a registered pyarrow table —
+    executemany runs one prepared INSERT per row, which at MULT=100
+    (500k docs, 200k 64-float embeddings) was minutes of pure per-row
+    overhead per arm (review r16); identical values, seconds instead."""
+    import pyarrow as pa
+    tbl = pa.table({f.name: pa.array([r[i] for r in rows], f.type)
+                    for i, f in enumerate(schema)})
+    con.register("bulk_src", tbl)
+    con.sql(f"copy (select * from bulk_src) to '{dest}' (format parquet)")
+    con.unregister("bulk_src")
+
+
+import pyarrow as pa
+copy_rows(docs, pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                           ("lang", pa.string()), ("source", pa.string()),
+                           ("n_chars", pa.int64())]),
+          f"{OUT}/documents.parquet")
 # sidecar, NOT one of the ten engine table names: only the ScaleProbe
 # flagship receipts read it (Tables accessors and oracle_check never will)
-con.sql("create table dup_pairs(base_id bigint, copy_id bigint)")
-con.executemany("insert into dup_pairs values (?,?)", dup_pairs)
-con.sql(f"copy dup_pairs to '{OUT}/dup_pairs.parquet' (format parquet)")
+copy_rows(dup_pairs,
+          pa.schema([("base_id", pa.int64()), ("copy_id", pa.int64())]),
+          f"{OUT}/dup_pairs.parquet")
 
 if VOCAB_GROWTH:
     # LSH-arm dataset only — see the module doc
@@ -157,9 +196,11 @@ for vec_id in range(N_VEC):
     noise = unit(noise)
     e = unit([CENTROID_W * c + x for c, x in zip(centroids[lab], noise)])
     vecs.append((vec_id, [float(x) for x in e], lab))
-con.sql("create table vecs(vec_id bigint, embedding float[], label integer)")
-con.executemany("insert into vecs values (?,?,?)", vecs)
-con.sql(f"copy vecs to '{OUT}/embeddings.parquet' (format parquet)")
+copy_rows(vecs,
+          pa.schema([("vec_id", pa.int64()),
+                     ("embedding", pa.list_(pa.float32())),
+                     ("label", pa.int32())]),
+          f"{OUT}/embeddings.parquet")
 
 con.sql(f"""copy (select i as c_custkey,
                    'Customer#' || lpad(cast(i as varchar), 9, '0') as c_name,
