@@ -26,16 +26,10 @@ object Bench {
     }
 
   /** JSON string literal for an environment-derived value (sf dir,
-    * artifact path) — ONE definition for both artifact lines, so an
-    * escaping fix cannot reach one field and miss the other. Query
-    * names never need it (code-side identifiers). */
-  private def jsonStr(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    * artifact path) — the shared [[Json.str]], so an escaping fix
+    * cannot reach one artifact writer and miss another. Query names
+    * never need it (code-side identifiers). */
+  private def jsonStr(s: String): String = Json.str(s)
 
   def main(args: Array[String]): Unit = {
     // the artifact numbers below go through f"..%.3f" interpolators,

@@ -68,61 +68,100 @@ case class DotProductLong(left: Expression, right: Expression,
   // null, and aggregate's sum propagates them. A min-length dot product
   // here would let the RewriteDotProduct optimizer rule silently change
   // results for ragged inputs.
+  //
+  // Under failOnOverflow the THROW-vs-NULL order must match the HOF
+  // chain too (review r16, second pass): zip_with evaluates EVERY
+  // aligned pair's Multiply — an overflowing in-range pair throws even
+  // when an earlier null element (or a tail padding null) has already
+  // doomed the sum to NULL — while the fold's Adds stop checking once
+  // the accumulator is null (Add(null, v) short-circuits). So the ANSI
+  // loop multiplies every aligned pair with the checked op and only
+  // GATES the additions on nullness; an early `return null` here would
+  // turn a throwing HOF query into a NULL — the optimizer-changes-
+  // results class again, just on mixed null+overflow inputs.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    var acc = 0L
-    var i = 0
-    if (failOnOverflow) {
-      // Spark's own checked ops (MathUtils), not java.lang.Math: the HOF
-      // chain's ANSI Multiply/Add throw SparkArithmeticException with
-      // error class ARITHMETIC_OVERFLOW and the try_/ansi-off hint, and
-      // error-class-keyed handlers must keep matching after the rewrite
-      // (review r16 follow-up; a bare 'long overflow' carried no class)
-      while (i < n) {
-        if (x.isNullAt(i) || y.isNullAt(i)) return null
-        acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc,
-          org.apache.spark.sql.catalyst.util.MathUtils.multiplyExact(
-            x.getLong(i), y.getLong(i)))
-        i += 1
-      }
-    } else {
-      while (i < n) {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    if (!failOnOverflow) {
+      // legacy arithmetic never throws, so the result-only contract
+      // (null iff ragged or any null element) allows the early exits
+      if (nx != ny) return null
+      var acc = 0L
+      var i = 0
+      while (i < nx) {
         if (x.isNullAt(i) || y.isNullAt(i)) return null
         acc += x.getLong(i) * y.getLong(i)
         i += 1
       }
+      acc
+    } else {
+      // Spark's own checked ops (MathUtils), not java.lang.Math: the HOF
+      // chain's ANSI Multiply/Add throw SparkArithmeticException with
+      // error class ARITHMETIC_OVERFLOW and the try_/ansi-off hint, and
+      // error-class-keyed handlers must keep matching after the rewrite
+      // (a bare 'long overflow' carried no class)
+      val common = math.min(nx, ny)
+      var acc = 0L
+      var isNull = false
+      var i = 0
+      while (i < common) {
+        if (x.isNullAt(i) || y.isNullAt(i)) isNull = true
+        else {
+          val p = org.apache.spark.sql.catalyst.util.MathUtils
+            .multiplyExact(x.getLong(i), y.getLong(i))
+          if (!isNull)
+            acc = org.apache.spark.sql.catalyst.util.MathUtils.addExact(acc, p)
+        }
+        i += 1
+      }
+      if (isNull || nx != ny) null else acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      // same MathUtils ops as the interpreted path (SparkArithmeticException
-      // with the ARITHMETIC_OVERFLOW error class — see nullSafeEval)
+      // same MathUtils ops and throw-vs-null order as the interpreted
+      // path (SparkArithmeticException / ARITHMETIC_OVERFLOW — see
+      // nullSafeEval)
       val mu = "org.apache.spark.sql.catalyst.util.MathUtils"
-      val step =
-        if (failOnOverflow)
-          s"$acc = $mu.addExact($acc, " +
-            s"$mu.multiplyExact($a.getLong($i), $b.getLong($i)));"
-        else s"$acc += $a.getLong($i) * $b.getLong($i);"
-      s"""
-         |int $n = $a.numElements();
-         |long $acc = 0L;
-         |${ev.isNull} = $n != $b.numElements();
-         |if (!${ev.isNull}) {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $step
-         |  }
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      if (failOnOverflow) {
+        val common = ctx.freshName("common")
+        val p = ctx.freshName("p")
+        s"""
+           |int $nx = $a.numElements();
+           |int $ny = $b.numElements();
+           |int $common = java.lang.Math.min($nx, $ny);
+           |long $acc = 0L;
+           |${ev.isNull} = false;
+           |for (int $i = 0; $i < $common; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; }
+           |  else {
+           |    long $p = $mu.multiplyExact($a.getLong($i), $b.getLong($i));
+           |    if (!${ev.isNull}) $acc = $mu.addExact($acc, $p);
+           |  }
+           |}
+           |if ($nx != $ny) ${ev.isNull} = true;
+           |${ev.value} = $acc;
+         """.stripMargin
+      } else
+        s"""
+           |int $nx = $a.numElements();
+           |long $acc = 0L;
+           |${ev.isNull} = $nx != $b.numElements();
+           |if (!${ev.isNull}) {
+           |  for (int $i = 0; $i < $nx; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += $a.getLong($i) * $b.getLong($i);
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
     })
 
   override def prettyName: String = "dot_l"

@@ -115,6 +115,28 @@ class RewriteDotProductSpec extends AnyFunSuite {
     graft.engine.Tables.withConf(spark, "spark.sql.ansi.enabled", "true") {
       assertOverflows(hofBig())   // the reference behavior
       assertOverflows(dotBig())   // dot_l must match it
+      // mixed null+overflow (review r16, second pass): zip_with
+      // multiplies EVERY aligned pair, so an overflowing in-range pair
+      // throws even when a null element (or ragged padding) has already
+      // doomed the sum to NULL — an early null return in dot_l would
+      // turn these throwing queries into NULL results
+      def dotOf(a: Seq[Option[Long]], b: Seq[Option[Long]]) =
+        Seq((a, b)).toDF("a", "b").selectExpr("dot_l(a, b) AS d").collect().head
+      def hofOf(a: Seq[Option[Long]], b: Seq[Option[Long]]) =
+        Seq((a, b)).toDF("a", "b")
+          .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v).as("d")).collect().head
+      val nullThenBig = (Seq(None, Some(big)), Seq(Option(1L), Some(big)))
+      val raggedBig = (Seq(Some(big), Some(1L)), Seq(Option(big)))
+      val paddedTail = (Seq(Option(1L)), Seq(Option(1L), Some(big)))
+      assertOverflows(hofOf(nullThenBig._1, nullThenBig._2))
+      assertOverflows(dotOf(nullThenBig._1, nullThenBig._2))
+      assertOverflows(hofOf(raggedBig._1, raggedBig._2))
+      assertOverflows(dotOf(raggedBig._1, raggedBig._2))
+      // ...but a null-padded OVERLONG side never multiplies the
+      // unaligned tail: NULL result, no throw (zip_with pads with null)
+      assert(hofOf(paddedTail._1, paddedTail._2).isNullAt(0))
+      assert(dotOf(paddedTail._1, paddedTail._2).isNullAt(0))
       // the REWRITE's ANSI branch end-to-end: the rule must carry the
       // operators' ANSI mode into failOnOverflow — a silently wrapped
       // value here is exactly the optimizer-changes-results bug class

@@ -87,6 +87,18 @@ if VOCAB_GROWTH:
         sys.exit(f"--vocab-growth refuses to write into {OUT}: it holds "
                  f"base-arm tables {mixed} — use a dedicated dir "
                  "(convention: target/sf1v, target/sf10v)")
+else:
+    # the reverse direction (review r16, second pass): a plain run into
+    # an existing vocab-growth dir (flag forgotten) would replace the
+    # growth-arm corpus with the fixed-vocab one and add the base
+    # tables — ScaleProbe --lsh over that dir would then measure the
+    # adversarial corner and report it as the real-corpus law. The
+    # growth-arm signature is documents+dup_pairs WITHOUT base tables.
+    if (os.path.exists(f"{OUT}/documents.parquet")
+            and not os.path.exists(f"{OUT}/orders.parquet")):
+        sys.exit(f"refusing the BASE arm into {OUT}: it looks like a "
+                 "vocab-growth dir (documents+dup_pairs without base "
+                 "tables) — pass --vocab-growth or use a different dir")
 
 con = duckdb.connect()
 
