@@ -31,6 +31,33 @@ class NativeExprPropSpec extends AnyFunSuite {
     }
   }
 
+  test("property: dot_l == HOF under LEGACY arithmetic, with null elements") {
+    // the wrapping branch of the mode split (the default-ANSI property
+    // above exercises the checked branch): values stay bounded so the
+    // two modes cannot diverge on overflow — what this pins is that the
+    // legacy loop's null/ragged RESULTS match the HOF's, with NULL
+    // ELEMENTS in the generator (the property above has none). The
+    // builder captures the mode at analysis, so the whole select runs
+    // inside the conf window.
+    graft.functions.DotProduct.register(spark)
+    val elem = org.scalacheck.Gen.frequency(
+      9 -> Gen.choose(-1000L, 1000L).map(Option(_)),
+      1 -> Gen.const(None: Option[Long]))
+    val arr = Gen.choose(0, 8).flatMap(n => Gen.listOfN(n, elem))
+    val pairs = sample(Gen.zip(arr, arr), 300)
+    graft.engine.Tables.withConf(spark, "spark.sql.ansi.enabled", "false") {
+      val rows = pairs.toDF("a", "b").select(
+        expr("dot_l(a, b)").as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1))
+        if (!r.isNullAt(0)) assert(r.getLong(0) === r.getLong(1))
+      }
+    }
+  }
+
   test("property: dot_d == HOF bit-exactly incl. ragged pairs") {
     graft.functions.DotProduct.register(spark)
     val arr = Gen.choose(0, 8)
