@@ -54,7 +54,16 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 VOCAB_GROWTH = "--vocab-growth" in sys.argv
-argv = [a for a in sys.argv if a != "--vocab-growth"]
+# --vocab-heaps: the Heaps-law middle point between the two measured
+# extremes — vocabulary ~ 31*sqrt(MULT) (beta = 0.5, the textbook
+# real-corpus exponent) instead of fixed (beta = 0) or proportional
+# (beta = 1). Same documents+dup_pairs-only output and guards as
+# --vocab-growth; convention: target/sf1h, target/sf10h.
+VOCAB_HEAPS = "--vocab-heaps" in sys.argv
+if VOCAB_GROWTH and VOCAB_HEAPS:
+    sys.exit("--vocab-growth and --vocab-heaps are mutually exclusive")
+GROWTH_ARM = VOCAB_GROWTH or VOCAB_HEAPS
+argv = [a for a in sys.argv if a not in ("--vocab-growth", "--vocab-heaps")]
 # reject unrecognized flags LOUDLY: a typo like --vocab_growth would
 # otherwise be consumed as the positional outdir, silently generating
 # the BASE arm into a directory named after the typo — the user then
@@ -62,7 +71,8 @@ argv = [a for a in sys.argv if a != "--vocab-growth"]
 # vocab-growth law (review r16)
 bad = [a for a in argv[1:] if a.startswith("--")]
 if bad:
-    sys.exit(f"unrecognized flag(s) {bad}; only --vocab-growth is supported")
+    sys.exit(f"unrecognized flag(s) {bad}; only --vocab-growth / "
+             "--vocab-heaps are supported")
 OUT = argv[1] if len(argv) > 1 else "/root/repo/target/sf1"
 # scale multiplier over sf0.1: 10 (default) -> sf1, 100 -> sf10. The RNG
 # streams are consumed identically per row, so the first 10%-of-rows of an
@@ -79,14 +89,14 @@ COPY_RATE = 0.049  # measured: ~244 copy docs / 5000 at sf0.1
 # those two tables and leave a silently MIXED dataset — a vocab-growth
 # documents corpus beside base-arm orders/embeddings/customer — that
 # every later ScaleProbe run over that dir would measure as if coherent.
-if VOCAB_GROWTH:
+if GROWTH_ARM:
     mixed = [t for t in ("orders", "lineitem", "events", "customer",
                          "embeddings")
              if os.path.exists(f"{OUT}/{t}.parquet")]
     if mixed:
-        sys.exit(f"--vocab-growth refuses to write into {OUT}: it holds "
+        sys.exit(f"the vocab arms refuse to write into {OUT}: it holds "
                  f"base-arm tables {mixed} — use a dedicated dir "
-                 "(convention: target/sf1v, target/sf10v)")
+                 "(convention: target/sf1v(h), target/sf10v(h))")
 else:
     # the reverse direction (review r16, second pass): a plain run into
     # an existing vocab-growth dir (flag forgotten) would replace the
@@ -97,15 +107,18 @@ else:
     if (os.path.exists(f"{OUT}/documents.parquet")
             and not os.path.exists(f"{OUT}/orders.parquet")):
         sys.exit(f"refusing the BASE arm into {OUT}: it looks like a "
-                 "vocab-growth dir (documents+dup_pairs without base "
-                 "tables) — pass --vocab-growth or use a different dir")
+                 "vocab-arm dir (documents+dup_pairs without base "
+                 "tables) — pass a vocab flag or use a different dir")
 
 con = duckdb.connect()
 
-if VOCAB_GROWTH:
-    # vocabulary ∝ N: 31 words per sf0.1-equivalent of corpus (see the
-    # module doc) — synthesized tokens, same uniform draw as the base arm
-    vocab = [f"w{i:06d}" for i in range(31 * MULT)]
+if GROWTH_ARM:
+    # vocabulary ∝ N (--vocab-growth) or ∝ sqrt(N) (--vocab-heaps, the
+    # Heaps-law middle point): 31 words per sf0.1-equivalent of corpus
+    # at the strongest law — synthesized tokens, same uniform draw as
+    # the base arm
+    n_vocab = 31 * MULT if VOCAB_GROWTH else max(31, round(31 * MULT ** 0.5))
+    vocab = [f"w{i:06d}" for i in range(n_vocab)]
 else:
     vocab = [r[0] for r in con.sql(
         f"select distinct unnest(string_split(text,' ')) w "
@@ -179,9 +192,10 @@ copy_rows(dup_pairs,
           pa.schema([("base_id", pa.int64()), ("copy_id", pa.int64())]),
           f"{OUT}/dup_pairs.parquet")
 
-if VOCAB_GROWTH:
+if GROWTH_ARM:
     # LSH-arm dataset only — see the module doc
-    print("wrote", OUT, "(vocab-growth arm: documents + dup_pairs only,",
+    arm = "vocab-growth" if VOCAB_GROWTH else "vocab-heaps"
+    print("wrote", OUT, f"({arm} arm: documents + dup_pairs only,",
           f"vocab {len(vocab)} words)")
     for t in ("documents", "dup_pairs"):
         print(t, con.sql(
