@@ -83,6 +83,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+    // the REPEAT pass tag is '#<pass>' appended to the name and later
+    // stripped by regex — a real query name ending in '#<digits>' would
+    // be silently merged with its prefix in the best-of-pass grouping
+    // (ADVICE r16), so forbid '#' in names outright (also pinned in
+    // WordCountSpec, where the other registry invariants live)
+    selected.collectFirst { case (n, _) if n.contains('#') => n }.foreach(n =>
+      sys.error(s"query name '$n' contains '#' — reserved for the REPEAT pass tag"))
     // the queries that read the per-dataset near-dup PAIR artifact —
     // one definition shared by the startup warmup and the REPEAT
     // rewarm, so a future consumer can't be added to one and not the

@@ -10,6 +10,11 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a typo'd name in the subset filter would otherwise run NOTHING
+    // silently (filter match) — and the manifest would hide it too,
+    // since only matched names are recorded as attempted
+    only.foreach(o => (o -- SparkEntry.queries.keySet).toSeq.sorted.foreach(n =>
+      System.err.println(s"[verify] unknown query name in filter: $n")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,13 +28,17 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    var failed = 0
+    attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // class name too: getMessage is null for bare NPEs and the like
+        System.err.println(
+          s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+        failed += 1
       }
     }
     // JSON string escape — the shared graft.Json.str (one implementation
@@ -40,6 +49,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of the names THIS run attempted (post-`only` filter):
+    // oracle_check fails any attempted query with no result dir. Without
+    // it, a query that crashed above simply has no dir, and a dir-driven
+    // compare reports one fewer PASS with exit 0 — green when not green
+    // (review r17). Exit stays 0 on failures: the driver's own gate reads
+    // the dirs + oracle_sql.json and must still get its per-query compare.
+    Files.writeString(Paths.get(s"$outDir/query_names.json"),
+      attempted.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    System.out.println(
+      s"[verify-summary] ${attempted.size} queries attempted, $failed failed")
     spark.stop()
   }
 }

@@ -368,10 +368,9 @@ object Similarity {
     * job) — the LSH plane literals need it at plan time. The memo value
     * carries the SOURCE FINGERPRINT it was computed from (file
     * length+mtime — a couple of FS stats per lookup, no Spark job):
-    * unlike the ivf/sem index memos, whose stale-EMPTY entry fails
-    * loud (head of an empty centroid list) if a dir is regenerated
-    * without invalidateIndexCaches, a stale dim placeholder would fail
-    * SILENT — lshBuckets would hash every real vector against a
+    * the ivf/sem index memos carry the same guard (ADVICE r16), and a
+    * stale dim placeholder is the worst of the three — it fails
+    * SILENT: lshBuckets would hash every real vector against a
     * 1-dimensional plane family and return wrong-but-plausible buckets
     * forever. The fingerprint makes the tombstone (and a stale
     * populated dim) self-invalidating instead of trusting the calling
@@ -448,20 +447,25 @@ object Similarity {
     * the in-process equivalent.
     */
   private val ivfIndex =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long], Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Int, Array[Long], Long)])]()
 
   private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] = {
     val key = graft.sources.Formats.canonicalDir(dir)
+    // fingerprint-guarded like dimCache (ADVICE r16): the EMPTY index is
+    // memoized as a tombstone like a populated one (ADVICE r15), and the
+    // fingerprint makes BOTH self-invalidate on a same-JVM regeneration
+    // of the dir — the old bare memo relied solely on the
+    // invalidateIndexCaches calling convention, so a regeneration that
+    // forgot the call crashed on the stale empty tombstone (head of an
+    // empty centroid list) or silently served stale centroids
+    val fp = embSourceFingerprint(spark, dir)
     val cached = ivfIndex.get(key)
-    if (cached != null) cached
+    if (cached != null && cached._1 == fp) cached._2
     else {
       val built = buildCentroids(spark, dir, IvfClusters)
-      // the EMPTY index is memoized as a tombstone like a populated one
-      // (ADVICE r15): same-JVM regeneration already must go through
-      // invalidateIndexCaches — the contract the populated memo relies
-      // on — so skipping the memo only re-ran the sample scan per call
-      // against an empty dir
-      ivfIndex.putIfAbsent(key, built)
+      // put, not putIfAbsent: on a fingerprint mismatch the stale entry
+      // must be REPLACED
+      ivfIndex.put(key, (fp, built))
       built
     }
   }
@@ -721,17 +725,18 @@ object Similarity {
     math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   private val semIndex =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Array[Long], Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Int, Array[Long], Long)])]()
 
   private def semCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] = {
     val key = graft.sources.Formats.canonicalDir(dir)
+    // same fingerprint-guarded tombstone rule as ivfCentroids — see there
+    val fp = embSourceFingerprint(spark, dir)
     val cached = semIndex.get(key)
-    if (cached != null) cached
+    if (cached != null && cached._1 == fp) cached._2
     else {
       val n = Tables.embeddings(spark, dir).count()
       val built = buildCentroids(spark, dir, semClusterCount(n))
-      // same empty-tombstone rule as ivfCentroids — see the comment there
-      semIndex.putIfAbsent(key, built)
+      semIndex.put(key, (fp, built))
       built
     }
   }

@@ -55,4 +55,13 @@ class WordCountSpec extends AnyFunSuite {
     // and no oracle without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+
+  test("query names never contain '#' — reserved for Bench's REPEAT pass tag") {
+    // Bench appends '#<pass>' under SPARK_GRAFT_REPEAT and strips it by
+    // regex for the best-of-pass grouping; a real name ending '#<digits>'
+    // would silently merge with its prefix (ADVICE r16). Bench also
+    // sys.errors on this at startup — this spec fails it at test time.
+    val offenders = SparkEntry.queries.keySet.filter(_.contains('#'))
+    assert(offenders.isEmpty, s"query names with '#': $offenders")
+  }
 }

@@ -63,6 +63,22 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = n_rowsonly = 0
+    # A query that CRASHED inside Verify writes no result dir — a purely
+    # dir-driven compare would then report one fewer PASS and exit 0
+    # (green when not green). Verify writes the names it attempted as
+    # query_names.json; fail every attempted name with no dir. Dirs not
+    # in the manifest (stale from an earlier broader run into the same
+    # outDir — the builder's incremental workflow) keep today's behavior.
+    manifest_path = f"{out_dir}/query_names.json"
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            attempted = json.load(f)
+    else:  # pre-r17 Verify output: fall back to the oracle keys
+        attempted = list(oracles)
+    for name in sorted(set(attempted) - set(names)):
+        print(f"FAIL  {name}: no result dir — query crashed in Verify "
+              "(see its [verify] stderr line)")
+        n_fail += 1
     for name in names:
         try:
             rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
