@@ -106,6 +106,11 @@ object ScaleProbe {
     val flagship = args.contains("--flagship")
     val lsh = args.contains("--lsh")
     val dirArgs = args.toSeq.filterNot(a => a == "--flagship" || a == "--lsh")
+    // a mistyped flag must not silently become a probe DIR (make_sf1.py
+    // got the same guard in r16; the error receipts it would produce per
+    // probe read as engine failures, not as the typo they are)
+    dirArgs.filter(_.startsWith("--")).foreach(a =>
+      sys.error(s"unknown flag: $a (known: --flagship, --lsh)"))
     val dirs =
       if (dirArgs.nonEmpty) dirArgs
       else if (lsh) Seq("/root/repo/target/sf1v", "/root/repo/target/sf10v")

@@ -30,17 +30,34 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Serializes conf windows JVM-wide. SQL confs are SESSION-GLOBAL and
+    * sbt provably runs suites concurrently on the shared session (r14):
+    * when two threads window the SAME key, interleaved save/restores can
+    * leave the key STUCK at a window value for the rest of the run —
+    * thread A saves "unset", B saves A's window value as its "before",
+    * A restores unset, B "restores" A's window value permanently (review
+    * r17; two suites window spark.sql.ansi.enabled, and the engine's own
+    * bloom/AQE/shuffle windows overlap under concurrent suites too).
+    * Reentrant so [[withConfs]]' nesting and window bodies that open
+    * their own windows (specs around conf-windowed queries) still work;
+    * a single lock, so no ordering deadlocks. Production runs (Verify/
+    * Bench/driver) execute queries sequentially — zero contention there. */
+  private val confWindowLock = new java.util.concurrent.locks.ReentrantLock()
+
   /** Run `body` with one SQL conf temporarily overridden, restoring the
     * prior state (set OR unset) even on failure — the single shared
     * conf-window idiom (shuffle sizing, scan bin-packing, state-store
     * providers). */
   def withConf[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
-    val before = spark.conf.getOption(key)
-    spark.conf.set(key, value)
-    try body finally before match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    confWindowLock.lock()
+    try {
+      val before = spark.conf.getOption(key)
+      spark.conf.set(key, value)
+      try body finally before match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    } finally confWindowLock.unlock()
   }
 
   /** [[withConf]] over several keys at once, innermost-last; each key
