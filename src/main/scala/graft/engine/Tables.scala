@@ -44,6 +44,26 @@ object Tables {
     * Bench/driver) execute queries sequentially — zero contention there. */
   private val confWindowLock = new java.util.concurrent.locks.ReentrantLock()
 
+  /** Acquire the conf-window lock around `body` without windowing a
+    * conf — for critical sections that MIX conf windows with other
+    * session-global mutations (the streaming memory-sink runs sweep
+    * catalog views, then open conf windows). Such sections must take
+    * THIS lock as their outermost monitor rather than a private one:
+    * a private-lock-then-withConf ordering inverts against callers
+    * already inside a window (streamUserTotalsTws wraps its whole run
+    * in a provider withConf) — the classic AB-BA deadlock. Ordering
+    * rule: OTHER locks may acquire this one inside their critical
+    * sections (the per-dataset memo locks in Dedup/Relational/Lines
+    * open shuffle-partition windows), so no conf-window BODY may
+    * acquire such a lock — i.e. never call a memo-locked operator
+    * from inside a withConf window. Checked r17: no conf-window body
+    * does, and no [[withViews]] body opens a conf window (viewLock
+    * stays separate). */
+  def withSessionLock[T](body: => T): T = {
+    confWindowLock.lock()
+    try body finally confWindowLock.unlock()
+  }
+
   /** Run `body` with one SQL conf temporarily overridden, restoring the
     * prior state (set OR unset) even on failure — the single shared
     * conf-window idiom (shuffle sizing, scan bin-packing, state-store

@@ -112,24 +112,26 @@ object StreamingWindows {
     * parallelism. */
   private def runToMemory(spark: SparkSession, df: DataFrame,
       mode: String, prefix: String, watermarkFlush: Boolean = true): DataFrame =
-    // The whole run holds ONE object-wide lock: the sweep, both conf
-    // windows (noDataMicroBatches, shuffle partitions) and the run
-    // itself mutate SESSION-global state (catalog temp views, SQL
-    // conf), and the shared test session IS driven concurrently —
-    // sbt runs suites in parallel in one JVM (Dedup.scala's memo
-    // comment; 16 of 53 suites overlap in the junit timestamps).
-    // Unserialized, a concurrent same-prefix caller's sweep could
-    // drop this run's live sink view between start() and
-    // spark.table(), and ANY concurrent caller could start a stream
-    // inside this run's conf window (a query that needs the terminal
-    // no-data batch silently losing its held-back output is a WRONG
-    // RESULT, not a flake). Serializing costs nothing where it
-    // matters: Bench and Verify are single-threaded drivers.
-    memoryRunLock.synchronized {
+    // The whole run holds ONE lock: the sweep, both conf windows
+    // (noDataMicroBatches, shuffle partitions) and the run itself
+    // mutate SESSION-global state (catalog temp views, SQL conf), and
+    // the shared test session IS driven concurrently — sbt runs suites
+    // in parallel in one JVM (Dedup.scala's memo comment; 16 of 53
+    // suites overlap in the junit timestamps). Unserialized, a
+    // concurrent same-prefix caller's sweep could drop this run's live
+    // sink view between start() and spark.table(), and ANY concurrent
+    // caller could start a stream inside this run's conf window (a
+    // query that needs the terminal no-data batch silently losing its
+    // held-back output is a WRONG RESULT, not a flake). The lock is
+    // Tables' SESSION lock, not a private one: withConf serializes on
+    // it too (r17), and private-lock-then-withConf here would invert
+    // against callers already inside a window (streamUserTotalsTws
+    // wraps this whole run in a provider withConf) — AB-BA deadlock.
+    // Serializing costs nothing where it matters: Bench and Verify are
+    // single-threaded drivers.
+    Tables.withSessionLock {
       runToMemoryLocked(spark, df, mode, prefix, watermarkFlush)
     }
-
-  private val memoryRunLock = new Object
 
   private def runToMemoryLocked(spark: SparkSession, df: DataFrame,
       mode: String, prefix: String, watermarkFlush: Boolean): DataFrame = {
@@ -165,10 +167,52 @@ object StreamingWindows {
           .trigger(Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        // Epoch-exact ingest guard (r16 VERDICT ask 4): sum the guard
+        // metric across every batch's progress and fail LOUD before
+        // returning a silently-short result. Only the queries whose
+        // input is [[epochGuarded]] produce the metric — everything
+        // else pays nothing here.
+        val guarded = q.recentProgress.iterator.flatMap { p =>
+          import scala.jdk.CollectionConverters._
+          p.observedMetrics.asScala.collect {
+            case (name, row) if name.startsWith(EpochGuardPrefix) =>
+              row.getAs[Long]("n_at_or_pre_epoch")
+          }
+        }.sum
+        if (guarded > 0)
+          throw new IllegalStateException(
+            s"$prefix: $guarded event(s) at or before 1970-01-01T00:00:00Z " +
+              "reached a row-level late filter — batch 1 of an AvailableNow " +
+              "run executes at watermark = epoch 0, and " +
+              "dropDuplicatesWithinWatermark / stream-stream join drop " +
+              "ts <= watermark SILENTLY (the zeroed-timestamp corruption " +
+              "class, StreamExtremesSpec). Scrub or repair these rows " +
+              "before ingest.")
       }
     }
     spark.table(tableName)
   }
+
+  /** Marker prefix for the epoch-exact guard metrics (two observe nodes
+    * in one query need distinct names — the join guards each side). */
+  private val EpochGuardPrefix = "graft_epoch_guard"
+
+  /** Attach the epoch-exact ingest guard to a row-level-late-filter
+    * input: an `observe` metric counting rows with `tsCol` at or before
+    * epoch 0 — the rows batch 1's initial watermark silently drops in
+    * dropDuplicatesWithinWatermark and the stream-stream join (measured
+    * r16, pinned in StreamExtremesSpec), and exactly the shape zeroed/
+    * corrupted production timestamps take. The metric piggybacks the
+    * stream (NO extra scan — the 100 TB-safe detection point), and
+    * [[runToMemory]] fails loud after the run when it is non-zero, the
+    * same promotion-to-contract the nanos-ambiguity sentinel got for
+    * batch long-ts columns (Tables.longTsEncoding). The windowed-agg
+    * paths stay unguarded on purpose: their window-END late filter KEEPS
+    * epoch-exact rows, so nothing is silently lost there. */
+  private def epochGuarded(df: DataFrame, tag: String, tsCol: String): DataFrame =
+    df.observe(EpochGuardPrefix + tag,
+      count(when(expr(s"unix_micros($tsCol) <= 0"), true))
+        .as("n_at_or_pre_epoch"))
 
   /** The tumbling-window aggregation both hourly twins share — one body
     * so complete-mode and append-mode stay provably identical. */
@@ -464,7 +508,7 @@ object StreamingWindows {
     * watermark equals global dedup exactly, as the other harness twins.
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = eventStream(spark, dir)
+    val deduped = epochGuarded(eventStream(spark, dir), "", "ts")
       .withWatermark("ts", "365 days")
       .select(col("user_id"), col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
@@ -489,13 +533,17 @@ object StreamingWindows {
     * dropped and the batch SQL join is an exact oracle.
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val clicks = eventStream(spark, dir)
-      .filter(col("event_type") === "click")
+    // guards sit AFTER the event_type filters: rows those filters drop
+    // never reach the late filter, so they are not silent losses
+    val clicks = epochGuarded(
+        eventStream(spark, dir).filter(col("event_type") === "click"),
+        "_c", "ts")
       .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
       .withWatermark("c_ts", "365 days")
-    val purchases = eventStream(spark, dir)
-      .filter(col("event_type") === "purchase")
+    val purchases = epochGuarded(
+        eventStream(spark, dir).filter(col("event_type") === "purchase"),
+        "_p", "ts")
       .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", "365 days")

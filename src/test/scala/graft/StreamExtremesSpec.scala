@@ -22,9 +22,16 @@ import graft.streaming.StreamingWindows
   * instead: the same ts = 0 row is kept because its window ends past
   * the watermark, and only windows/sessions ending at-or-before epoch
   * vanish. A production deployment ingesting corrupted (zeroed)
-  * timestamps hits exactly this split — the dedup/join stages drop
-  * those rows while the windowed aggs keep them; this spec is the
-  * contract statement for that divergence class.
+  * timestamps hits exactly this split.
+  *
+  * As of r17 (VERDICT r16 ask 4) the silent drop is PROMOTED TO A
+  * CONTRACT on the row-filter paths: an `observe` guard counts
+  * at-or-pre-epoch input rows with no extra scan and the run FAILS
+  * LOUD when any exist — so this spec pins (a) the loud failure on a
+  * fixture carrying them, (b) unchanged results and the exact epoch
+  * boundary on a scrubbed fixture, and (c) the windowed-agg paths'
+  * window-END semantics, which keep epoch-exact rows and therefore
+  * stay unguarded.
   */
 class StreamExtremesSpec extends AnyFunSuite {
 
@@ -42,52 +49,76 @@ class StreamExtremesSpec extends AnyFunSuite {
     * sentinel — raw-long encodings and time extremes are mutually
     * exclusive by design, so extreme fixtures use typed timestamps
     * (as the edge probe's do). */
-  private def plantedDir(): String = {
+  /** `withAtOrPreEpoch = false` scrubs exactly the rows the ingest
+    * guard exists to flag (ts <= epoch 0), leaving the 1 µs boundary
+    * row in place — the shape of the fixture AFTER the repair the
+    * guard's message demands. */
+  private def plantedDir(withAtOrPreEpoch: Boolean = true): String = {
     val spark = TestSpark.spark
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
+    val atOrPre = Seq(
+      // user 1: pre-epoch (negative event time, window end < 0)
+      (1L, -Day, 1L, "click", 1.0, "{}"),
+      (2L, -Day + 10 * Min, 1L, "purchase", 1.0, "{}"),
+      // user 4: pre-epoch row whose hour window AND session end at
+      // exactly epoch 0 == the initial watermark
+      (3L, -30 * Min, 4L, "click", 1.0, "{}"),
+      // user 2: exactly the initial watermark (epoch 0)
+      (4L, 0L, 2L, "click", 1.0, "{}"))
+    val postEpoch = Seq(
+      (5L, 10 * Min, 2L, "purchase", 1.0, "{}"),
+      // user 3: one microsecond past epoch
+      (6L, 1L, 3L, "click", 1.0, "{}"),
+      (7L, 1L + 10 * Min, 3L, "purchase", 1.0, "{}"),
+      // watermark driver, far from every boundary above
+      (8L, T2024, 9L, "click", 1.0, "{}"))
     TestSpark.plantParquetFile(
-      Seq(
-        // user 1: pre-epoch (negative event time, window end < 0)
-        (1L, -Day, 1L, "click", 1.0, "{}"),
-        (2L, -Day + 10 * Min, 1L, "purchase", 1.0, "{}"),
-        // user 4: pre-epoch row whose hour window AND session end at
-        // exactly epoch 0 == the initial watermark
-        (3L, -30 * Min, 4L, "click", 1.0, "{}"),
-        // user 2: exactly the initial watermark (epoch 0)
-        (4L, 0L, 2L, "click", 1.0, "{}"),
-        (5L, 10 * Min, 2L, "purchase", 1.0, "{}"),
-        // user 3: one microsecond past epoch
-        (6L, 1L, 3L, "click", 1.0, "{}"),
-        (7L, 1L + 10 * Min, 3L, "purchase", 1.0, "{}"),
-        // watermark driver, far from every boundary above
-        (8L, T2024, 9L, "click", 1.0, "{}"))
+      ((if (withAtOrPreEpoch) atOrPre else Seq.empty) ++ postEpoch)
         .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
         .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props")),
       "events.parquet")
   }
 
-  test("row-level late filters drop ts <= initial watermark (dedup + join)") {
+  test("ingest guard fails loud on ts <= epoch at the row-filter paths") {
     val spark = TestSpark.spark
     val dir = plantedDir()
+    // stream_dedup sees all 4 at-or-pre-epoch rows; the guard must name
+    // the query, the count, and the class instead of returning a
+    // silently-short result (the pre-r17 behavior)
+    val exDedup = intercept[IllegalStateException](
+      StreamingWindows.queries("stream_dedup")(spark, dir))
+    assert(exDedup.getMessage.contains("stream_dedup") &&
+      exDedup.getMessage.contains("4 event(s)") &&
+      exDedup.getMessage.contains("1970-01-01T00:00:00Z"),
+      s"guard message drifted: ${exDedup.getMessage}")
+    // the join guards each side AFTER its event_type filter: 3 clicks +
+    // 1 purchase at-or-pre-epoch
+    val exJoin = intercept[IllegalStateException](
+      StreamingWindows.queries("stream_stream_join")(spark, dir))
+    assert(exJoin.getMessage.contains("stream_stream_join") &&
+      exJoin.getMessage.contains("4 event(s)"),
+      s"guard message drifted: ${exJoin.getMessage}")
+  }
+
+  test("scrubbed input passes the guard; the epoch boundary is exact") {
+    val spark = TestSpark.spark
+    val dir = plantedDir(withAtOrPreEpoch = false)
+    // same expected sets the pre-guard spec pinned on the FULL fixture
+    // (those rows were silently dropped then) — so the guard changed
+    // failure loudness, never the semantics of clean data; user 3 at
+    // epoch + 1µs passing pins that the guard boundary is ts <= 0
+    // exactly, not a fuzzy "near epoch"
     val dedup = StreamingWindows.queries("stream_dedup")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    // the filter is per-ROW: every pre-epoch row (users 1, 4) and the
-    // ts == watermark row (user 2's click at exactly epoch 0) vanish,
-    // while user 2's post-epoch purchase survives alone and user 3
-    // (epoch + 1µs) survives with both types
     assert(dedup === Set(
       (2L, "purchase"), (3L, "click"), (3L, "purchase"), (9L, "click")),
-      s"dropDuplicatesWithinWatermark initial-watermark boundary drifted: $dedup")
-
+      s"dedup on scrubbed input drifted: $dedup")
     val joined = StreamingWindows.queries("stream_stream_join")(spark, dir)
       .collect().map(_.getAs[Long]("user_id")).toSet
-    // a click->purchase pair joins only where BOTH rows cleared the late
-    // filter: user 3 alone (user 2's pair is filtered at ts <= 0, user
-    // 9 has no purchase)
     assert(joined === Set(3L),
-      s"stream-stream join initial-watermark boundary drifted: $joined")
+      s"stream-stream join on scrubbed input drifted: $joined")
   }
 
   test("aggregation late filter works on window END: epoch rows kept, " +

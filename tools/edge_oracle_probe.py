@@ -18,6 +18,10 @@ r16; see STREAM_EXTREME_EVENT_ROWS).
 pass 2 (empty tables): the SAME battery over fully empty tables (schema
 preserved) — the count-over-empty / sum-returns-NULL divergence class.
 
+pass 3 (epoch guard, INVERTED): one zeroed-timestamp event planted; the
+row-level-late-filter streaming queries must FAIL LOUD with the ingest
+guard's message (r17 contract) — a silent drop fails the arm.
+
 Each pass runs graft.Verify (ALL registered queries — a rows-only query
 that crashes on degenerate input is a finding too) and diffs with
 tools/oracle_check.py, the exact compare the driver runs. The probe
@@ -122,6 +126,19 @@ EVENT_ROWS = [
 ]
 
 EMB_DIM = 64  # must match the real corpus: ANN ops assume one dim per table
+
+# the same JPMS opens build.sbt injects (Spark 4 on JDK 17 outside
+# spark-submit) — without sun.util.calendar every driver-side
+# java.sql.Date decode (collected max(day) anchors) throws
+# EXPRESSION_DECODING_FAILED and reads as a fake engine bug
+JPMS_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"]
 
 
 def sampled(con, sql):
@@ -317,18 +334,7 @@ def run_pass(label, data_dir, out_dir, tbls):
         pq.write_table(t, f"{data_dir}/{name}.parquet")
     cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
-    # the same JPMS opens build.sbt injects (Spark 4 on JDK 17 outside
-    # spark-submit) — without sun.util.calendar every driver-side
-    # java.sql.Date decode (collected max(day) anchors) throws
-    # EXPRESSION_DECODING_FAILED and reads as a fake engine bug
-    opens = [f"--add-opens={p}=ALL-UNNAMED" for p in [
-        "java.base/java.lang", "java.base/java.lang.invoke",
-        "java.base/java.lang.reflect", "java.base/java.io",
-        "java.base/java.net", "java.base/java.nio",
-        "java.base/java.util", "java.base/java.util.concurrent",
-        "java.base/java.util.concurrent.atomic",
-        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-        "java.base/sun.security.action", "java.base/sun.util.calendar"]]
+    opens = [f"--add-opens={p}=ALL-UNNAMED" for p in JPMS_OPENS]
     r = subprocess.run(
         ["java", "-cp", cp, "-Xmx8g", *opens, "graft.Verify",
          data_dir, out_dir],
@@ -360,6 +366,43 @@ def run_pass(label, data_dir, out_dir, tbls):
           f"{m.group(3)} rows-only ran without crashing")
 
 
+def run_epoch_guard_pass(tbls):
+    """Pass 3 (r17, VERDICT r16 ask 4): plant ONE zeroed-timestamp event
+    (ts exactly 1970-01-01T00:00:00 — the corruption shape) and demand
+    the two row-level-late-filter queries FAIL LOUD with the ingest
+    guard's message instead of silently dropping the row. This is the
+    INVERTED arm: the engine crashing here is the contract."""
+    data_dir, out_dir = f"{SCRATCH}/data_epoch", f"{SCRATCH}/verify_epoch"
+    os.makedirs(data_dir)
+    events = tbls["events"]
+    zeroed = pa.table(
+        {f.name: pa.array([v], f.type) for f, v in zip(
+            events.schema,
+            [920001, ts_iso("1970-01-01T00:00:00"), 920001, "click",
+             1.0, '{"k": 0}'])})
+    tbls = {**tbls, "events": pa.concat_tables([events, zeroed])}
+    for name, t in tbls.items():
+        pq.write_table(t, f"{data_dir}/{name}.parquet")
+    cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
+        glob.glob("/opt/spark/jars/*.jar"))
+    opens = [f"--add-opens={p}=ALL-UNNAMED" for p in JPMS_OPENS]
+    r = subprocess.run(
+        ["java", "-cp", cp, "-Xmx8g", *opens, "graft.Verify",
+         data_dir, out_dir, "stream_dedup,stream_stream_join"],
+        capture_output=True, text=True,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+    failed = [l for l in r.stderr.splitlines() if "[verify] " in l]
+    for q in ["stream_dedup", "stream_stream_join"]:
+        hits = [l for l in failed if f"[verify] {q} failed:" in l]
+        if not (hits and "1970-01-01T00:00:00Z" in hits[0]):
+            print("\n".join(failed) or r.stderr[-3000:])
+            sys.exit(f"EPOCH-GUARD ARM FAILED: {q} did not fail loud on a "
+                     "zeroed timestamp (expected the ingest-guard message; "
+                     "a silent drop is the pre-r17 bug)")
+    print("[epoch-guard] both row-filter queries failed loud on a zeroed "
+          "timestamp (ingest contract holds)")
+
+
 def main():
     shutil.rmtree(SCRATCH, ignore_errors=True)
     tbls = build_tables()
@@ -368,6 +411,8 @@ def main():
     empties = {n: t.slice(0, 0) for n, t in tbls.items()}
     run_pass("empty-tables", f"{SCRATCH}/data_empty",
              f"{SCRATCH}/verify_empty", empties)
+    # pass 3: the INVERTED epoch-guard arm (expected loud failure)
+    run_epoch_guard_pass(tbls)
     print("edge probe OK: FULL battery, engine == DuckDB oracle on the "
           "degenerate fixture (NULL keys/measures, orphan FKs, empty+unicode "
           "strings, zero-token/NULL docs, NULL/mistyped props, NULL/zero-norm "
