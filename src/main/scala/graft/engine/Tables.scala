@@ -52,13 +52,17 @@ object Tables {
     * a private-lock-then-withConf ordering inverts against callers
     * already inside a window (streamUserTotalsTws wraps its whole run
     * in a provider withConf) — the classic AB-BA deadlock. Ordering
-    * rule: OTHER locks may acquire this one inside their critical
-    * sections (the per-dataset memo locks in Dedup/Relational/Lines
-    * open shuffle-partition windows), so no conf-window BODY may
-    * acquire such a lock — i.e. never call a memo-locked operator
-    * from inside a withConf window. Checked r17: no conf-window body
-    * does, and no [[withViews]] body opens a conf window (viewLock
-    * stays separate). */
+    * rule for every OTHER lock in the engine (review r17): a lock is
+    * either (a) window-OPENING — its critical section opens conf
+    * windows (Dedup's fixpoint memos run withShufflePartitions), so no
+    * conf-window body may ever call into it, or (b) window-WRAPPED —
+    * callers may open a window around it (BucketedJoinSpec windows
+    * around ensureBucketedTables' bucketedTableLocks), so its body must
+    * never open a conf window. The same lock must never be both: that
+    * is the AB-BA pair. Checked r17: the Dedup memo locks are (a) with
+    * no windowed caller; bucketedTableLocks/q15/pairs/Lines.dumpedOnce
+    * are (b) with no window inside; no [[withViews]] body opens a conf
+    * window (viewLock stays separate). */
   def withSessionLock[T](body: => T): T = {
     confWindowLock.lock()
     try body finally confWindowLock.unlock()

@@ -172,22 +172,45 @@ object StreamingWindows {
         // returning a silently-short result. Only the queries whose
         // input is [[epochGuarded]] produce the metric — everything
         // else pays nothing here.
-        val guarded = q.recentProgress.iterator.flatMap { p =>
-          import scala.jdk.CollectionConverters._
-          p.observedMetrics.asScala.collect {
-            case (name, row) if name.startsWith(EpochGuardPrefix) =>
-              row.getAs[Long]("n_at_or_pre_epoch")
-          }
-        }.sum
-        if (guarded > 0)
-          throw new IllegalStateException(
-            s"$prefix: $guarded event(s) at or before 1970-01-01T00:00:00Z " +
-              "reached a row-level late filter — batch 1 of an AvailableNow " +
-              "run executes at watermark = epoch 0, and " +
-              "dropDuplicatesWithinWatermark / stream-stream join drop " +
-              "ts <= watermark SILENTLY (the zeroed-timestamp corruption " +
-              "class, StreamExtremesSpec). Scrub or repair these rows " +
-              "before ingest.")
+        val isGuarded = df.queryExecution.analyzed.exists {
+          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics =>
+            c.name.startsWith(EpochGuardPrefix)
+          case _ => false
+        }
+        if (isGuarded) {
+          // recentProgress is a RING BUFFER (numRecentProgressUpdates,
+          // default 100): a run with more batches would silently lose
+          // early batches' guard counts — a guard blind spot must fail
+          // loud, not read as clean (review r17). Unreachable for the
+          // single-file AvailableNow sources here (1-2 batches); the
+          // check is for a future multi-batch regime.
+          val retention = spark.conf
+            .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+          if (q.recentProgress.length >= retention)
+            throw new IllegalStateException(
+              s"$prefix: ${q.recentProgress.length} progress updates hit " +
+                s"the $retention-entry retention — the epoch guard can no " +
+                "longer see every batch; raise " +
+                "spark.sql.streaming.numRecentProgressUpdates or move the " +
+                "guard to a StreamingQueryListener before trusting this run.")
+          val guarded = q.recentProgress.iterator.flatMap { p =>
+            import scala.jdk.CollectionConverters._
+            p.observedMetrics.asScala.collect {
+              case (name, row) if name.startsWith(EpochGuardPrefix) =>
+                row.getAs[Long]("n_at_or_pre_epoch")
+            }
+          }.sum
+          if (guarded > 0)
+            throw new IllegalStateException(
+              s"$prefix: $guarded event(s) with a NULL event time or at or " +
+                "before 1970-01-01T00:00:00Z reached a row-level late " +
+                "filter — batch 1 of an AvailableNow run executes at " +
+                "watermark = epoch 0, and dropDuplicatesWithinWatermark / " +
+                "stream-stream join drop ts <= watermark (and NULL ts) " +
+                "SILENTLY (the zeroed-timestamp corruption class, " +
+                "StreamExtremesSpec). Scrub or repair these rows before " +
+                "ingest.")
+        }
       }
     }
     spark.table(tableName)
@@ -211,7 +234,11 @@ object StreamingWindows {
     * epoch-exact rows, so nothing is silently lost there. */
   private def epochGuarded(df: DataFrame, tag: String, tsCol: String): DataFrame =
     df.observe(EpochGuardPrefix + tag,
-      count(when(expr(s"unix_micros($tsCol) <= 0"), true))
+      // NULL is part of the same class (review r17): a NULL event time
+      // can never satisfy the late filters either, so those rows vanish
+      // exactly as silently as ts = 0 — and count(when(...)) would skip
+      // them without the explicit IS NULL arm
+      count(when(expr(s"unix_micros($tsCol) <= 0 OR $tsCol IS NULL"), true))
         .as("n_at_or_pre_epoch"))
 
   /** The tumbling-window aggregation both hourly twins share — one body

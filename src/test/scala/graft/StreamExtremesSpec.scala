@@ -102,6 +102,28 @@ class StreamExtremesSpec extends AnyFunSuite {
       s"guard message drifted: ${exJoin.getMessage}")
   }
 
+  test("a NULL event time trips the guard too") {
+    // NULL ts is the other corruption shape the late filters swallow
+    // silently (a NULL can never satisfy ts > watermark) — the guard's
+    // IS NULL arm counts it (review r17)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = TestSpark.plantParquetFile(
+      Seq((1L, Some(10 * Min), 2L, "click", 1.0, "{}"),
+        (2L, None, 3L, "click", 1.0, "{}"),
+        (3L, Some(T2024), 9L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), expr("timestamp_micros(ts_us)").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props")),
+      "events.parquet")
+    val ex = intercept[IllegalStateException](
+      StreamingWindows.queries("stream_dedup")(spark, dir))
+    assert(ex.getMessage.contains("1 event(s)") &&
+      ex.getMessage.contains("NULL event time"),
+      s"NULL-ts guard arm drifted: ${ex.getMessage}")
+  }
+
   test("scrubbed input passes the guard; the epoch boundary is exact") {
     val spark = TestSpark.spark
     val dir = plantedDir(withAtOrPreEpoch = false)

@@ -326,20 +326,27 @@ def ts_iso(s):
     return datetime.datetime.fromisoformat(s)
 
 
-def run_pass(label, data_dir, out_dir, tbls):
-    """Plant `tbls`, run the REAL engine Verify over the FULL battery +
-    oracle_check; demand zero crashes, zero fails, full pass count."""
+def run_verify(data_dir, out_dir, tbls, subset=None):
+    """Plant `tbls` and launch the real engine's graft.Verify over them —
+    ONE launch recipe for every pass (classpath, JPMS opens, heap), so
+    pass 3 cannot drift onto a differently-configured engine."""
     os.makedirs(data_dir)
     for name, t in tbls.items():
         pq.write_table(t, f"{data_dir}/{name}.parquet")
     cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
         glob.glob("/opt/spark/jars/*.jar"))
     opens = [f"--add-opens={p}=ALL-UNNAMED" for p in JPMS_OPENS]
-    r = subprocess.run(
+    return subprocess.run(
         ["java", "-cp", cp, "-Xmx8g", *opens, "graft.Verify",
-         data_dir, out_dir],
+         data_dir, out_dir] + ([subset] if subset else []),
         capture_output=True, text=True,
         env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+
+
+def run_pass(label, data_dir, out_dir, tbls):
+    """Run the FULL battery + oracle_check over planted `tbls`; demand
+    zero crashes, zero fails, full pass count."""
+    r = run_verify(data_dir, out_dir, tbls)
     crashed = [l for l in r.stderr.splitlines() if "[verify] " in l]
     if r.returncode != 0 or crashed:
         print("\n".join(crashed) or r.stderr[-3000:])
@@ -367,30 +374,26 @@ def run_pass(label, data_dir, out_dir, tbls):
 
 
 def run_epoch_guard_pass(tbls):
-    """Pass 3 (r17, VERDICT r16 ask 4): plant ONE zeroed-timestamp event
-    (ts exactly 1970-01-01T00:00:00 — the corruption shape) and demand
-    the two row-level-late-filter queries FAIL LOUD with the ingest
-    guard's message instead of silently dropping the row. This is the
-    INVERTED arm: the engine crashing here is the contract."""
+    """Pass 3 (r17, VERDICT r16 ask 4): plant one zeroed-timestamp event
+    (ts exactly 1970-01-01T00:00:00) and one NULL-timestamp event — the
+    two corruption shapes — and demand the two row-level-late-filter
+    queries FAIL LOUD with the ingest guard's message instead of
+    silently dropping the rows. This is the INVERTED arm: the engine
+    crashing here is the contract."""
     data_dir, out_dir = f"{SCRATCH}/data_epoch", f"{SCRATCH}/verify_epoch"
-    os.makedirs(data_dir)
     events = tbls["events"]
-    zeroed = pa.table(
-        {f.name: pa.array([v], f.type) for f, v in zip(
+    # one zeroed ts and one NULL ts — both members of the class the
+    # guard counts (a NULL event time vanishes in the late filters just
+    # as silently, review r17)
+    planted = pa.table(
+        {f.name: pa.array([v, w], f.type) for f, (v, w) in zip(
             events.schema,
-            [920001, ts_iso("1970-01-01T00:00:00"), 920001, "click",
-             1.0, '{"k": 0}'])})
-    tbls = {**tbls, "events": pa.concat_tables([events, zeroed])}
-    for name, t in tbls.items():
-        pq.write_table(t, f"{data_dir}/{name}.parquet")
-    cp = f"{ROOT}/target/scala-2.13/classes:" + ":".join(
-        glob.glob("/opt/spark/jars/*.jar"))
-    opens = [f"--add-opens={p}=ALL-UNNAMED" for p in JPMS_OPENS]
-    r = subprocess.run(
-        ["java", "-cp", cp, "-Xmx8g", *opens, "graft.Verify",
-         data_dir, out_dir, "stream_dedup,stream_stream_join"],
-        capture_output=True, text=True,
-        env={**os.environ, "SPARK_GRAFT_CPUS": "8"})
+            [(920001, 920002), (ts_iso("1970-01-01T00:00:00"), None),
+             (920001, 920002), ("click", "purchase"), (1.0, 2.0),
+             ('{"k": 0}', '{"k": 0}')])})
+    tbls = {**tbls, "events": pa.concat_tables([events, planted])}
+    r = run_verify(data_dir, out_dir, tbls,
+                   subset="stream_dedup,stream_stream_join")
     failed = [l for l in r.stderr.splitlines() if "[verify] " in l]
     for q in ["stream_dedup", "stream_stream_join"]:
         hits = [l for l in failed if f"[verify] {q} failed:" in l]
