@@ -12,9 +12,16 @@ object Verify {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     // a typo'd name in the subset filter would otherwise run NOTHING
     // silently (filter match) — and the manifest would hide it too,
-    // since only matched names are recorded as attempted
-    only.foreach(o => (o -- SparkEntry.queries.keySet).toSeq.sorted.foreach(n =>
-      System.err.println(s"[verify] unknown query name in filter: $n")))
+    // since only matched names are recorded as attempted. Hard error,
+    // not a warning: a fully typo'd filter would still write an empty
+    // manifest and exit 0, and oracle_check would read "0 pass, 0
+    // fail" as green (review r17). The driver never passes a filter,
+    // so the gate path cannot hit this.
+    only.foreach(o => (o -- SparkEntry.queries.keySet).toSeq.sorted match {
+      case Seq() => ()
+      case bad => sys.error(
+        s"unknown query name(s) in filter: ${bad.mkString(", ")}")
+    })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,6 +46,16 @@ object Verify {
         System.err.println(
           s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
         failed += 1
+        // delete any result dir left by an EARLIER run into the same
+        // outDir (the documented builder workflow reuses target/
+        // verify_sf001): without this, a query that crashes before its
+        // write leaves run N-1's data where the manifest check finds a
+        // dir and oracle_check compares STALE results as PASS — the
+        // same green-when-not-green class the manifest closed
+        // (review r17). A crash mid-write is already loud: overwrite
+        // mode deletes the target first, so the partial dir fails the
+        // compare.
+        deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape — the shared graft.Json.str (one implementation
@@ -60,5 +77,18 @@ object Verify {
     System.out.println(
       s"[verify-summary] ${attempted.size} queries attempted, $failed failed")
     spark.stop()
+  }
+
+  /** Recursive delete of a crashed query's result dir (parquet part
+    * files — never follows links). A surviving dir would serve the
+    * PREVIOUS run's (typically hash-matching) results as a spurious
+    * PASS, so an undeletable entry is reported loudly rather than
+    * swallowed. */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    if (!f.delete() && f.exists())
+      System.err.println(s"[verify] WARNING: could not delete stale $f " +
+        "— oracle_check may compare the previous run's data for this query")
   }
 }

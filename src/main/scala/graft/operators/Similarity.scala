@@ -386,12 +386,30 @@ object Similarity {
       spark.sessionState.newHadoopConf(), dir, "embeddings")
     catch { case _: java.io.FileNotFoundException => "absent" }
 
-  private def embeddingDim(spark: SparkSession, dir: String): Int = {
+  /** The ONE fingerprint-guarded memo implementation all three index
+    * memos (dim, IVF centroids, semantic centroids) share, so the two
+    * load-bearing rules cannot drift apart per site (review r17): serve
+    * a cached value only while the embeddings source fingerprint it was
+    * built from still matches, and on mismatch REPLACE via put — never
+    * putIfAbsent, which would pin the stale entry forever (the ADVICE
+    * r16 bug class). Tombstones for empty/absent sources are memoized
+    * like real values (ADVICE r15) and self-invalidate the same way. */
+  private def fpMemo[V](
+      memo: java.util.concurrent.ConcurrentHashMap[String, (String, V)],
+      spark: SparkSession, dir: String)(build: => V): V = {
     val key = graft.sources.Formats.canonicalDir(dir)
     val fp = embSourceFingerprint(spark, dir)
-    val cached = dimCache.get(key)
+    val cached = memo.get(key)
     if (cached != null && cached._1 == fp) cached._2
     else {
+      val built = build
+      memo.put(key, (fp, built))
+      built
+    }
+  }
+
+  private def embeddingDim(spark: SparkSession, dir: String): Int =
+    fpMemo(dimCache, spark, dir) {
       // skip NULL embeddings: size(NULL) is NULL and getInt would NPE if
       // the arbitrary limit(1) row happened to be a NULL-embedding row
       val head = Tables.embeddings(spark, dir)
@@ -401,15 +419,10 @@ object Similarity {
       // ever reach the plane fold, so the hash-family queries return
       // EMPTY with the right schema instead of aborting the battery.
       // The placeholder IS memoized (ADVICE r15) — fingerprint-guarded
-      // per the doc above, so a later population recomputes even
-      // without an invalidate call.
-      val d = if (head.isEmpty) 1 else head(0).getInt(0)
-      // put, not putIfAbsent: on a fingerprint mismatch the stale entry
-      // must be REPLACED (putIfAbsent would pin the old one forever)
-      dimCache.put(key, (fp, d))
-      d
+      // by fpMemo, so a later population recomputes even without an
+      // invalidate call.
+      if (head.isEmpty) 1 else head(0).getInt(0)
     }
-  }
 
   /** ANN via LSH buckets: candidates share a bucket; rank candidates by
     * quantized cosine, keep the top-1 neighbour per vector. Approximate
@@ -449,26 +462,12 @@ object Similarity {
   private val ivfIndex =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Int, Array[Long], Long)])]()
 
-  private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] = {
-    val key = graft.sources.Formats.canonicalDir(dir)
-    // fingerprint-guarded like dimCache (ADVICE r16): the EMPTY index is
-    // memoized as a tombstone like a populated one (ADVICE r15), and the
-    // fingerprint makes BOTH self-invalidate on a same-JVM regeneration
-    // of the dir — the old bare memo relied solely on the
+  private def ivfCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] =
+    // fpMemo (ADVICE r16): the old bare memo relied solely on the
     // invalidateIndexCaches calling convention, so a regeneration that
     // forgot the call crashed on the stale empty tombstone (head of an
     // empty centroid list) or silently served stale centroids
-    val fp = embSourceFingerprint(spark, dir)
-    val cached = ivfIndex.get(key)
-    if (cached != null && cached._1 == fp) cached._2
-    else {
-      val built = buildCentroids(spark, dir, IvfClusters)
-      // put, not putIfAbsent: on a fingerprint mismatch the stale entry
-      // must be REPLACED
-      ivfIndex.put(key, (fp, built))
-      built
-    }
-  }
+    fpMemo(ivfIndex, spark, dir)(buildCentroids(spark, dir, IvfClusters))
 
   /** Deterministic sampled-centroid quantizer: a hash-ordered sample of
     * ≤`IvfSampleRows` vectors (one small Spark job, bounded driver
@@ -727,19 +726,12 @@ object Similarity {
   private val semIndex =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Array[(Int, Array[Long], Long)])]()
 
-  private def semCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] = {
-    val key = graft.sources.Formats.canonicalDir(dir)
-    // same fingerprint-guarded tombstone rule as ivfCentroids — see there
-    val fp = embSourceFingerprint(spark, dir)
-    val cached = semIndex.get(key)
-    if (cached != null && cached._1 == fp) cached._2
-    else {
+  private def semCentroids(spark: SparkSession, dir: String): Array[(Int, Array[Long], Long)] =
+    // same fpMemo tombstone rule as ivfCentroids — see there
+    fpMemo(semIndex, spark, dir) {
       val n = Tables.embeddings(spark, dir).count()
-      val built = buildCentroids(spark, dir, semClusterCount(n))
-      semIndex.put(key, (fp, built))
-      built
+      buildCentroids(spark, dir, semClusterCount(n))
     }
-  }
 
   /** Drops every per-dir cached index structure (semantic-dedup
     * centroids, IVF centroids, dimensionality) for `dir` — for harnesses
