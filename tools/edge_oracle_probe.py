@@ -22,6 +22,15 @@ pass 3 (epoch guard, INVERTED): one zeroed-timestamp event planted; the
 row-level-late-filter streaming queries must FAIL LOUD with the ingest
 guard's message (r17 contract) — a silent drop fails the arm.
 
+pass 4 (stale result dir, INVERTED): a query that crashes in Verify
+while writing into a REUSED outDir must not leave the previous run's
+result dir behind — a surviving dir would make oracle_check compare
+the stale (typically hash-matching) data as a spurious PASS (the r17
+review residue of the crashed-query manifest fix). The arm runs
+wordcount twice into one outDir — once over a good fixture, once over
+a fixture missing the documents table — and demands the stale dir is
+gone and oracle_check FAILS the attempted name with exit 1.
+
 Each pass runs graft.Verify (ALL registered queries — a rows-only query
 that crashes on degenerate input is a finding too) and diffs with
 tools/oracle_check.py, the exact compare the driver runs. The probe
@@ -406,6 +415,43 @@ def run_epoch_guard_pass(tbls):
           "timestamp (ingest contract holds)")
 
 
+def run_stale_dir_pass(tbls):
+    """Pass 4 (r17 review, INVERTED): a crashed query in a REUSED outDir
+    must not serve the previous run's results. Without the crash-path
+    delete, run 2's wordcount crash leaves run 1's dir where the
+    manifest check finds it and oracle_check PASSes on stale data."""
+    out_dir = f"{SCRATCH}/verify_stale"
+    r = run_verify(f"{SCRATCH}/data_stale_good", out_dir, tbls,
+                   subset="wordcount")
+    if r.returncode != 0 or not os.path.isdir(f"{out_dir}/wordcount"):
+        print(r.stderr[-2000:])
+        sys.exit("STALE-DIR ARM SETUP FAILED: wordcount did not write its "
+                 "result dir on the good fixture")
+    # run 2 into the SAME outDir, over a fixture with no documents table:
+    # wordcount crashes before its write
+    broken_dir = f"{SCRATCH}/data_stale_broken"
+    broken = {n: t for n, t in tbls.items() if n != "documents"}
+    r = run_verify(broken_dir, out_dir, broken, subset="wordcount")
+    if not any("[verify] wordcount failed:" in l
+               for l in r.stderr.splitlines()):
+        print(r.stderr[-2000:])
+        sys.exit("STALE-DIR ARM SETUP FAILED: wordcount did not crash on "
+                 "the documents-less fixture")
+    if os.path.isdir(f"{out_dir}/wordcount"):
+        sys.exit("STALE-DIR ARM FAILED: the crashed query's previous "
+                 "result dir survived the re-run — oracle_check would "
+                 "compare stale data as a spurious PASS (the pre-r17 bug)")
+    r = subprocess.run(
+        [sys.executable, f"{ROOT}/tools/oracle_check.py", broken_dir, out_dir],
+        capture_output=True, text=True)
+    if r.returncode == 0 or "FAIL  wordcount: no result dir" not in r.stdout:
+        print(r.stdout[-2000:])
+        sys.exit("STALE-DIR ARM FAILED: oracle_check did not fail the "
+                 "crashed query (expected 'no result dir' + exit 1)")
+    print("[stale-dir] crashed query's stale result dir deleted; "
+          "oracle_check fails it loud (reused-outDir contract holds)")
+
+
 def main():
     shutil.rmtree(SCRATCH, ignore_errors=True)
     tbls = build_tables()
@@ -416,6 +462,8 @@ def main():
              f"{SCRATCH}/verify_empty", empties)
     # pass 3: the INVERTED epoch-guard arm (expected loud failure)
     run_epoch_guard_pass(tbls)
+    # pass 4: the INVERTED stale-result-dir arm (expected loud failure)
+    run_stale_dir_pass(tbls)
     print("edge probe OK: FULL battery, engine == DuckDB oracle on the "
           "degenerate fixture (NULL keys/measures, orphan FKs, empty+unicode "
           "strings, zero-token/NULL docs, NULL/mistyped props, NULL/zero-norm "
