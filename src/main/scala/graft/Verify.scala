@@ -37,6 +37,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val attempted = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    scrubStale(outDir, attempted.keys)
     var failed = 0
     attempted.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -55,7 +56,9 @@ object Verify {
         // (review r17). A crash mid-write is already loud: overwrite
         // mode deletes the target first, so the partial dir fails the
         // compare.
-        deleteRecursively(new java.io.File(s"$outDir/$name"))
+        val d = new java.io.File(s"$outDir/$name")
+        deleteRecursively(d)
+        sentinelIfUndeleted(d)
       }
     }
     // JSON string escape — the shared graft.Json.str (one implementation
@@ -79,6 +82,24 @@ object Verify {
     spark.stop()
   }
 
+  /** Startup scrub (ADVICE r17): the per-query crash path can only clean
+    * up after crashes it SEES — a hard JVM death (OOM/kill) mid-battery
+    * in a REUSED outDir would leave run N-1's manifest and result dirs
+    * as a coherent, stale, all-PASS story for any caller that ignores
+    * the missing summary line. Drop the old manifest, then every
+    * attempted name's stale dir, BEFORE running anything: after this
+    * point a death at any instant leaves either no manifest
+    * (oracle_check reports detection unavailable on stderr) or result
+    * dirs only for queries THIS run actually completed. Unattempted
+    * names' dirs survive — the documented incremental subset workflow. */
+  private[graft] def scrubStale(outDir: String, attempted: Iterable[String]): Unit = {
+    Files.deleteIfExists(Paths.get(s"$outDir/query_names.json"))
+    attempted.foreach { name =>
+      val d = new java.io.File(s"$outDir/$name")
+      if (d.exists()) { deleteRecursively(d); sentinelIfUndeleted(d) }
+    }
+  }
+
   /** Recursive delete of a crashed query's result dir (parquet part
     * files — never follows links). A surviving dir would serve the
     * PREVIOUS run's (typically hash-matching) results as a spurious
@@ -91,4 +112,18 @@ object Verify {
       System.err.println(s"[verify] WARNING: could not delete stale $f " +
         "— oracle_check may compare the previous run's data for this query")
   }
+
+  /** Poison marker for a stale dir that would not delete (ADVICE r17):
+    * oracle_check FAILS any result dir containing `_GRAFT_STALE`, so the
+    * rare undeletable-path case degrades to a loud per-query FAIL instead
+    * of a silent stale PASS gated only by a stderr warning. Best-effort —
+    * if even the sentinel write fails (truly read-only dir), the stderr
+    * warning above already fired, and the parquet glob will read whatever
+    * is left rather than nothing, so the warning is the last line of
+    * defense there. */
+  private[graft] def sentinelIfUndeleted(f: java.io.File): Unit =
+    if (f.exists())
+      try Files.writeString(Paths.get(f.getPath, "_GRAFT_STALE"),
+        "stale result dir Verify could not delete; oracle_check must FAIL this query")
+      catch { case _: Throwable => () }
 }

@@ -57,9 +57,33 @@ object Formats {
     s"$root/${name}_${sanitize(dir)}"
   }
 
+  /** Per-scratch-path locks for the format round-trips (sweep r18 — the
+    * same class [[graft.operators.Dedup.dedupComponentsLsh]] closed in
+    * r17 for its label artifact): every fmt query writes a FIXED scratch
+    * path, then reads it back, and sbt provably runs suites concurrently
+    * on the shared session — unserialized, a concurrent same-dataset
+    * caller can (a) observe [[fmtBinary]]'s fixture half-rebuilt with the
+    * marker already committed by the other caller (silent wrong rows),
+    * (b) read [[fmtDynamicOverwrite]]'s seed state before the other
+    * caller's backfill lands (silent wrong values), or (c) collide two
+    * writers' `_temporary` staging under one path (loud but spurious
+    * battery failure). The lock spans build THROUGH frame construction
+    * (the read's file listing must not race a delete), same scope as the
+    * Dedup idiom; execution of the returned frame is covered by the
+    * documented fmt_* invalidation contract — a later call on the same
+    * dataset invalidates earlier frames. Classification under the r17
+    * lock-ordering rule: window-WRAPPED (no body opens a conf window —
+    * dynamic overwrite deliberately uses a per-WRITE option). Production
+    * Verify/Bench runs are sequential: zero contention there. */
+  private val scratchLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def withScratchLock[T](path: String)(body: => T): T =
+    scratchLocks.computeIfAbsent(path, _ => new Object).synchronized(body)
+
   /** CSV round-trip: supplier → csv (header) → re-read with explicit
     * schema → per-nation aggregate. */
-  def fmtCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  def fmtCsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("supplier_csv", dir)) {
     val path = tmp("supplier_csv", dir)
     Tables.supplier(spark, dir)
       // CSV is the one POSITIONAL format here (the explicit re-read
@@ -92,7 +116,8 @@ object Formats {
     * surgical scope (other days byte-identical) and its content are
     * hash-checked. The seed write is day-partitioned exactly as a real
     * ingest would be, so the backfill touches one directory. */
-  def fmtDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+  def fmtDynamicOverwrite(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("events_dynpart", dir)) {
     val path = tmp("events_dynpart", dir)
     val ev = Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
@@ -133,7 +158,8 @@ object Formats {
     * ingest on its first bad crawl record. The oracle derives the same
     * counts from the corruption rule on the ORIGINAL table, so the
     * parser's good/bad partition is exactly what is hash-checked. */
-  def fmtJsonCorrupt(spark: SparkSession, dir: String): DataFrame = {
+  def fmtJsonCorrupt(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("docs_badjson", dir)) {
     val path = tmp("docs_badjson", dir)
     Tables.documents(spark, dir)
       .select(
@@ -166,7 +192,8 @@ object Formats {
 
   /** JSON round-trip: part → json lines → re-read with explicit schema →
     * per-brand aggregate. */
-  def fmtJsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  def fmtJsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("part_json", dir)) {
     val path = tmp("part_json", dir)
     Tables.part(spark, dir)
       .write.mode("overwrite").json(path)
@@ -188,7 +215,8 @@ object Formats {
   /** ORC round-trip: orders → ORC (Spark's native vectorized ORC
     * reader/writer) → monthly aggregate. Timestamps survive the
     * round-trip — the column type most formats mangle. */
-  def fmtOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  def fmtOrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("orders_orc", dir)) {
     val path = tmp("orders_orc", dir)
     Tables.orders(spark, dir)
       .write.mode("overwrite").orc(path)
@@ -208,7 +236,8 @@ object Formats {
     * explicit schema + rowTag → per-segment aggregate. Doubles survive
     * because the writer emits the shortest round-trippable decimal
     * representation. */
-  def fmtXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  def fmtXmlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("customer_xml", dir)) {
     val path = tmp("customer_xml", dir)
     Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -237,7 +266,12 @@ object Formats {
     * that parallelizes an RDBMS ingest at scale (against a real server,
     * not :memory:). Bounds come from one tiny max() job on the source
     * rather than hardcoded constants. */
-  def fmtJdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+  def fmtJdbcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+      // keyed on the parked-result path, but the lock also serializes the
+      // per-dir Derby memory:db (same sanitize(dir) suffix) — a concurrent
+      // same-dataset caller's drop=true would otherwise race this call's
+      // write/read window
+      withScratchLock(tmp("customer_jdbc_out", dir)) {
     val url = s"jdbc:derby:memory:graft_${sanitize(dir)};create=true"
     val props = new java.util.Properties()
     val src = Tables.customer(spark, dir)
@@ -297,7 +331,8 @@ object Formats {
     * listed, let alone read). At 100 TB, partition-on-ingest is what
     * turns a full-corpus scan into a single-directory read.
     */
-  def fmtPartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+  def fmtPartitionPruning(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("docs_part", dir)) {
     val path = tmp("docs_part", dir)
     val docs = Tables.documents(spark, dir)
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)
@@ -363,10 +398,25 @@ object Formats {
       conf: org.apache.hadoop.conf.Configuration, dir: String, table: String): String = {
     val src = new org.apache.hadoop.fs.Path(s"${canonicalDir(dir)}/$table.parquet")
     val sfs = src.getFileSystem(conf)
+    // RECURSIVE file listing (sweep r18): at the documented partitioned
+    // 100 TB layout the table nests part files under key=… subdirs, and a
+    // one-level listStatus would fingerprint DIRECTORY entries — length 0,
+    // and a parent mtime that an in-place leaf overwrite does not touch —
+    // so a refreshed partition could keep serving a stale artifact. Flat
+    // layouts (all shipped testdata) produce the identical fingerprint
+    // either way, so no artifact rebuilds on upgrade.
     val statuses =
-      if (sfs.getFileStatus(src).isDirectory) sfs.listStatus(src).toSeq
-      else Seq(sfs.getFileStatus(src))
-    s"len=${statuses.map(_.getLen).sum} mtime=${statuses.map(_.getModificationTime).max}"
+      if (sfs.getFileStatus(src).isDirectory) {
+        val it = sfs.listFiles(src, true)
+        val buf = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) { val s = it.next(); if (s.isFile) buf += s }
+        buf.toSeq
+      } else Seq(sfs.getFileStatus(src))
+    // maxOption: an EMPTY table dir (zero files) must fingerprint stably,
+    // not crash `.max` — 0 pairs with len=0 as "nothing here yet"
+    s"len=${statuses.map(_.getLen).sum} " +
+      s"mtime=${statuses.map(_.getModificationTime).maxOption.getOrElse(0L)}"
   }
 
   /** Read a marker file's content, `None` when absent. */
@@ -398,7 +448,8 @@ object Formats {
       conf: org.apache.hadoop.conf.Configuration, dir: String): String =
     s"v1 docs=$BinaryFixtureDocs ${sourceFingerprint(conf, dir, "documents")}"
 
-  def fmtBinary(spark: SparkSession, dir: String): DataFrame = {
+  def fmtBinary(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("docs_bin", dir)) {
     val path = tmp("docs_bin", dir)
     val conf = spark.sessionState.newHadoopConf()
     // Raw assets are a SOURCE: build the file fixture once per dataset
@@ -465,7 +516,8 @@ object Formats {
     * declares the target schema explicitly) rather than on every scan;
     * the per-batch writes here are each idempotent overwrites.
     */
-  def fmtSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+  def fmtSchemaEvolution(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("evolve", dir)) {
     val root = tmp("evolve", dir)
     val orders = Tables.orders(spark, dir)
     orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
@@ -500,7 +552,8 @@ object Formats {
     * file split (zero extra IO, no join against a manifest), and the
     * partitioned layout is the same one partition pruning runs on.
     */
-  def fmtFileLineage(spark: SparkSession, dir: String): DataFrame = {
+  def fmtFileLineage(spark: SparkSession, dir: String): DataFrame =
+      withScratchLock(tmp("documents_bylang", dir)) {
     val path = tmp("documents_bylang", dir)
     val docs = Tables.documents(spark, dir)
     docs.write.mode("overwrite").partitionBy("lang").parquet(path)

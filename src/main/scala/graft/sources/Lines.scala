@@ -77,12 +77,17 @@ object Lines {
     * duplicates, or mangles. */
   def linesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Formats.tmp("docs_lines_rt", dir)
+    // same per-scratch-path serialization as the fmt_* round-trips
+    // (sweep r18): the DSv2 overwrite truncates `out` on the driver, so
+    // a concurrent same-dataset caller's read listing must not race it
+    Formats.withScratchLock(out) {
     dumpedLines(spark, dir)
       .write.format("graft.sources.LinesDataSource")
       .option("path", out).mode("overwrite").save()
     val reread = spark.read.format("graft.sources.LinesDataSource")
       .option("path", out).option("pathGlobFilter", "*.txt").load()
     WordCount.counts(reread, "value")
+    }
   }
 
   private val TokSql = Text.TokensOracleSql

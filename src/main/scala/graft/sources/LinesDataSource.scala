@@ -242,17 +242,29 @@ class LinesScan(path: String, glob: Option[String]) extends Scan with Batch {
     if (!fs.exists(p))
       throw new java.io.FileNotFoundException(s"graft-lines path does not exist: $path")
     val matcher = glob.map(g => new Path(path, g))
+    // hidden-file convention (same as Spark's file sources): temp or
+    // marker files (.part-*.tmp, _SUCCESS) are never data. Checked on
+    // every path SEGMENT under the root, not just the leaf name (sweep
+    // r18 — the same class Tables' footer reader closed in r17): Hadoop
+    // globs match hidden directories too, so a multi-level glob crossing
+    // a concurrent writer's `_temporary`/`.staging` tree would otherwise
+    // return in-flight partial files as data.
+    val rootQ = fs.makeQualified(p).toString
+    def underHiddenSegment(leaf: Path): Boolean = {
+      var cur = leaf
+      while (cur != null && cur.toString != rootQ) {
+        val n = cur.getName
+        if (n.startsWith(".") || n.startsWith("_")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     val files = Option(matcher match {
       case Some(g) => fs.globStatus(g)
       case None => fs.listStatus(p)
     }).getOrElse(Array.empty)
       .filter(_.isFile)
-      // hidden-file convention (same as Spark's file sources): temp or
-      // marker files (.part-*.tmp, _SUCCESS) are never data
-      .filterNot { f =>
-        val n = f.getPath.getName
-        n.startsWith(".") || n.startsWith("_")
-      }
+      .filterNot(f => underHiddenSegment(f.getPath))
     files.map(f => LinesFilePartition(f.getPath.toString): InputPartition)
   }
 

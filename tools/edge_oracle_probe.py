@@ -450,6 +450,28 @@ def run_stale_dir_pass(tbls):
                  "crashed query (expected 'no result dir' + exit 1)")
     print("[stale-dir] crashed query's stale result dir deleted; "
           "oracle_check fails it loud (reused-outDir contract holds)")
+    # sub-arm (r18, ADVICE r17): when Verify CANNOT delete a stale dir it
+    # plants a _GRAFT_STALE sentinel instead — oracle_check must FAIL the
+    # query on the sentinel rather than comparing the dir's (otherwise
+    # hash-matching) parquet as a spurious PASS. Recreate the good state,
+    # then plant the sentinel to simulate the undeletable-dir outcome.
+    r = run_verify(f"{SCRATCH}/data_stale_good", out_dir, tbls,
+                   subset="wordcount")
+    if r.returncode != 0 or not os.path.isdir(f"{out_dir}/wordcount"):
+        sys.exit("STALE-SENTINEL ARM SETUP FAILED: wordcount rerun did not "
+                 "write its result dir")
+    with open(f"{out_dir}/wordcount/_GRAFT_STALE", "w") as f:
+        f.write("planted by edge probe")
+    r = subprocess.run(
+        [sys.executable, f"{ROOT}/tools/oracle_check.py",
+         f"{SCRATCH}/data_stale_good", out_dir],
+        capture_output=True, text=True)
+    if r.returncode == 0 or "FAIL  wordcount: stale result dir" not in r.stdout:
+        print(r.stdout[-2000:])
+        sys.exit("STALE-SENTINEL ARM FAILED: oracle_check did not fail the "
+                 "sentinel-marked dir (it would compare stale data as PASS)")
+    print("[stale-dir] _GRAFT_STALE sentinel fails the query loud "
+          "(undeletable-dir contract holds)")
 
 
 def main():

@@ -87,6 +87,15 @@ def main():
               "crashed-query detection unavailable for this outDir",
               file=sys.stderr)
     for name in names:
+        # Verify plants this sentinel into a stale result dir it FAILED to
+        # delete (crash path or startup scrub; ADVICE r17) — the parquet
+        # files in such a dir are the PREVIOUS run's data and would
+        # otherwise compare as a spurious PASS.
+        if os.path.exists(f"{out_dir}/{name}/_GRAFT_STALE"):
+            print(f"FAIL  {name}: stale result dir Verify could not delete "
+                  "(_GRAFT_STALE sentinel present)")
+            n_fail += 1
+            continue
         try:
             rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols = list(rel.columns)
