@@ -534,17 +534,23 @@ object StreamingWindows {
     * watermark means no key is evicted mid-stream, so dedup-within-
     * watermark equals global dedup exactly, as the other harness twins.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = epochGuarded(eventStream(spark, dir), "", "ts")
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark, dedupPipeline(eventStream(spark, dir)), "append",
+      "stream_dedup", watermarkFlush = false)
+
+  /** The dedup transform alone, factored from [[streamDedup]] so
+    * StreamRecoverySpec can drive the SAME pipeline through a
+    * checkpointed kill/restart cycle (r18, VERDICT r17 task 3) — the
+    * recovery arm must exercise the shipped operator chain, not a
+    * spec-local copy that could drift. */
+  private[graft] def dedupPipeline(events: DataFrame): DataFrame =
+    epochGuarded(events, "", "ts")
       .withWatermark("ts", "365 days")
       .select(col("user_id"), col("event_type"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
       .select(col("user_id"), col("event_type"), col("day"))
-    runToMemory(spark, deduped, "append", "stream_dedup",
-      watermarkFlush = false)
-  }
 
   val streamDedupSql: String =
     """SELECT DISTINCT user_id, event_type,
@@ -626,29 +632,57 @@ object StreamingWindows {
       .select(cols.map(col): _*)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          val (updates, inserts) = Maintenance.upsertDelta(batch)
-          val next = Maintenance.applyUpsert(
-            spark.read.parquet(snap), updates, inserts)
-          val nextPath = new org.apache.hadoop.fs.Path(snap + "_next")
-          val snapPath = new org.apache.hadoop.fs.Path(snap)
-          val oldPath = new org.apache.hadoop.fs.Path(snap + "_old")
-          next.write.mode("overwrite").parquet(nextPath.toString)
-          val fs = snapPath.getFileSystem(spark.sessionState.newHadoopConf())
-          fs.delete(oldPath, true) // stale retiree from a prior crash
-          if (!fs.rename(snapPath, oldPath))
-            throw new java.io.IOException(s"snapshot retire failed: $snapPath")
-          if (!fs.rename(nextPath, snapPath))
-            throw new java.io.IOException(s"snapshot swap failed: $nextPath")
-          fs.delete(oldPath, true)
-        } finally batch.unpersist()
-        (): Unit
+        applyCdcBatch(spark, snap, batch)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.read.parquet(snap)
+  }
+
+  /** One CDC micro-batch folded into the parquet snapshot at `snap` —
+    * the foreachBatch body of [[streamUpsert]], factored out so
+    * StreamRecoverySpec replays the SAME apply through a kill/restart
+    * cycle. Crash-safe across the whole batch (r18, VERDICT r17 task 3):
+    *
+    *  - RESTORE arm: a death between the two renames leaves the complete
+    *    pre-batch snapshot under `_old` and nothing live — previously
+    *    the data survived but the replay's snapshot read crashed until a
+    *    human moved it back; now the apply restores `_old` → live first,
+    *    so a checkpointed restart recovers unattended.
+    *  - REPLAY idempotence: a batch re-delivered after a post-swap death
+    *    re-applies the same delta to the already-applied snapshot —
+    *    anti-join-then-union of identical rows, a fixpoint.
+    *
+    * `beforeSwap` is a crash-injection seam for the recovery spec (fires
+    * after `_next` is fully written, before the retire/promote pair);
+    * production callers leave the default no-op. */
+  private[graft] def applyCdcBatch(spark: SparkSession, snap: String,
+      batch: DataFrame, beforeSwap: () => Unit = () => ()): Unit = {
+    import graft.operators.Maintenance
+    val nextPath = new org.apache.hadoop.fs.Path(snap + "_next")
+    val snapPath = new org.apache.hadoop.fs.Path(snap)
+    val oldPath = new org.apache.hadoop.fs.Path(snap + "_old")
+    val fs = snapPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(snapPath) && fs.exists(oldPath) &&
+        !fs.rename(oldPath, snapPath))
+      throw new java.io.IOException(
+        s"snapshot restore after mid-swap crash failed: $oldPath")
+    batch.persist()
+    try {
+      val (updates, inserts) = Maintenance.upsertDelta(batch)
+      val next = Maintenance.applyUpsert(
+        spark.read.parquet(snap), updates, inserts)
+      next.write.mode("overwrite").parquet(nextPath.toString)
+      beforeSwap()
+      fs.delete(oldPath, true) // stale retiree from a prior crash
+      if (!fs.rename(snapPath, oldPath))
+        throw new java.io.IOException(s"snapshot retire failed: $snapPath")
+      if (!fs.rename(nextPath, snapPath))
+        throw new java.io.IOException(s"snapshot swap failed: $nextPath")
+      fs.delete(oldPath, true)
+    } finally batch.unpersist()
+    (): Unit
   }
 
   /** STREAM-STATIC enrichment join — the dimension-lookup shape every
