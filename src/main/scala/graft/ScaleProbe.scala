@@ -130,6 +130,33 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     for (dir <- dirs) {
+      // sf10 double-pass rule, codified (VERDICT r17 task 4): the first
+      // read of a freshly GENERATED dataset pays cold first-touch I/O —
+      // scan walls read 2.5–3.5× high (BASELINE §e) and a future round
+      // could misread that as a scale regression. Warm the page cache
+      // with one untimed byte-stream over every parquet leaf before the
+      // timed probes. An in-JVM second TIMED pass is the wrong fix: the
+      // artifact memos (dedup_pairs, cc labels, IVF index) would turn
+      // pass 2 into a no-op and time the memo, not the operator. Scoped
+      // to the flagship/LSH rungs; the default sf0.1-vs-sf1 growth mode
+      // keeps its historical (unwarmed) measurement conditions so the
+      // §e growth table stays comparable across rounds.
+      if (flagship || lsh) receipt("warm_inputs", dir) {
+        val t0 = System.nanoTime()
+        var bytes = 0L
+        val buf = new Array[Byte](1 << 20)
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
+          else {
+            val in = new java.io.FileInputStream(f)
+            try { var n = 0; while ({ n = in.read(buf); n >= 0 }) bytes += n }
+            finally in.close()
+          }
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).foreach(walk)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"warm_inputs","dir":"$dir","sec":$sec%.2f,"mb":${bytes / 1048576}}""")
+      }
       for (name <- (if (lsh) LshProbes
         else if (flagship) FlagshipProbes else Probes)) {
         val t0 = System.nanoTime()
