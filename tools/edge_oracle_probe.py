@@ -455,7 +455,7 @@ def run_stale_dir_pass(tbls):
     # query on the sentinel rather than comparing the dir's (otherwise
     # hash-matching) parquet as a spurious PASS. Recreate the good state,
     # then plant the sentinel to simulate the undeletable-dir outcome.
-    r = run_verify(f"{SCRATCH}/data_stale_good", out_dir, tbls,
+    r = run_verify(f"{SCRATCH}/data_stale_good2", out_dir, tbls,
                    subset="wordcount")
     if r.returncode != 0 or not os.path.isdir(f"{out_dir}/wordcount"):
         sys.exit("STALE-SENTINEL ARM SETUP FAILED: wordcount rerun did not "
@@ -464,7 +464,7 @@ def run_stale_dir_pass(tbls):
         f.write("planted by edge probe")
     r = subprocess.run(
         [sys.executable, f"{ROOT}/tools/oracle_check.py",
-         f"{SCRATCH}/data_stale_good", out_dir],
+         f"{SCRATCH}/data_stale_good2", out_dir],
         capture_output=True, text=True)
     if r.returncode == 0 or "FAIL  wordcount: stale result dir" not in r.stdout:
         print(r.stdout[-2000:])
