@@ -142,20 +142,36 @@ object ScaleProbe {
       // keeps its historical (unwarmed) measurement conditions so the
       // §e growth table stays comparable across rounds.
       if (flagship || lsh) receipt("warm_inputs", dir) {
+        // Warm EVERY regular file under the dataset dir, not just
+        // top-level *.parquet entries (ADVICE r18): sidecar files
+        // (dup_pairs.parquet lives top-level, but a future fixture or a
+        // non-parquet side file would not), and anything a probe reads
+        // that this loop skips stays cold — the attenuated version of
+        // the misread the warm exists to close. Files are listed first
+        // so the receipt can report the count (a cold-input misread is
+        // then diagnosable from the receipt alone), and read on a small
+        // fixed pool: at the sf10 rung (~1.75 GB) the sequential
+        // byte-stream added real untimed wall-clock.
         val t0 = System.nanoTime()
-        var bytes = 0L
-        val buf = new Array[Byte](1 << 20)
+        val files = scala.collection.mutable.ArrayBuffer[java.io.File]()
         def walk(f: java.io.File): Unit =
           if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(walk)
-          else {
-            val in = new java.io.FileInputStream(f)
-            try { var n = 0; while ({ n = in.read(buf); n >= 0 }) bytes += n }
-            finally in.close()
-          }
-        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet")).foreach(walk)
+          else files += f
+        walk(new java.io.File(dir))
+        val bytes = new java.util.concurrent.atomic.AtomicLong()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try {
+          files.map(f => pool.submit(new Runnable {
+            override def run(): Unit = {
+              val buf = new Array[Byte](1 << 20)
+              val in = new java.io.FileInputStream(f)
+              try { var n = 0; while ({ n = in.read(buf); n >= 0 }) bytes.addAndGet(n) }
+              finally in.close()
+            }
+          })).foreach(_.get())
+        } finally pool.shutdown()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"warm_inputs","dir":"$dir","sec":$sec%.2f,"mb":${bytes / 1048576}}""")
+        println(f"""{"probe":"warm_inputs","dir":"$dir","sec":$sec%.2f,"mb":${bytes.get / 1048576},"files":${files.size}}""")
       }
       for (name <- (if (lsh) LshProbes
         else if (flagship) FlagshipProbes else Probes)) {
@@ -255,7 +271,15 @@ object ScaleProbe {
       // sf1) — collect ONCE and stratify driver-side, instead of
       // re-evaluating the O(N²) brute-force scan and the full
       // cluster-then-prune per band (6×/3× redundant distributed runs).
-      if (!flagship && !lsh) receipt("dedup_semantic_pair_recall", dir) {
+      // r19 (VERDICT r18 task 6): the 0.85 recall bound was only ever
+      // held at gate scale — measure the exact-twin pair recall at the
+      // flagship sf1 rung too. sf1 is the LARGEST rung where the
+      // quadratic exact twin is affordable; the sf10 rung is excluded
+      // by name (flagship dirs are tools-built target/sf1|sf10) and
+      // keeps only the linear-truth planted-dup receipt below, per the
+      // flagship rule that recall truth sources never go quadratic.
+      if (!lsh && (!flagship || !dir.contains("sf10")))
+        receipt("dedup_semantic_pair_recall", dir) {
         val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
           .select("vec_a", "vec_b", "sim")
           .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
@@ -281,7 +305,11 @@ object ScaleProbe {
       // isotropic bands above are the adversarial floor; this is the
       // number a user deduplicating actual near-copies sees. Fully
       // deterministic: vec_id-keyed selection and per-id seeded noise.
-      if (!flagship && !lsh) receipt("dedup_semantic_planted_dup_recall", dir) {
+      // r19: also held at BOTH flagship rungs — the truth source here is
+      // the planted construction (linear) and the measured query is the
+      // IVF-bucketed scale path itself, so this receipt is exactly the
+      // operational number the 100 TB story needs at sf10.
+      if (!lsh) receipt("dedup_semantic_planted_dup_recall", dir) {
         import org.apache.spark.sql.functions.{col, max => fmax}
         import spark.implicits._
         val emb = graft.engine.Tables.embeddings(spark, dir)

@@ -77,6 +77,9 @@ object Verify {
     // the dirs + oracle_sql.json and must still get its per-query compare.
     Files.writeString(Paths.get(s"$outDir/query_names.json"),
       attempted.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // manifest written = the run COMPLETED its battery (failures are
+    // per-query and recorded); only now may the in-progress marker go
+    Files.deleteIfExists(Paths.get(s"$outDir/$RunningMarker"))
     System.out.println(
       s"[verify-summary] ${attempted.size} queries attempted, $failed failed")
     spark.stop()
@@ -94,11 +97,29 @@ object Verify {
     * names' dirs survive — the documented incremental subset workflow. */
   private[graft] def scrubStale(outDir: String, attempted: Iterable[String]): Unit = {
     Files.deleteIfExists(Paths.get(s"$outDir/query_names.json"))
+    // Run-in-progress marker (ADVICE r18): scrub deletes the manifest,
+    // so a hard JVM death during a SUBSET run into a reused outDir used
+    // to leave no manifest while UNATTEMPTED names' dirs from an earlier
+    // broader run survived — oracle_check's dir-driven loop then
+    // compared those stale dirs as PASS with only a stderr NOTE. The
+    // marker is written before any scrubbing and removed only at the
+    // very end of a completed run (right after the manifest lands), so
+    // a death at ANY instant leaves it in place and oracle_check fails
+    // the whole outDir loud ("run died mid-battery") instead of
+    // narrating around the hole.
+    Files.writeString(Paths.get(s"$outDir/$RunningMarker"),
+      "Verify run in progress; if this file survives the run died mid-battery " +
+        "and every result dir here is suspect — oracle_check must FAIL loud")
     attempted.foreach { name =>
       val d = new java.io.File(s"$outDir/$name")
       if (d.exists()) { deleteRecursively(d); sentinelIfUndeleted(d) }
     }
   }
+
+  /** Name of the run-in-progress marker scrubStale writes and a
+    * completed run removes; oracle_check treats its presence as a
+    * mid-battery death and fails the whole compare. */
+  private[graft] val RunningMarker = "_GRAFT_RUNNING"
 
   /** Recursive delete of a crashed query's result dir (parquet part
     * files — never follows links). A surviving dir would serve the

@@ -249,15 +249,30 @@ class LinesScan(path: String, glob: Option[String]) extends Scan with Batch {
     // globs match hidden directories too, so a multi-level glob crossing
     // a concurrent writer's `_temporary`/`.staging` tree would otherwise
     // return in-flight partial files as data.
-    val rootQ = fs.makeQualified(p).toString
+    // The upward walk must stop AT the data root (a hidden-named root
+    // the user explicitly pointed at is data, and segments ABOVE the
+    // root are none of our business — a CI `_work` or `.cache` ancestor
+    // must not classify every file as hidden). Termination is by PATH
+    // equality with each ancestor qualified through the same fs as the
+    // root (ADVICE r18): string comparison against one qualification
+    // form breaks the moment listStatus/globStatus return a different
+    // authority/relative form, and the old walk then silently climbed
+    // past the root — the exact silent-empty-scan class the exists
+    // check above guards against. Walking off the top without ever
+    // meeting the root is that divergence made visible: fail loud.
+    val rootQ = fs.makeQualified(p)
     def underHiddenSegment(leaf: Path): Boolean = {
       var cur = leaf
-      while (cur != null && cur.toString != rootQ) {
+      while (cur != null) {
+        if (fs.makeQualified(cur) == rootQ) return false
         val n = cur.getName
         if (n.startsWith(".") || n.startsWith("_")) return true
         cur = cur.getParent
       }
-      false
+      throw new IllegalStateException(
+        s"graft-lines: file $leaf walked to the filesystem root without " +
+          s"passing the data root $rootQ — path qualification forms " +
+          "diverged; refusing to apply the hidden-segment rule above the root")
     }
     val files = Option(matcher match {
       case Some(g) => fs.globStatus(g)

@@ -88,6 +88,14 @@ class IngestSweepSpec extends AnyFunSuite {
       "attempted name's stale dir must be scrubbed before the run")
     assert(Files.exists(Paths.get(s"$out/b/part-0.parquet")),
       "unattempted dirs are the incremental workflow — must survive")
+    // ADVICE r18: the scrub must leave a run-in-progress marker so a
+    // hard death mid-battery (no manifest, unattempted stale dirs
+    // surviving) hard-fails oracle_check instead of comparing the
+    // stale dirs as PASS behind a stderr NOTE. A COMPLETED run deletes
+    // it right after the manifest lands (edge probe pass 1 covers that
+    // side end-to-end: oracle_check would hard-fail if it survived).
+    assert(Files.exists(Paths.get(s"$out/${Verify.RunningMarker}")),
+      "scrub must write the run-in-progress marker before any query runs")
 
     // the undeletable-dir degradation: sentinelIfUndeleted poisons a dir
     // that survived deletion so oracle_check FAILs it instead of

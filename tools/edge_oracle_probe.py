@@ -472,6 +472,28 @@ def run_stale_dir_pass(tbls):
                  "sentinel-marked dir (it would compare stale data as PASS)")
     print("[stale-dir] _GRAFT_STALE sentinel fails the query loud "
           "(undeletable-dir contract holds)")
+    # sub-arm (r19, ADVICE r18): a hard death MID-BATTERY leaves the
+    # _GRAFT_RUNNING marker scrubStale wrote at startup (a completed run
+    # deletes it right after the manifest). oracle_check must fail the
+    # WHOLE outDir on it — a subset-run death leaves no manifest while
+    # unattempted names' stale dirs survive, and the dir-driven loop
+    # would otherwise compare them as PASS behind a stderr NOTE.
+    # Simulate by re-planting the marker after the completed run above.
+    os.remove(f"{out_dir}/wordcount/_GRAFT_STALE")
+    with open(f"{out_dir}/_GRAFT_RUNNING", "w") as f:
+        f.write("planted by edge probe")
+    r = subprocess.run(
+        [sys.executable, f"{ROOT}/tools/oracle_check.py",
+         f"{SCRATCH}/data_stale_good2", out_dir],
+        capture_output=True, text=True)
+    if r.returncode == 0 or "died mid-battery" not in r.stdout:
+        print(r.stdout[-2000:])
+        sys.exit("RUNNING-MARKER ARM FAILED: oracle_check did not hard-fail "
+                 "an outDir carrying _GRAFT_RUNNING (a mid-battery death "
+                 "would compare stale dirs as PASS)")
+    os.remove(f"{out_dir}/_GRAFT_RUNNING")
+    print("[stale-dir] _GRAFT_RUNNING marker hard-fails the outDir "
+          "(mid-battery-death contract holds)")
 
 
 def main():

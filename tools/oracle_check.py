@@ -53,6 +53,18 @@ def cells_equal(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Verify writes _GRAFT_RUNNING at startup scrub and removes it only
+    # after the manifest lands (ADVICE r18): if it is still here the run
+    # died mid-battery and EVERY result dir in this outDir is suspect —
+    # a subset-run death used to leave no manifest while unattempted
+    # names' stale dirs from an earlier broader run compared as PASS
+    # with only a stderr NOTE. Hard fail, no per-query narration.
+    if os.path.exists(f"{out_dir}/_GRAFT_RUNNING"):
+        print(f"FAIL  {out_dir}: _GRAFT_RUNNING marker present — the "
+              "Verify run died mid-battery; every result dir here is "
+              "suspect. Re-run Verify before comparing.")
+        print("\n0 pass, 1 fail, 0 rows-only")
+        sys.exit(1)
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
