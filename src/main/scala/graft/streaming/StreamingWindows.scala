@@ -382,7 +382,7 @@ object StreamingWindows {
   /** The session aggregation both streaming session twins share — ONE
     * body so the complete-mode harness and the append-mode production
     * path stay provably identical (the typedCents pattern). */
-  private def sessionAgg(stream: DataFrame): DataFrame =
+  private[graft] def sessionAgg(stream: DataFrame): DataFrame =
     stream
       .groupBy(
         session_window(col("ts"), graft.operators.Events.SessionGap).as("w"),
@@ -565,29 +565,36 @@ object StreamingWindows {
     * 1 h). The test watermark exceeds the data span, so no pair is
     * dropped and the batch SQL join is an exact oracle.
     */
-  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** The join transform itself, factored off the source wiring so the
+    * gate query and StreamRecoverySpec's kill/restart arm run ONE body
+    * (the dedupPipeline pattern) — each argument is a raw event stream
+    * (the two legs of a stream-stream join each need their own source
+    * instance). */
+  private[graft] def streamJoinPipeline(
+      clickSrc: DataFrame, purchaseSrc: DataFrame): DataFrame = {
     // guards sit AFTER the event_type filters: rows those filters drop
     // never reach the late filter, so they are not silent losses
     val clicks = epochGuarded(
-        eventStream(spark, dir).filter(col("event_type") === "click"),
-        "_c", "ts")
+        clickSrc.filter(col("event_type") === "click"), "_c", "ts")
       .select(col("user_id").as("c_uid"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
       .withWatermark("c_ts", "365 days")
     val purchases = epochGuarded(
-        eventStream(spark, dir).filter(col("event_type") === "purchase"),
-        "_p", "ts")
+        purchaseSrc.filter(col("event_type") === "purchase"), "_p", "ts")
       .select(col("user_id").as("p_uid"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
       .withWatermark("p_ts", "365 days")
-    val joined = clicks.join(purchases,
+    clicks.join(purchases,
         expr("""c_uid = p_uid AND p_ts >= c_ts AND
                 p_ts <= c_ts + INTERVAL 1 HOUR"""))
       .select(col("click_id"), col("purchase_id"), col("c_uid").as("user_id"),
         expr("unix_micros(p_ts) - unix_micros(c_ts)").as("lag_us"))
-    runToMemory(spark, joined, "append", "stream_stream_join",
-      watermarkFlush = false)
   }
+
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(spark,
+      streamJoinPipeline(eventStream(spark, dir), eventStream(spark, dir)),
+      "append", "stream_stream_join", watermarkFlush = false)
 
   /** Streaming CDC APPLY — `foreachBatch` folding each micro-batch's
     * change delta into a persistent parquet snapshot, the streaming twin
