@@ -282,6 +282,18 @@ con.sql(f"""copy (select event_id + i * cast({ev_mx} as bigint) as event_id,
             from '{SRC}/events.parquet', range({MULT}) t(i))
             to '{OUT}/events.parquet' (format parquet)""")
 
+# The four UNSCALED dimension tables, copied verbatim from sf0.1 (r19,
+# VERDICT r18 task 4: the full-battery oracle hold at sf1 needs every
+# table the 173-query surface reads). Correct by construction, not just
+# convenient: nation/region are fixed-size in TPC-H, and the
+# orders/lineitem replicas above keep l_partkey/l_suppkey/o_custkey in
+# the sf0.1 key range, so the sf0.1 part/supplier rows are exactly the
+# referenced set — no orphan FKs introduced.
+import shutil
+for t in ("nation", "region", "part", "supplier"):
+    shutil.copyfile(f"{SRC}/{t}.parquet", f"{OUT}/{t}.parquet")
+
 print("wrote", OUT)
-for t in ("documents", "customer", "embeddings", "orders", "lineitem", "events"):
+for t in ("documents", "customer", "embeddings", "orders", "lineitem",
+          "events", "nation", "region", "part", "supplier"):
     print(t, con.sql(f"select count(*) from '{OUT}/{t}.parquet'").fetchone()[0])
