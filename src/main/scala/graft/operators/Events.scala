@@ -178,23 +178,40 @@ object Events {
         expr("dur_us div 1000000").as("dur_sec"))
 
   /** Gaps-and-islands twin: a session break is a gap > 30 min; the
-    * running sum of breaks numbers the sessions. */
+    * running sum of breaks numbers the sessions.
+    *
+    * Islands are computed over DISTINCT (user_id, ts) with the event
+    * multiplicity carried alongside (r19, found by the sf1 oracle
+    * hold): the naive per-ROW form breaks ties arbitrarily — with
+    * duplicate timestamps the session-opening brk=1 row's position
+    * among its equal-ts peers is whatever order the window sort
+    * happened to produce, and the ROWS-frame running sum then splits
+    * the tie group between two sessions nondeterministically (DuckDB
+    * returned 95465–95469 sessions across runs on the sf1 fixture,
+    * whose replicated events carry 10× duplicate timestamps).
+    * `session_window` semantics — simultaneous events share a session
+    * — are what the engine computes deterministically; de-duplicating
+    * the timeline first makes the oracle say the same thing with no
+    * peer order left to vary. */
   val eventsSessionsSql: String =
-    """WITH d AS (
-      |  SELECT user_id, ts,
+    """WITH t AS (
+      |  SELECT user_id, ts, count(*) AS cnt
+      |  FROM events GROUP BY user_id, ts),
+      |d AS (
+      |  SELECT user_id, ts, cnt,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
       |              > INTERVAL '30 minutes'
       |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |         THEN 1 ELSE 0 END AS brk
-      |  FROM events),
+      |  FROM t),
       |s AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, cnt,
       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
       |                   ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM d)
       |SELECT user_id,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
-      |  count(*) AS n_events,
+      |  CAST(sum(cnt) AS BIGINT) AS n_events,
       |  CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS dur_sec
       |FROM s GROUP BY user_id, sess""".stripMargin
 

@@ -426,23 +426,28 @@ object StreamingWindows {
   /** Batch twin of the append-mode emission: sessions whose window end
     * (last event + gap) is at-or-before the final watermark
     * (`floor_ms(global max ts) − 3 days`, inclusive — Spark's exact
-    * eviction predicate, probe-verified). */
+    * eviction predicate, probe-verified). Islands over DISTINCT
+    * (user_id, ts) for tie determinism — see eventsSessionsSql's doc
+    * (r19, the sf1 oracle-hold finding). */
   val streamSessionsAppendSql: String =
-    """WITH d AS (
-      |  SELECT user_id, ts,
+    """WITH t AS (
+      |  SELECT user_id, ts, count(*) AS cnt
+      |  FROM events GROUP BY user_id, ts),
+      |d AS (
+      |  SELECT user_id, ts, cnt,
       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
       |              > INTERVAL '30 minutes'
       |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
       |         THEN 1 ELSE 0 END AS brk
-      |  FROM events),
+      |  FROM t),
       |s AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, cnt,
       |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
       |                   ROWS UNBOUNDED PRECEDING) AS sess
       |  FROM d)
       |SELECT user_id,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
-      |  count(*) AS n_events,
+      |  CAST(sum(cnt) AS BIGINT) AS n_events,
       |  CAST(date_diff('microsecond', min(ts), max(ts)) // 1000000 AS BIGINT) AS dur_sec
       |FROM s GROUP BY user_id, sess
       |HAVING max(ts) + INTERVAL '30 minutes'

@@ -53,6 +53,11 @@ def cells_equal(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional builder-side name filter (comma-separated); the driver
+    # always calls with two args, so the gate path never hits this —
+    # it exists for re-checking a handful of queries against a big
+    # (slow-oracle) fixture without re-paying the full battery
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     # Verify writes _GRAFT_RUNNING at startup scrub and removes it only
     # after the manifest lands (ADVICE r18): if it is still here the run
     # died mid-battery and EVERY result dir in this outDir is suspect —
@@ -99,6 +104,8 @@ def main():
               "crashed-query detection unavailable for this outDir",
               file=sys.stderr)
     for name in names:
+        if only is not None and name not in only:
+            continue
         # Verify plants this sentinel into a stale result dir it FAILED to
         # delete (crash path or startup scrub; ADVICE r17) — the parquet
         # files in such a dir are the PREVIOUS run's data and would
