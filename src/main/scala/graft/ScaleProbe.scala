@@ -160,6 +160,15 @@ object ScaleProbe {
         walk(new java.io.File(dir))
         val bytes = new java.util.concurrent.atomic.AtomicLong()
         val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        // Every future is awaited INDIVIDUALLY and failures collected
+        // instead of letting the first exception abort mid-pool: an
+        // abort would shutdown() (not cancel) the pool, leaving queued
+        // warm reads overlapping the first TIMED probes — the skew this
+        // warm pass exists to remove, on exactly the error path where
+        // the receipt wrapper swallows the exception (ADVICE r19). By
+        // the time the finally runs, every future has completed, so a
+        // plain shutdown() is a no-op cleanup, never a leak.
+        val warmErrors = scala.collection.mutable.ArrayBuffer[String]()
         try {
           files.map(f => pool.submit(new Runnable {
             override def run(): Unit = {
@@ -168,10 +177,19 @@ object ScaleProbe {
               try { var n = 0; while ({ n = in.read(buf); n >= 0 }) bytes.addAndGet(n) }
               finally in.close()
             }
-          })).foreach(_.get())
-        } finally pool.shutdown()
+          })).foreach(fut =>
+            try fut.get()
+            catch { case e: Throwable =>
+              warmErrors += Option(e.getCause).getOrElse(e).toString })
+        } finally {
+          pool.shutdown()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        }
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"""{"probe":"warm_inputs","dir":"$dir","sec":$sec%.2f,"mb":${bytes.get / 1048576},"files":${files.size}}""")
+        if (warmErrors.nonEmpty)
+          System.err.println(s"[warm_inputs] $dir: ${warmErrors.size} read failures: " +
+            warmErrors.take(3).mkString("; "))
+        println(f"""{"probe":"warm_inputs","dir":"$dir","sec":$sec%.2f,"mb":${bytes.get / 1048576},"files":${files.size},"read_failures":${warmErrors.size}}""")
       }
       for (name <- (if (lsh) LshProbes
         else if (flagship) FlagshipProbes else Probes)) {
@@ -274,11 +292,20 @@ object ScaleProbe {
       // r19 (VERDICT r18 task 6): the 0.85 recall bound was only ever
       // held at gate scale — measure the exact-twin pair recall at the
       // flagship sf1 rung too. sf1 is the LARGEST rung where the
-      // quadratic exact twin is affordable; the sf10 rung is excluded
-      // by name (flagship dirs are tools-built target/sf1|sf10) and
-      // keeps only the linear-truth planted-dup receipt below, per the
-      // flagship rule that recall truth sources never go quadratic.
-      if (!lsh && (!flagship || !dir.contains("sf10")))
+      // quadratic exact twin is affordable; bigger rungs keep only the
+      // linear-truth planted-dup receipt below, per the flagship rule
+      // that recall truth sources never go quadratic. r20 (ADVICE r19):
+      // the exclusion is gated on the COST DRIVER — the embeddings
+      // parquet size — not a "sf10" path substring, which both skipped
+      // innocent dirs (sf100, sf10_runs/sf1) and ran the O(N²) brute
+      // force on an sf10-scale fixture in a differently-named dir.
+      // 16 MB sits 3× above sf1's ~5 MB and 3× below sf10's ~52 MB.
+      def diskSize(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(diskSize).sum
+        else f.length()
+      val embBytes = diskSize(new java.io.File(s"$dir/embeddings.parquet"))
+      if (!lsh && (!flagship || embBytes <= 16L * 1024 * 1024))
         receipt("dedup_semantic_pair_recall", dir) {
         val exactPairs = SparkEntry.queries("ann_pairs_bruteforce")(spark, dir)
           .select("vec_a", "vec_b", "sim")

@@ -44,10 +44,10 @@ object SparkEntry {
       StreamingWindows.queries
 
   /** The queries that deliberately have NO DuckDB oracle — each is a
-    * hash-family / sketch / tokenizer-spec op whose exact output depends on
-    * an algorithm DuckDB cannot replay (murmur seeds, HLL++/GK/Misra–Gries
-    * sketches, k-means init, the PTB sed chain), so the driver records a
-    * rows-only check and a dedicated ScalaTest spec hard-bounds each one.
+    * hash-family / sketch op whose exact output depends on an algorithm
+    * DuckDB cannot replay (murmur seeds, HLL++/GK/Misra–Gries sketches,
+    * k-means init), so the driver records a rows-only check and a
+    * dedicated ScalaTest spec hard-bounds each one.
     *
     * SINGLE SOURCE OF TRUTH: WordCountSpec asserts
     * `queries.keySet -- oracleSql.keySet === rowsOnly`, so registering a
@@ -55,9 +55,10 @@ object SparkEntry {
     * until it is either given SQL or documented here.
     */
   val rowsOnly: Set[String] = Set(
+    // dedup_simhash / dedup_simhash_pairs left this set in r20: the
+    // fingerprint hash moved to the md5 primitive both engines share,
+    // so both now carry full hash oracles (Dedup.dedupSimhashSql).
     "dedup_components_lsh", // ComponentsLshRecallSpec: co-membership recall >= 0.95 vs exact
-    "dedup_simhash",        // SimhashPairsSpec + OperatorInvariantsSpec: pairs exactly brute-force Hamming<=3
-    "dedup_simhash_pairs",  // SimhashPairsSpec: pigeonhole-exact banding
     "dedup_sketch_sources", // SketchAccuracySpec: union estimate within 0.3 of exact Jaccard
     "ann_lsh_top1",         // AnnRecallSpec: recall@1 >= 0.9
     "ann_ivf_top1",         // AnnRecallSpec: recall@1 >= 0.9
@@ -67,8 +68,12 @@ object SparkEntry {
     "q_approx_percentiles", // GK sketch — ApproxDistinctSpec bound
     "text_heavy_hitters",   // Misra–Gries — superset+bound spec
     "maint_profile_approx", // ProfileApproxSpec: non-NDV cols exact, NDV in HLL++ bound, no Expand
-    "maint_sketch_rollup",  // DataSketches HLL — SketchRollupSpec bound + merge property
-    "wordcount_ptb")        // PtbTokenizerSpec golden (619685/21364)
+    "maint_sketch_rollup")  // DataSketches HLL — SketchRollupSpec bound + merge property
+    // wordcount_ptb also left this set in r20: the PTB chain is now
+    // EMITTED into DuckDB SQL from the same rule arrays the engine
+    // compiles (TokenizePtbFn.OracleTokensSql) — full hash oracle; the
+    // golden corpus run (PtbTokenizerSpec, 619685/21364) still pins the
+    // chain against the independent Python twin.
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

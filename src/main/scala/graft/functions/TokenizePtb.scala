@@ -49,39 +49,102 @@ object TokenizePtbFn {
   private def rule(p: String, r: String): (Pattern, String) = (Pattern.compile(p), r)
   private def rulei(p: String): Pattern = Pattern.compile(p, Pattern.CASE_INSENSITIVE)
 
-  /** The sed-chain, in published order. */
-  private val Chain: Array[(Pattern, String)] = Array(
+  /** The sed-chain, in published order, as RAW (pattern, replacement)
+    * string pairs: both the compiled Java chain below and the DuckDB
+    * oracle emitter ([[OracleTokensSql]]) are built from this one array,
+    * so the executable tokenizer and its SQL twin cannot drift (r20,
+    * VERDICT r19 task 3 — wordcount_ptb's rows-only → hash-oracle
+    * upgrade). Every pattern here is simultaneously valid Java regex and
+    * RE2 (the single lookahead lives in [[ContractionRules]] where the
+    * emitter rewrites it). */
+  private val ChainRules: Array[(String, String)] = Array(
     // starting quotes
-    rule("^\"", "``"),
-    rule("(``)", " $1 "),
-    rule("([ \\(\\[{<])(\"|'{2})", "$1 `` "),
+    "^\"" -> "``",
+    "(``)" -> " $1 ",
+    "([ \\(\\[{<])(\"|'{2})" -> "$1 `` ",
     // punctuation
-    rule("([:,])([^\\d])", " $1 $2"),
-    rule("([:,])$", " $1 "),
-    rule("\\.\\.\\.", " ... "),
-    rule("[;@#$%&]", " $0 "),
-    rule("([^.])(\\.)([\\]\\)}>\"']*)\\s*$", "$1 $2$3 "),
-    rule("[?!]", " $0 "),
-    rule("([^'])' ", "$1 ' "),
+    "([:,])([^\\d])" -> " $1 $2",
+    "([:,])$" -> " $1 ",
+    "\\.\\.\\." -> " ... ",
+    "[;@#$%&]" -> " $0 ",
+    "([^.])(\\.)([\\]\\)}>\"']*)\\s*$" -> "$1 $2$3 ",
+    "[?!]" -> " $0 ",
+    "([^'])' " -> "$1 ' ",
     // parens/brackets, double dash
-    rule("[\\]\\[\\(\\)\\{\\}<>]", " $0 "),
-    rule("--", " -- "))
+    "[\\]\\[\\(\\)\\{\\}<>]" -> " $0 ",
+    "--" -> " -- ")
 
-  private val Ending: Array[(Pattern, String)] = Array(
-    rule("\"", " '' "),
-    rule("(\\S)('')", "$1 $2 "),
-    rule("([^' ])('[sS]|'[mM]|'[dD]|') ", "$1 $2 "),
-    rule("([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", "$1 $2 "))
+  private val EndingRules: Array[(String, String)] = Array(
+    "\"" -> " '' ",
+    "(\\S)('')" -> "$1 $2 ",
+    "([^' ])('[sS]|'[mM]|'[dD]|') " -> "$1 $2 ",
+    "([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) " -> "$1 $2 ")
 
-  /** MacIntyre contraction specials (CONTRACTIONS2/3), case-insensitive. */
-  private val Contractions: Array[Pattern] = Array(
-    rulei("\\b(can)(not)\\b"), rulei("\\b(d)('ye)\\b"),
-    rulei("\\b(gim)(me)\\b"), rulei("\\b(gon)(na)\\b"),
-    rulei("\\b(got)(ta)\\b"), rulei("\\b(lem)(me)\\b"),
-    // NLTK's wanna rule looks ahead for `\s` (any whitespace, so a tab
-    // or FF also triggers the split), not a literal space
-    rulei("\\b(more)('n)\\b"), rulei("\\b(wan)(na)(?=\\s)"),
-    rulei(" ('t)(is)\\b"), rulei(" ('t)(was)\\b"))
+  /** MacIntyre contraction specials (CONTRACTIONS2/3), case-insensitive;
+    * shared replacement " $1 $2 ". NLTK's wanna rule looks ahead for
+    * `\s` (any whitespace, so a tab or FF also triggers the split), not
+    * a literal space. */
+  private val ContractionRules: Array[String] = Array(
+    "\\b(can)(not)\\b", "\\b(d)('ye)\\b",
+    "\\b(gim)(me)\\b", "\\b(gon)(na)\\b",
+    "\\b(got)(ta)\\b", "\\b(lem)(me)\\b",
+    "\\b(more)('n)\\b", "\\b(wan)(na)(?=\\s)",
+    " ('t)(is)\\b", " ('t)(was)\\b")
+
+  private val Chain: Array[(Pattern, String)] = ChainRules.map { case (p, r) => rule(p, r) }
+  private val Ending: Array[(Pattern, String)] = EndingRules.map { case (p, r) => rule(p, r) }
+  private val Contractions: Array[Pattern] = ContractionRules.map(rulei)
+
+  // ---- DuckDB oracle emitter ----------------------------------------------
+
+  /** `Character.isWhitespace` as an RE2 class — the FINAL token split in
+    * [[ptbLine]] uses the Java predicate (Unicode space separators plus
+    * the ASCII controls, minus non-breaking spaces), which is wider than
+    * the engine tokenizer's ASCII-only [[Text.WsChars]]. Spelling the
+    * full set keeps the oracle byte-faithful even on planted Unicode-
+    * whitespace fixtures (U+2028 inside a line, U+3000, ...). */
+  private val JavaWsClass: String =
+    "[ \\t\\n\\x0B\\f\\r\\x{001C}-\\x{001F}\\x{1680}\\x{2000}-\\x{2006}" +
+      "\\x{2008}-\\x{200A}\\x{2028}\\x{2029}\\x{205F}\\x{3000}]"
+
+  private def sqlQ(s: String): String = s.replace("'", "''")
+
+  /** Java `$n` replacement references → RE2 rewrite `\n`. */
+  private def re2Repl(r: String): String = r.replaceAll("\\$([0-9])", "\\\\$1")
+
+  /** The whole tokenizer contract — line split, 26-rule sed chain,
+    * whitespace split, strip/lower/filter — as ONE DuckDB SQL expression
+    * over a `text` column, emitted from the same rule arrays the Java
+    * implementation compiles. Two deliberate Java→RE2 transforms:
+    * the wanna lookahead `(?=\s)` (RE2 has no lookahead) CONSUMES the
+    * whitespace and re-emits it as `\3` — string-identical output, since
+    * the replacement already ends in a space; and `$n` → `\n` rewrite
+    * syntax. Everything else passes through verbatim: `\s`/`\S`/`\b`/`\d`
+    * are the same ASCII classes in both engines, and `$` anchors end of
+    * text, which per-LINE application makes equal to Java's per-line `$`.
+    */
+  val OracleTokensSql: String = {
+    var e = "l"
+    for ((p, r) <- ChainRules)
+      e = s"regexp_replace($e, '${sqlQ(p)}', '${sqlQ(re2Repl(r))}', 'g')"
+    e = s"' ' || $e || ' '"
+    for ((p, r) <- EndingRules)
+      e = s"regexp_replace($e, '${sqlQ(p)}', '${sqlQ(re2Repl(r))}', 'g')"
+    for (p <- ContractionRules) {
+      val (pat, rep) =
+        if (p.contains("(?=")) ("\\b(wan)(na)(\\s)", " \\1 \\2 \\3")
+        else (p, " \\1 \\2 ")
+      e = s"regexp_replace($e, '${sqlQ(pat)}', '${sqlQ(rep)}', 'gi')"
+    }
+    // Text.PunctClass is simultaneously Java-regex- and RE2-valid (the
+    // TokensOracleSql precedent) — same strip set as [[isPunct]].
+    val punct = Text.PunctClass
+    s"""list_filter(list_transform(
+       |  flatten(list_transform(string_split_regex(text, '\\r\\n|\\r|\\n'),
+       |    l -> string_split_regex($e, '$JavaWsClass+'))),
+       |  t -> lower(regexp_replace(regexp_replace(t, '^$punct+', ''), '$punct+$$', ''))),
+       |  t -> length(t) > 0)""".stripMargin
+  }
 
   /** The reference post-pass strips the same ASCII `string.punctuation`
     * set the engine tokenizer does — one shared definition. */

@@ -959,21 +959,40 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------------
 
-  /** 64-bit SimHash fingerprint per document: per-token xxhash64, each bit
+  /** SimHash fingerprint bit width. 60, not 64: the per-token hash is
+    * the top 15 hex chars of md5 (below), and 15 hex digits = 60 bits is
+    * the widest slice that stays positive in a signed BIGINT on BOTH
+    * engines — so the DuckDB oracle can rebuild the fingerprint
+    * bit-exactly with `('0x' || substr(md5(tok),1,15))::BIGINT`. SimHash
+    * quality depends only on bit-uniformity, not width-64; Hamming
+    * contrast at 60 bits is unchanged for the ≤3 radius the pair join
+    * uses (4×16-bit pigeonhole banks still cover bits 0..59). */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash fingerprint per document: per-token hash, each bit
     * votes ±1 weighted by occurrence, fingerprint bit k = sign of vote k.
-    * One explode + one aggregation — linear, shuffle on doc_id only. */
+    * One explode + one aggregation — linear, shuffle on doc_id only.
+    *
+    * The token hash is md5-derived (`conv(substr(md5(tok),1,15),16,10)`)
+    * rather than xxhash64: md5 is the one hash primitive Spark and
+    * DuckDB share bit-for-bit, which upgrades BOTH simhash queries from
+    * rows-only to full hash-oracle rows (VERDICT r19 task 3) — the same
+    * shared-primitive trick fmt_binary's byte-fingerprint oracle uses.
+    * Per-token md5 is ~2× xxhash64 on this tokenizer's short tokens and
+    * both expressions are codegen'd built-ins, so the hot path stays in
+    * WholeStageCodegen. */
   def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       // explode_outer: see dedupNearJaccard — avoids double tokenization
       .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("tok"))
       .filter(col("tok").isNotNull)
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { k =>
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until SimhashBits).map { k =>
       sum(when(shiftright(col("h"), k).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
         .as(s"v$k")
     }
     val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64)
+    val fp = (0 until SimhashBits)
       .map(k => when(col(s"v$k") > 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("doc_id"), fp.as("simhash"))
@@ -982,10 +1001,12 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashFingerprints(spark, dir)
 
-  /** Hamming-distance pairs via bank pigeonhole: split the 64-bit
-    * fingerprint into 4 16-bit banks; any pair at Hamming ≤ 3 shares at
-    * least one intact bank, so an equi-join on (bank_idx, bank_value)
-    * finds all of them without an all-pairs comparison. */
+  /** Hamming-distance pairs via bank pigeonhole: split the fingerprint
+    * long into 4 16-bit banks (the 60 live bits land in banks 0–3; bank
+    * 3's top nibble is constant-zero, which only makes its bucket join
+    * cheaper); any pair at Hamming ≤ 3 shares at least one intact bank,
+    * so an equi-join on (bank_idx, bank_value) finds all of them without
+    * an all-pairs comparison. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
     simhashPairsFrom(simhashFingerprints(spark, dir), maxHamming)
 
@@ -1212,6 +1233,49 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> ((s: SparkSession, d: String) => simhashPairs(s, d)))
 
+  /** [[simhashFingerprints]] mirrored in DuckDB — expressible at all
+    * because the per-token hash is the shared md5 primitive (see the
+    * method doc; VERDICT r19 task 3). Distinct-token counts come first
+    * (`hc`): the corpus vocabulary bounds them, so the 60 bit-vote rows
+    * expand over distinct tokens per doc, not token instances — the
+    * difference between ~1M and ~17M intermediate rows at sf0.1. */
+  private val SimhashFpCteSql: String =
+    s"""tok AS (
+      |  SELECT doc_id, unnest(${Text.TokensOracleSql}) AS t
+      |  FROM documents),
+      |hc AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h,
+      |         count(*) AS n
+      |  FROM tok GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN 1::BIGINT << k ELSE 0::BIGINT END)::BIGINT
+      |      AS simhash
+      |  FROM (
+      |    SELECT doc_id, k, sum(CASE WHEN (h >> k) & 1 = 1 THEN n ELSE -n END) AS v
+      |    FROM hc CROSS JOIN (SELECT unnest(range($SimhashBits)) AS k)
+      |    GROUP BY 1, 2)
+      |  GROUP BY doc_id)""".stripMargin
+
+  val dedupSimhashSql: String =
+    s"""WITH $SimhashFpCteSql
+      |SELECT doc_id, simhash FROM fp""".stripMargin
+
+  /** The pair oracle mirrors the engine's 4-bank pigeonhole join, NOT an
+    * all-pairs scan — the pigeonhole is EXACT for Hamming ≤ 3 (see
+    * [[simhashPairsFrom]]), so this is no weaker, and it keeps the sf1+
+    * full-battery oracle holds affordable where N² would not be. */
+  val dedupSimhashPairsSql: String =
+    s"""WITH $SimhashFpCteSql,
+      |bank AS (
+      |  SELECT doc_id, simhash, bk, (simhash >> (16 * bk)) & 65535 AS bval
+      |  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS bk))
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      |FROM bank a JOIN bank b
+      |  ON a.bk = b.bk AND a.bval = b.bval AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_decontaminate" -> dedupDecontaminateSql,
     "dedup_incremental" -> dedupIncrementalSql,
@@ -1224,8 +1288,11 @@ object Dedup {
     "dedup_chunks" -> dedupChunksSql,
     // LSH output provably equals the exact-Jaccard result on this corpus
     // (see dedupMinhashLsh doc) — same oracle.
-    "dedup_minhash_lsh" -> dedupNearJaccardSql)
-    // dedup_simhash / dedup_simhash_pairs: hash-family-dependent
-    // (xxhash64-derived fingerprints) — rows-only checks; SimhashPairsSpec
-    // hard-asserts the pair join's exactness on planted fingerprints.
+    "dedup_minhash_lsh" -> dedupNearJaccardSql,
+    // r20 (VERDICT r19 task 3): both simhash queries carry full hash
+    // oracles now that the fingerprint hash is the md5 primitive both
+    // engines share; SimhashPairsSpec additionally hard-asserts the pair
+    // join's pigeonhole exactness on planted fingerprints.
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql)
 }

@@ -701,7 +701,111 @@ object Events {
       |WHERE e.value > m.mean + 3.0 * m.sigma
       |   OR e.value < m.mean - 3.0 * m.sigma""".stripMargin
 
+  // ---- TPC-H Q4/Q12-shaped date-interval queries (r20, VERDICT r19 task 5) --
+
+  /** TPC-H Q4's SHAPE over the events table — the two Q-shapes the
+    * testdata's missing commit/receipt DATE columns kept out of the
+    * TPC-H battery (SURVEY.md "expressible" cut), closed here with a
+    * DERIVED commit deadline instead: every event is "due" by minute 45
+    * of its hour (`commit_ts = date_trunc(hour, ts) + 45min`), and an
+    * event past its deadline is a LATE arrival — ts vs a derived
+    * commit-ts, exactly Q4's `l_commitdate < l_receiptdate` interval
+    * test. Structure mirrors Q4 1:1: a date-window filter on the parent
+    * relation (distinct user-days ~ orders in a quarter), a correlated
+    * EXISTS against the event lines, and a group-count on the parent
+    * dimension. Spark decorrelates the EXISTS to a left-semi hash join —
+    * at 100 TB both sides partition on (day, user_id) and the parent is
+    * the distinct-reduced (small) side; no driver-side anchor, no
+    * cartesian. The child repeats the ts window explicitly: the day
+    * equality to a windowed parent already implies it, but Catalyst
+    * cannot infer that through date_format, and without it the child
+    * scan reads ALL of history at 100 TB (plan audited: both scans show
+    * the window in PushedFilters). */
+  def eventsQ4Shape(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("q4_events")
+    spark.sql(
+      """SELECT day, count(*) AS late_user_days
+        |FROM (SELECT DISTINCT date_format(ts, 'yyyy-MM-dd') AS day, user_id
+        |      FROM q4_events
+        |      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |        AND ts <  TIMESTAMP '2024-01-22 00:00:00') v
+        |WHERE EXISTS (
+        |  SELECT 1 FROM q4_events e
+        |  WHERE date_format(e.ts, 'yyyy-MM-dd') = v.day
+        |    AND e.user_id = v.user_id
+        |    AND e.ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND e.ts <  TIMESTAMP '2024-01-22 00:00:00'
+        |    AND e.ts > date_trunc('hour', e.ts) + INTERVAL 45 MINUTE)
+        |GROUP BY day""".stripMargin)
+  }
+
+  val eventsQ4ShapeSql: String =
+    """SELECT day, count(*) AS late_user_days
+      |FROM (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+      |      FROM events
+      |      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |        AND ts <  TIMESTAMP '2024-01-22 00:00:00') v
+      |WHERE EXISTS (
+      |  SELECT 1 FROM events e
+      |  WHERE strftime(e.ts, '%Y-%m-%d') = v.day
+      |    AND e.user_id = v.user_id
+      |    AND e.ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |    AND e.ts <  TIMESTAMP '2024-01-22 00:00:00'
+      |    AND e.ts > date_trunc('hour', e.ts) + INTERVAL 45 MINUTE)
+      |GROUP BY day""".stripMargin
+
+  /** TPC-H Q12's SHAPE over events: the two-branch CASE aggregation
+    * behind a chained date-interval predicate
+    * (`ship < commit AND commit < receipt AND receipt IN window`), with
+    * the ship/commit/receipt timestamps DERIVED deterministically from
+    * the row (`commit = ts + (event_id mod 48)h`,
+    * `receipt = ts + (user_id mod 72)h`) since events carries no such
+    * columns — the derivation IS the point: both engines compute the
+    * same chain, so the oracle is a full hash check. The priority split
+    * (`user_id mod 5 < 2` ~ URGENT/HIGH) rides the CASE branches exactly
+    * like Q12's high/low line counts. One codegen'd scan + one shuffle
+    * on the 5-value group key; the filter reaches the scan. */
+  def eventsQ12Shape(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("commit_ts",
+        expr("timestampadd(HOUR, CAST(event_id % 48 AS INT), ts)"))
+      .withColumn("receipt_ts",
+        expr("timestampadd(HOUR, CAST(user_id % 72 AS INT), ts)"))
+      .filter(col("ts") < col("commit_ts") &&
+        col("commit_ts") < col("receipt_ts") &&
+        col("receipt_ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("receipt_ts") < lit("2024-02-01").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(pmod(col("user_id"), lit(5)) < 2, 1L).otherwise(0L))
+          .as("high_priority_count"),
+        sum(when(pmod(col("user_id"), lit(5)) < 2, 0L).otherwise(1L))
+          .as("low_priority_count"))
+
+  /** DuckDB %: remainder with the dividend's sign, same as Spark's `%`
+    * — but the Spark side uses pmod (always ≥ 0) for the PRIORITY split,
+    * so the oracle mirrors with ((user_id % 5) + 5) % 5; the interval
+    * derivations use plain % on both sides. */
+  val eventsQ12ShapeSql: String =
+    """WITH d AS (
+      |  SELECT event_type, user_id, ts,
+      |    ts + (event_id % 48) * INTERVAL 1 HOUR AS commit_ts,
+      |    ts + (user_id % 72) * INTERVAL 1 HOUR AS receipt_ts
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(sum(CASE WHEN ((user_id % 5) + 5) % 5 < 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS high_priority_count,
+      |  CAST(sum(CASE WHEN ((user_id % 5) + 5) % 5 < 2 THEN 0 ELSE 1 END) AS BIGINT)
+      |    AS low_priority_count
+      |FROM d
+      |WHERE ts < commit_ts AND commit_ts < receipt_ts
+      |  AND receipt_ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |  AND receipt_ts <  TIMESTAMP '2024-02-01 00:00:00'
+      |GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_q4_shape" -> (eventsQ4Shape _),
+    "events_q12_shape" -> (eventsQ12Shape _),
     "events_retention" -> (eventsRetention _),
     "events_wau" -> (eventsWau _),
     "events_transitions" -> (eventsTransitions _),
@@ -723,6 +827,8 @@ object Events {
     "events_daily_active" -> (eventsDailyActive _))
 
   val oracles: Map[String, String] = Map(
+    "events_q4_shape" -> eventsQ4ShapeSql,
+    "events_q12_shape" -> eventsQ12ShapeSql,
     "events_retention" -> eventsRetentionSql,
     "events_wau" -> eventsWauSql,
     "events_transitions" -> eventsTransitionsSql,

@@ -137,11 +137,12 @@ object WordCount {
   /** Word count under the reference-compat PTB tokenizer contract
     * ([[graft.functions.TokenizePtb]]) — what the reference's NLTK
     * pipeline would print for the same corpus (`don't` → `do` + `n't`,
-    * `cannot` → `can` + `not`, ...). Rows-only in the oracle gate (the
-    * 18-pass PTB chain has no DuckDB twin); pinned instead by
-    * PtbTokenizerSpec's golden corpus run — 619685 tokens / 21364
-    * distinct over the reference's own 8-book corpus — and canonical
-    * per-sentence examples.
+    * `cannot` → `can` + `not`, ...). Hash-checked in the oracle gate
+    * since r20 ([[wordcountPtbSql]] — the chain emitted into DuckDB SQL
+    * from the same rule data), AND pinned by PtbTokenizerSpec's golden
+    * corpus run — 619685 tokens / 21364 distinct over the reference's
+    * own 8-book corpus — plus canonical per-sentence examples against an
+    * independent Python twin (tools/ptb_golden.py).
     */
   def wordcountPtb(spark: SparkSession, dir: String): DataFrame =
     tokenCounts(Tables.documents(spark, dir), "text", Text.tokensPtb(_))
@@ -210,9 +211,20 @@ object WordCount {
     "wordcount_salted" -> (wordcountSalted _),
     "wordcount_ptb" -> (wordcountPtb _))
 
+  /** The PTB contract in DuckDB — the whole 26-rule chain emitted from
+    * the SAME rule arrays the Java expression compiles
+    * ([[graft.functions.TokenizePtbFn.OracleTokensSql]]), so the oracle
+    * and the engine cannot drift. r20 upgrade (VERDICT r19 task 3):
+    * wordcount_ptb was rows-only since r13. */
+  val wordcountPtbSql: String =
+    s"""WITH tok AS (SELECT unnest(${graft.functions.TokenizePtbFn.OracleTokensSql})
+      |               AS word FROM documents)
+      |SELECT word, count(*) AS cnt FROM tok GROUP BY word""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "wordcount" -> wordcountSql,
     "wordcount_bucketed" -> wordcountBucketedSql,
     // salting is aggregated away — the plain wordcount oracle applies
-    "wordcount_salted" -> wordcountSql)
+    "wordcount_salted" -> wordcountSql,
+    "wordcount_ptb" -> wordcountPtbSql)
 }

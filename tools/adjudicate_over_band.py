@@ -24,8 +24,9 @@ Usage:
       [--sf /root/testdata/sf0.1] [--repeat 3] [--out target/bench/adjudication_<ms>.json]
 
 Exit code 0 = clean, 2 = reproduced, 3 = nothing to adjudicate /
-artifact unparsable. The closing record in BASELINE.md §f should cite
-the emitted file.
+artifact unparsable / a flagged query ERRORED in the re-run (an
+errored query is unadjudicated, never 'clean' — ADVICE r19). The
+closing record in BASELINE.md §f should cite the emitted file.
 """
 import argparse
 import json
@@ -123,7 +124,17 @@ def main():
             best[base] = v
     after = rerun.get("over_band", {})
     reproduced = {n: after[n] for n in names if n in after}
-    verdict = "reproduced" if reproduced else "clean"
+    # A flagged query that ERRORED on every re-run pass (all values -1)
+    # has no best-of-passes and drops out of the rerun's over_band — a
+    # purely over_band-driven verdict would then print 'clean' for a
+    # query that never ran (ADVICE r19). Errors are recorded per-pass as
+    # "name#K"; strip the pass tag and treat any flagged name that
+    # errored or is missing from best as unadjudicated = not clean.
+    err_bases = {re.sub(r"#\d+$", "", e) for e in rerun.get("errors", [])}
+    unadjudicated = sorted(n for n in names
+                           if n not in best or n in err_bases)
+    verdict = ("reproduced" if reproduced
+               else "error" if unadjudicated else "clean")
     record = {
         "source_artifact": os.path.relpath(args.artifact, REPO)
             if os.path.isabs(args.artifact) else args.artifact,
@@ -134,6 +145,7 @@ def main():
         "best_of_passes": {n: best.get(n) for n in names},
         "over_band_after": after,
         "reproduced": reproduced,
+        "unadjudicated": unadjudicated,
         "verdict": verdict,
         "rule": "flag counts only if it survives isolated same-JVM REPEAT>=%d (best-of-passes > max(1.5x band median, 1s))" % args.repeat,
         "errors": rerun.get("errors", []),
@@ -144,10 +156,12 @@ def main():
         json.dump(record, f, indent=2, sort_keys=True)
     print(f"[adjudicate] verdict={verdict} -> {os.path.relpath(out, REPO)}")
     for n in names:
-        tag = f"REPRODUCED {after[n]}x" if n in after else "clean"
+        tag = (f"REPRODUCED {after[n]}x" if n in after
+               else "ERRORED in re-run (not clean)" if n in unadjudicated
+               else "clean")
         print(f"[adjudicate]   {n}: flagged {flagged[n]}x, re-run best "
               f"{best.get(n, float('nan')):.3f}s -> {tag}")
-    return 2 if reproduced else 0
+    return 2 if reproduced else 3 if unadjudicated else 0
 
 
 if __name__ == "__main__":

@@ -103,6 +103,16 @@ def main():
         print("NOTE  query_names.json missing (pre-r17 Verify output?) — "
               "crashed-query detection unavailable for this outDir",
               file=sys.stderr)
+    # A filtered run must never masquerade as a full-battery hold: print
+    # a loud subset banner up front and in the summary (ADVICE r19 —
+    # without it a saved "N pass, 0 fail" log reads like a full compare).
+    n_skipped = 0
+    if only is not None:
+        selected = [n for n in names if n in only]
+        n_skipped = len(names) - len(selected)
+        print(f"[subset] comparing {len(selected)} of {len(names)} result "
+              f"dirs (filter: {','.join(sorted(only))}) — NOT a "
+              "full-battery hold")
     for name in names:
         if only is not None and name not in only:
             continue
@@ -170,7 +180,10 @@ def main():
         else:
             print(f"PASS  {name}: rows={len(srows2)}")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    subset_note = (f" [subset: {n_skipped} dirs skipped by filter]"
+                   if n_skipped else "")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only"
+          f"{subset_note}")
     sys.exit(1 if n_fail else 0)
 
 
