@@ -19,6 +19,15 @@ package graft
   * the re-run band only — they are never reported as results, so a
   * stale entry can cause a wasted (or missed) re-run, never a wrong
   * number. BenchBandsSpec pins the map to the live query battery.
+  *
+  * r20 deltas (mini-trio at sf0.1, medians of 3 fresh-JVM runs —
+  * VERDICT r19 task 5 convention): events_q4_shape 1.324 and
+  * events_q12_shape 0.846 are NEW; dedup_simhash 1.086→1.043 and
+  * dedup_simhash_pairs 1.584→1.937 re-recorded after the fingerprint
+  * hash moved to the shared md5 primitive (the pairs join evaluates the
+  * fingerprint aggregation on both sides of its self-join, so the
+  * per-token hash delta lands twice there and not at all in the single-
+  * pass dedup_simhash — the measured price of the hash-oracle upgrade).
   */
 object BenchBands {
 
@@ -36,7 +45,7 @@ object BenchBands {
     "dedup_components_lsh" -> 4.239, "dedup_decontaminate" -> 0.537, "dedup_embedding_cosine" -> 1.158,
     "dedup_exact" -> 0.295, "dedup_fuzzy_names" -> 2.757, "dedup_incremental" -> 0.555,
     "dedup_minhash_lsh" -> 1.712, "dedup_near_jaccard" -> 0.090, "dedup_ngram_exact" -> 0.941,
-    "dedup_semantic" -> 1.201, "dedup_simhash" -> 1.086, "dedup_simhash_pairs" -> 1.584,
+    "dedup_semantic" -> 1.201, "dedup_simhash" -> 1.043, "dedup_simhash_pairs" -> 1.937,
     "dedup_sketch_sources" -> 0.827, "dedup_survivors" -> 0.228, "doc_mixture_weights" -> 0.433,
     "doc_pack_shards" -> 0.500, "doc_resample" -> 0.548, "doc_sample_per_source" -> 0.264,
     "doc_sample_split" -> 0.142, "doc_sample_stratified" -> 0.128, "doc_shuffle_shards" -> 0.872,
@@ -46,6 +55,7 @@ object BenchBands {
     "events_map_fns" -> 0.811, "events_outliers" -> 0.492, "events_pivot" -> 0.433,
     "events_resample" -> 1.850, "events_retention" -> 0.533, "events_sessions" -> 0.710,
     "events_sliding" -> 0.383, "events_transitions" -> 0.730, "events_variant" -> 0.657,
+    "events_q4_shape" -> 1.324, "events_q12_shape" -> 0.846,
     "events_wau" -> 0.734, "events_window_time_range" -> 0.595, "fmt_binary" -> 0.141,
     "fmt_csv_roundtrip" -> 0.551, "fmt_dynamic_overwrite" -> 1.476, "fmt_file_lineage" -> 0.569,
     "fmt_jdbc_roundtrip" -> 2.123, "fmt_json_corrupt" -> 0.442, "fmt_json_roundtrip" -> 0.609,

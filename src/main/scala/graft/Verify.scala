@@ -40,7 +40,15 @@ object Verify {
     scrubStale(outDir, attempted.keys)
     var failed = 0
     attempted.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce narrows the whole
+      // final stage to parallelism 1 when no exchange sits between the
+      // query's last operator and the write — at the sf10 oracle hold a
+      // join+filter tail (array_intersect verify, hours of work) ran in
+      // ONE task (r20, observed via jstack). repartition inserts a
+      // shuffle boundary so the query keeps its parallelism and only
+      // the single-file write is serial; row order is irrelevant — the
+      // oracle compare canonically sorts.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         // class name too: getMessage is null for bare NPEs and the like

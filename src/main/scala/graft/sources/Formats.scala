@@ -49,11 +49,36 @@ object Formats {
   }
 
   /** Scratch root for round-trip sinks: overridable via
-    * -Dgraft.scratch.dir, defaulting to the JVM temp dir — a hardcoded
-    * repo-absolute path would break any checkout elsewhere. */
+    * -Dgraft.scratch.dir, defaulting to a PER-PROCESS dir under the JVM
+    * temp dir (a hardcoded repo-absolute path would break any checkout
+    * elsewhere). Per-process since r20: scratch is a run-scoped cache —
+    * the in-JVM [[withScratchLock]] serializes writers only within one
+    * process, so a shared fixed root made two concurrent graft JVMs on
+    * the SAME dataset (two Verify batteries, sbt test beside a manual
+    * run) overwrite paths the other was lazily reading — the documented
+    * single-process footgun, now closed by default isolation instead of
+    * an operator rule. The explicit -D override keeps a fixed location
+    * available and re-inherits the one-JVM-per-root contract. A
+    * best-effort shutdown hook removes the default root (at sf10 a
+    * maintenance rewrite parks ~1 GB there; accumulating one dir per
+    * run would exhaust /tmp), exactly like Spark's own local-dir
+    * cleanup — an OOM-killed JVM leaves the dir for tmpwatch. */
+  private lazy val defaultScratchRoot: String = {
+    val root =
+      s"${sys.props("java.io.tmpdir")}/graft-fmt-${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(); ()
+      }
+      del(new java.io.File(root))
+    }))
+    root
+  }
+
   private[graft] def tmp(name: String, dir: String): String = {
-    val root = sys.props.getOrElse("graft.scratch.dir",
-      s"${sys.props("java.io.tmpdir")}/graft-fmt")
+    val root = sys.props.getOrElse("graft.scratch.dir", defaultScratchRoot)
     s"$root/${name}_${sanitize(dir)}"
   }
 

@@ -113,4 +113,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a Window here is the single-partition global running-sum " +
         s"scale-killer docPackShards exists to replace:\n$p")
   }
+
+  test("events_q4_shape: EXISTS decorrelates to a semi join, ts window pushed to BOTH scans") {
+    val p = plan("events_q4_shape")
+    assert(p.contains("LeftSemi"),
+      s"the correlated EXISTS must decorrelate to a left-semi join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"EXISTS fell back to an all-pairs join shape:\n$p")
+    // the child repeats the window explicitly (the operator doc's 100 TB
+    // point): BOTH event scans must carry it in PushedFilters
+    assert("GreaterThanOrEqual\\(ts,2024-01-08".r.findAllIn(p).length === 2,
+      s"the ts window must reach BOTH scans as a pushed filter — " +
+        s"without it the EXISTS side reads all of history:\n$p")
+  }
+
+  test("events_q12_shape: single scan, derived-interval filter, ONE exchange on the group key") {
+    val p = plan("events_q12_shape")
+    assert(shuffles(p) === 1,
+      s"q12 shape is scan→filter→partial agg→ONE exchange→final agg:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length === 2,
+      s"expected partial+final HashAggregate pair (both CASE sums must " +
+        s"combine map-side):\n$p")
+    assert(!p.contains("Sort ["), s"no sort in a hash aggregation:\n$p")
+    assert(!p.contains("Join"), s"q12 shape reads ONE table:\n$p")
+  }
 }

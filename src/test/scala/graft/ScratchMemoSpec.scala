@@ -68,4 +68,27 @@ class ScratchMemoSpec extends AnyFunSuite {
     Relational.qTpchQ15(spark, dir).count()
     assert(!Files.exists(q15Sentinel), "cleared q15 memo must re-materialize")
   }
+
+  test("default scratch root is per-process (r20 cross-JVM isolation) and stable in-JVM") {
+    // stable within the JVM: memo keys and lock keys both flow through
+    // tmp(), so a per-call root would split them (double-materialize)
+    val p1 = Formats.tmp("probe", "/tmp/ds_a")
+    assert(p1 === Formats.tmp("probe", "/tmp/ds_a"))
+    // Without -Dgraft.scratch.dir the root must carry THIS process's
+    // pid — the r20 default-isolation contract that lets two concurrent
+    // Verify JVMs share a dataset without sharing scratch (the chaos
+    // arm's precondition). sbt forks pin an explicit override
+    // (build.sbt: target/scratch), so the pid form is asserted on the
+    // DEFAULT-ROOT value directly, not on tmp()'s output here; the raw
+    // `java` launch paths (edge probe, chaos tool, the sf10 hold) run
+    // with no override and exercise it end-to-end.
+    sys.props.get("graft.scratch.dir") match {
+      case None =>
+        assert(p1.contains(s"graft-fmt-${ProcessHandle.current().pid()}"),
+          s"default scratch root must be pid-suffixed, got: $p1")
+      case Some(root) =>
+        assert(p1.startsWith(root),
+          s"explicit -Dgraft.scratch.dir must win, got: $p1")
+    }
+  }
 }

@@ -508,6 +508,23 @@ def main():
     run_epoch_guard_pass(tbls)
     # pass 4: the INVERTED stale-result-dir arm (expected loud failure)
     run_stale_dir_pass(tbls)
+    # pass 5 (r20, VERDICT r19 task 4): two SIMULTANEOUS full batteries
+    # over the degenerate fixture — the concurrent-Verify contract
+    # (scratch isolation, memo rebuild races, marker lifecycle) proven
+    # on the nastiest data the sequential passes already pin. Delegates
+    # to the dedicated chaos tool so the launch/check recipe exists once.
+    r = subprocess.run(
+        [sys.executable, f"{ROOT}/tools/chaos_concurrent_verify.py",
+         "--sf", f"{SCRATCH}/data", "--scratch-mode", "default",
+         "--cpus", "8"],
+        capture_output=True, text=True)
+    print(r.stdout, end="")
+    if r.returncode != 0:
+        print(r.stderr[-3000:], file=sys.stderr)
+        sys.exit("CONCURRENT ARM FAILED: two simultaneous Verify batteries "
+                 "over the degenerate fixture did not both finish green")
+    print("[concurrent] two simultaneous batteries green "
+          "(scratch/memo/marker contracts hold under contention)")
     print("edge probe OK: FULL battery, engine == DuckDB oracle on the "
           "degenerate fixture (NULL keys/measures, orphan FKs, empty+unicode "
           "strings, zero-token/NULL docs, NULL/mistyped props, NULL/zero-norm "
