@@ -55,10 +55,11 @@ object SparkEntry {
     * until it is either given SQL or documented here.
     */
   val rowsOnly: Set[String] = Set(
-    // dedup_simhash / dedup_simhash_pairs left this set in r20: the
-    // fingerprint hash moved to the md5 primitive both engines share,
-    // so both now carry full hash oracles (Dedup.dedupSimhashSql).
-    "dedup_components_lsh", // ComponentsLshRecallSpec: co-membership recall >= 0.95 vs exact
+    // dedup_simhash / dedup_simhash_pairs left this set in r20 (md5
+    // fingerprint hash — the primitive both engines share); so did
+    // dedup_components_lsh (its edges ARE dedup_minhash_lsh's pair set,
+    // which hash-matches the exact pairs, so the exact components
+    // oracle applies — Dedup.oracles for both derivations).
     "dedup_sketch_sources", // SketchAccuracySpec: union estimate within 0.3 of exact Jaccard
     "ann_lsh_top1",         // AnnRecallSpec: recall@1 >= 0.9
     "ann_ivf_top1",         // AnnRecallSpec: recall@1 >= 0.9

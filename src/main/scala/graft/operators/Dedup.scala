@@ -362,6 +362,7 @@ object Dedup {
   def clearScratchMemos(): Unit = {
     pairsMaterialized.clear()
     componentsMaterialized.clear()
+    simhashFpMaterialized.clear()
   }
 
   /** Per-dataset variant: drops only `dir`'s memo entries, leaving other
@@ -372,6 +373,7 @@ object Dedup {
     val key = graft.sources.Formats.canonicalDir(dir)
     pairsMaterialized.remove(key)
     componentsMaterialized.remove(key)
+    simhashFpMaterialized.remove(key)
     ()
   }
 
@@ -998,8 +1000,30 @@ object Dedup {
     agg.select(col("doc_id"), fp.as("simhash"))
   }
 
+  /** Dataset dirs whose SimHash fingerprints this JVM has materialized
+    * at `Formats.tmp("dedup_simhash_fp", dir)` — same per-dataset
+    * pipeline-artifact reasoning as [[pairsMaterialized]]: the
+    * fingerprint aggregation (tokenize + 60 bit-vote sums, one corpus
+    * scan) is consumed by BOTH the fingerprint query and both sides of
+    * the pair join's self-join, where Spark plans it twice (no exchange
+    * reuse across the broadcast/probe split — PLANS.md). Materializing
+    * pays it once per (JVM, dataset); parquet round-trips the
+    * (long, long) rows exactly, so the read-back is hash-identical. */
+  private val simhashFpMaterialized =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** [[simhashFingerprints]] as the per-dataset materialized artifact. */
+  def simhashFps(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.sources.Formats.tmp("dedup_simhash_fp", dir)
+    simhashFpMaterialized.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), { _ =>
+      simhashFingerprints(spark, dir).write.mode("overwrite").parquet(out)
+      java.lang.Boolean.TRUE
+    })
+    spark.read.parquet(out)
+  }
+
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashFingerprints(spark, dir)
+    simhashFps(spark, dir)
 
   /** Hamming-distance pairs via bank pigeonhole: split the fingerprint
     * long into 4 16-bit banks (the 60 live bits land in banks 0–3; bank
@@ -1008,7 +1032,7 @@ object Dedup {
     * so an equi-join on (bank_idx, bank_value) finds all of them without
     * an all-pairs comparison. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame =
-    simhashPairsFrom(simhashFingerprints(spark, dir), maxHamming)
+    simhashPairsFrom(simhashFps(spark, dir), maxHamming)
 
   /** The pigeonhole pair join over an explicit `(doc_id, simhash)`
     * relation — split out so SimhashPairsSpec can plant fingerprints at
@@ -1289,6 +1313,14 @@ object Dedup {
     // LSH output provably equals the exact-Jaccard result on this corpus
     // (see dedupMinhashLsh doc) — same oracle.
     "dedup_minhash_lsh" -> dedupNearJaccardSql,
+    // r20 second shrink: dedupComponentsLsh seeds its fixpoint from
+    // dedupMinhashLsh's pair set — the very relation the oracle above
+    // hash-matches to the exact pairs at sf0.01/0.1/1 — and min-label
+    // components are a deterministic function of the edge set, so the
+    // exact components oracle applies verbatim. ComponentsLshRecallSpec
+    // keeps the ≥0.95 co-membership floor as the corpus-independent
+    // bound for corpora where LSH recall is genuinely < 1.
+    "dedup_components_lsh" -> dedupComponentsSql,
     // r20 (VERDICT r19 task 3): both simhash queries carry full hash
     // oracles now that the fingerprint hash is the md5 primitive both
     // engines share; SimhashPairsSpec additionally hard-asserts the pair
