@@ -99,10 +99,30 @@ object Dedup {
     * pushed back through the exchange and re-inlines the whole shingle
     * expression into the scan; empty sets are harmless downstream
     * (explode emits no rows, and empty docs can never become candidates).
+    *
+    * ONE CANONICAL EXCHANGE SHAPE (r21, guide §2.4 "remove shuffles
+    * outright"): every consumer in a query — the banded-LSH signature
+    * path, the capped inverted index, the hot-shingle df aggregation —
+    * must see an IDENTICAL `Exchange(hashpartitioning(doc_id))` subtree,
+    * because runtime exchange reuse dedupes by canonical plan equality:
+    * one shuffle write then serves all of them and the corpus pays the
+    * tokenize+shingle pipeline ONCE per query. Before r21 the three
+    * paths diverged (sz pruned on one, a pushed size(sh)>0 scan filter
+    * on another, a missing isnotnull(doc_id) on the third) and
+    * dedup_minhash_lsh's plan carried THREE full shingle passes
+    * (plans/r21/dedup_minhash_lsh_before.txt, scans 1/18/25). Hence:
+    *  - `sz` is computed ABOVE the exchange (an O(1) array-header read;
+    *    consumers that prune it leave the exchange untouched);
+    *  - `doc_id IS NOT NULL` is filtered BELOW the exchange for every
+    *    consumer, so join-key constraint inference upstream has nothing
+    *    new to push down (the oracle tok CTE carries the same filter —
+    *    doc_id is the corpus key and a NULL-keyed row cannot join,
+    *    cluster, or survive anywhere in this family).
     */
   private[operators] def shingleSets(spark: SparkSession, dir: String,
       n: Int = ShingleN): DataFrame =
     Tables.documents(spark, dir)
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), Text.tokens(col("text")).as("t"))
       // coalesce makes `sh` (and so `sz`) non-nullable in the plan: with a
       // nullable sz, the final jaccard filter's constraint propagation
@@ -112,8 +132,8 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(array_distinct(Text.shingles(col("t"), n)),
           array().cast("array<string>")).as("sh"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
       .repartition(col("doc_id"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
 
   // ---- exact dedup --------------------------------------------------------
 
@@ -260,7 +280,7 @@ object Dedup {
   private val ShingleCtesSql: String =
     s"""tok AS (
       |  SELECT doc_id, ${Text.TokensOracleSql} AS w
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |sh AS (
       |  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |                                FOR i IN range(1, len(w) - 1)]) AS s
@@ -415,8 +435,19 @@ object Dedup {
     * (banded-LSH candidate pairs — the 100 TB edge source). */
   private def computeComponentLabels(
       spark: SparkSession, pairs: DataFrame, out: String): Int = {
+    // Symmetrize by EXPLODING each pair into both directions, not by
+    // union(pairs, pairs.reversed): a union evaluates the pair plan
+    // TWICE — for the LSH caller that is the whole banded candidate
+    // join + capped-Jaccard verify run a second time for the reversed
+    // arm (exchange reuse shares the shuffle writes but every
+    // post-exchange join/verify stage re-executes). The explode runs
+    // the pair source once and emits two rows per pair in the same
+    // task (guide §2.3: one pass, half the work, identical edge set).
     val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
+      .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
       .persist()
     try {
       // Materialize the pair source (for the exact path, the scratch
@@ -762,7 +793,7 @@ object Dedup {
   val dedupNgramExactSql: String =
     s"""WITH tok AS (
       |  SELECT doc_id, ${Text.TokensOracleSql} AS w
-      |  FROM documents),
+      |  FROM documents WHERE doc_id IS NOT NULL),
       |g AS (
       |  SELECT doc_id, list_distinct(
       |    [array_to_string(w[i:i+${NgramExactN - 1}], ' ')
@@ -863,8 +894,12 @@ object Dedup {
     */
   private def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
     MinHash.register(spark)
+    // `sz` kept alongside the signature (r21): band-key consumers gate on
+    // it in-projection (see dedupMinhashLsh), and carrying it costs
+    // nothing — it is computed above shingleSets' exchange, so consumers
+    // that prune it leave the canonical exchange shape untouched.
     shingleSets(spark, dir)
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), col("sh"), col("sz"),
         call_function("minhash_sigs", col("sh"), lit(MinHashK)).as("mh"))
   }
 
@@ -903,17 +938,26 @@ object Dedup {
     // Long.MaxValue sentinels, so every empty doc collides with every
     // other in all 16 bands — C(m,2) candidate rows for m short/empty
     // docs, all destined to be dropped (no capped-set row) after the
-    // join paid for them. The filter removes that class exactly; docs
-    // WITH shingles are untouched. (The other all-dropped class — an
-    // exact-dup cluster larger than MaxShingleDf, every shingle hot —
-    // keeps its real signatures and still bands; that C(k,2) candidate
-    // cost is the documented capped-pairwise residual, the regime
-    // assigned to dedupChunks and pinned by HotShingleCapSpec.)
-    val sigs = minhashSigs(spark, dir).filter(size(col("sh")) > 0)
-    val bands = sigs.select(col("doc_id"),
+    // join paid for them. The drop is expressed as a NULLED BAND KEY
+    // (`when(sz > 0, ...)` inside the band projection), not a Filter:
+    // a `filter(size(sh) > 0)` here is deterministic, so Catalyst
+    // pushes it through shingleSets' exchange into the parquet scan —
+    // re-inlining the whole tokenize+shingle pipeline as a per-row scan
+    // filter AND breaking exchange reuse with the capped-index/hot-df
+    // paths (3 corpus passes instead of 1 — the r21 before-plan). A
+    // NULL key can never satisfy the inner equi-join, so empty docs
+    // contribute zero candidates exactly as the filter form did; their
+    // 16 null-keyed band rows crossing the exchange are the entire
+    // cost. (The other all-dropped class — an exact-dup cluster larger
+    // than MaxShingleDf, every shingle hot — keeps its real signatures
+    // and still bands; that C(k,2) candidate cost is the documented
+    // capped-pairwise residual, the regime assigned to dedupChunks and
+    // pinned by HotShingleCapSpec.)
+    val bands = minhashSigs(spark, dir).select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(MinHashK / BandRows - 1)),
-        b => xxhash64(element_at(col("mh"), b * BandRows + 1),
-          element_at(col("mh"), b * BandRows + 2)))).as(Seq("band", "bkey")))
+        b => when(col("sz") > 0,
+          xxhash64(element_at(col("mh"), b * BandRows + 1),
+            element_at(col("mh"), b * BandRows + 2))))).as(Seq("band", "bkey")))
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
@@ -1159,8 +1203,22 @@ object Dedup {
     * equals the definitional cross-join set exactly.
     */
   def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    // Generate barrier above the distinct (r21, guide §2.4): the four
+    // consumers below (both deletion-join sides, both insertion-join
+    // sides) each push DIFFERENT inferred/explicit filters (length > 0,
+    // isnotnull from their join keys) down toward the scan; without the
+    // barrier those filters land in four DIFFERENT scan subtrees and
+    // runtime exchange reuse sees four distinct plans — the customer
+    // scan + name-distinct ran 4× (plans/r21/dedup_fuzzy_names_before
+    // .txt, scans 1/10/22/28). Filters on the generator OUTPUT cannot
+    // cross a Generate, so below the barrier all four subplans are
+    // canonically identical and the distinct's exchange materializes
+    // once. The struct-explode emits exactly one row per name — pure
+    // plan mechanics, zero semantic content.
     val names = Tables.customer(spark, dir)
       .select(col("c_name").as("name")).distinct()
+      .select(explode_outer(array(struct(col("name")))).as("g"))
+      .select(col("g.name").as("name"))
     // the empty string has NO deletions — but Spark's sequence(1, 0) is
     // DESCENDING [1, 0], which would manufacture two bogus (pos, k="")
     // rows for a zero-length name and the insertions join would then

@@ -428,10 +428,31 @@ object Similarity {
     * quantized cosine, keep the top-1 neighbour per vector. Approximate
     * by construction (rows-only check — no SQL oracle for the hash
     * family), but the plan shape is the one that survives 100 TB:
-    * bucket equi-join, no cross join. */
+    * bucket equi-join, no cross join.
+    *
+    * Quantization and buckets in ONE projection (r21, guide §2.4): the
+    * old form computed the buckets in a SEPARATE embeddings scan
+    * ([[lshBuckets]]) and equi-joined it back on vec_id — a second full
+    * corpus scan plus a join whose only job was reattaching rows to
+    * themselves. Both are per-row functions of the same embedding, so
+    * one scan computes (qe, nsq, table, bucket) directly; candidates,
+    * sims and the top-1 are row-identical (the old inner join dropped
+    * NULL-embedding/zero-norm bucket rows anyway, exactly what the
+    * in-line quant filters drop here). [[lshBuckets]] itself stays for
+    * bucket-level consumers (OperatorInvariantsSpec pins its shape). */
   def annLshTop1(spark: SparkSession, dir: String): DataFrame = {
-    val withB = quantized(spark, dir)
-      .join(lshBuckets(spark, dir), "vec_id")
+    DotProduct.register(spark)
+    val dim = embeddingDim(spark, dir)
+    val withB = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quant(col("embedding")).as("qe"),
+        transform(col("embedding"), x => x.cast("double")).as("xd"))
+      .select(col("vec_id"), col("qe"), normSqL(col("qe")).as("nsq"), col("xd"))
+      .filter(col("nsq") > 0)
+      .select(col("vec_id"), col("qe"), col("nsq"),
+        posexplode(call_function("lsh_buckets",
+          col("xd"), lit(dim), lit(NumTables), lit(NumPlanes)))
+          .as(Seq("table", "bucket")))
       .repartition(col("vec_id"))
     val pairs = withB.alias("a")
       .join(withB.alias("b"),

@@ -289,8 +289,7 @@ object TextAnalysis {
     * the per-doc bigram instances; the per-doc score is then an exact
     * decimal sum divided by the bigram count — order-independent. Pair
     * extraction is the zip-of-slices projection (no shuffle, no
-    * window); scoring shuffles bigram instances once on the pair key.
-    */
+    * window); scoring shuffles bigram instances once on the pair key. */
   def textLmScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = Text.tokens(col("text"))
     val n = size(toks)
@@ -305,9 +304,21 @@ object TextAnalysis {
       .filter(col("p").isNotNull)
       .select(col("doc_id"),
         col("p").getField("0").as("w1"), col("p").getField("1").as("w2"))
+    // Vocabulary derived from the TYPE table (r21, guide §2.3): c12
+    // holds every distinct (w1, w2) by construction, so countDistinct
+    // (w2) over c12 ≡ countDistinct(w2) over the instances — same value,
+    // but the old form re-ran the whole tokenize+zip+explode corpus pass
+    // just to count the vocabulary (3 passes; now 2). A full
+    // per-(doc, bigram) pre-aggregation was TRIED and REVERTED here
+    // (r21): on this corpus bigram types per doc ≈ instances (bounded
+    // vocab), so the (doc_id, w1, w2) exchange it needs costs more than
+    // the tokenize pass it saves — measured 2.4 s vs the 1.16 s band,
+    // while this form measures at/below band. The instance-side joins
+    // below exchange almost nothing (lp broadcasts; the final per-doc
+    // agg partially aggregates map-side).
     val c12 = docPairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = docPairs.agg(countDistinct(col("w2")).as("v"))
+    val vocab = c12.agg(countDistinct(col("w2")).as("v"))
     val lp = c12.join(c1, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
@@ -422,7 +433,14 @@ object TextAnalysis {
       .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("word"))
       .filter(col("word").isNotNull)
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
+    // df DERIVED FROM tf (r21, guide §2.3 "aggregate before you shuffle"):
+    // tf's keys are exactly the distinct (doc_id, word) pairs, so
+    // count(*) per word over tf ≡ countDistinct(doc_id) over the exploded
+    // tokens — same value by construction, but the old form re-ran the
+    // whole tokenize+explode scan for the df aggregation (two corpus
+    // passes); this form re-reads tf's exchange (runtime exchange reuse)
+    // and shuffles one row per (doc, word) instead of one per token.
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val ndocs = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "word")
       .crossJoin(broadcast(ndocs))
@@ -877,11 +895,13 @@ object TextAnalysis {
 
   /** BM25 relevance of every matching document against a fixed query
     * term set — the retrieval-scoring shape (data curation by relevance,
-    * RAG corpus ranking). Plan: the exploded-token relation feeds THREE
-    * partial aggregations — per-doc length (all tokens), per-(doc,term)
-    * tf and per-term df (both FILTERED to the 3 query terms BEFORE the
-    * exchange, so the tf/df shuffles carry only matching tokens); avgdl
-    * and df-by-term are 1-row/3-row broadcasts. Like [[textTfidf]], the
+    * RAG corpus ranking). Plan (r21): ONE tokenize pass — per-doc facts
+    * (length via size(), per-term tf via the codegen'd count_in) are a
+    * pure projection over the token array, materialized behind a tiny
+    * (doc_id, dl, tf×3) exchange; corpus stats (n, per-term df, avgdl)
+    * are global aggregates over that exchange, broadcast back. Nothing
+    * token-shaped ever shuffles — the 100 TB form of "shuffle keys and
+    * metadata instead of payloads". Like [[textTfidf]], the
     * one transcendental (`ln` in idf) is fenced by rounding the final
     * score in the DECIMAL domain (6 dp) on both engines; the ratio
     * arithmetic before it is identical-operand double math, bit-equal
@@ -889,35 +909,84 @@ object TextAnalysis {
     * no rank cutoff, so no boundary-tie exposure at all.
     */
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    CountIn.register(spark)
     val docs = Tables.documents(spark, dir)
-    val toks = docs
-      .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("word"))
-      .filter(col("word").isNotNull)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val matched = toks.filter(col("word").isin(Bm25Terms: _*))
-    val tf = matched.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val dfreq = matched.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n"))
-    val avgdl = dl.agg((dsum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val scored = tf
-      .join(broadcast(dfreq), "word")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .crossJoin(broadcast(avgdl))
-      .select(col("doc_id"), col("word"),
-        (log(lit(1.0) + (col("n").cast("double") - col("df").cast("double") + lit(0.5))
-            / (col("df").cast("double") + lit(0.5)))
-          * (col("tf").cast("double") * lit(Bm25K1 + 1.0))
-          / (col("tf").cast("double")
+    // ONE tokenize pass (r21, guide §2.3/§8 "decide with small rows"): the
+    // old shape fed the exploded token stream into THREE aggregations
+    // (per-doc length, per-(doc,term) tf, per-term df), each a separate
+    // tokenize+explode corpus scan. The per-doc facts are computable as a
+    // pure projection over the token array — size() for dl, one codegen'd
+    // count_in per query term for tf — so the corpus is tokenized ONCE and
+    // everything downstream reads a (doc_id, dl, tf×3) row of five
+    // numbers behind one lightweight exchange (the repartition barrier is
+    // the same re-inlining defence as Dedup.shingleSets: without it every
+    // consumer re-inlines the tokenizer into its own scan).
+    //
+    // Equivalence to the exploded form, operand by operand (the score
+    // expression below is untouched): per-doc groupBy collapses duplicate
+    // doc_id rows exactly like the old toks.groupBy did; dl = sum of
+    // per-row token counts = count of exploded tokens; tf_t = sum of
+    // per-row occurrence counts = count of exploded word=t rows; a doc
+    // with NULL text has NULL counts (sum skips them — the old form had
+    // no rows for it); df_t = #agg-rows with tf_t > 0 = countDistinct
+    // (doc_id) over matched rows; avgdl's numerator/denominator restrict
+    // to dl > 0, the exact membership of the old per-doc-length table.
+    val perDoc = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("dl0"),
+        call_function("count_in", col("w"), typedlit(Seq(Bm25Terms(0)))).as("tf0"),
+        call_function("count_in", col("w"), typedlit(Seq(Bm25Terms(1)))).as("tf1"),
+        call_function("count_in", col("w"), typedlit(Seq(Bm25Terms(2)))).as("tf2"))
+      .repartition(col("doc_id"))
+    val agg = perDoc.groupBy("doc_id").agg(
+      sum(col("dl0")).as("dl"), sum(col("tf0")).as("tfa"),
+      sum(col("tf1")).as("tfb"), sum(col("tf2")).as("tfc"),
+      count(lit(1)).as("nr"))
+    // ONE global stats row over the SAME agg branch: n = Σ per-doc row
+    // counts = count(*) over documents; df_t = #docs with tf_t > 0 =
+    // countDistinct(doc_id) over matched tokens; avgdl restricted to
+    // dl > 0 — the old per-doc-length table's exact membership. Folding
+    // everything into one aggregate matters for plan reuse: BOTH
+    // consumers of `agg` then need the identical (doc_id, dl0, tf0..2)
+    // columns below the exchange (nr/count needs none), so the two
+    // exchange subtrees canonicalize equal and runtime exchange reuse
+    // leaves ONE tokenize pass (pinned by R21PlanOptimizationsSpec).
+    val stats = agg.agg(
+      sum(col("nr")).as("n"),
+      (dsum(when(col("dl") > 0, col("dl"))).cast("double")
+        / count(when(col("dl") > 0, lit(1)))).as("avgdl"),
+      count(when(col("tfa") > 0, lit(1))).as("dfa"),
+      count(when(col("tfb") > 0, lit(1))).as("dfb"),
+      count(when(col("tfc") > 0, lit(1))).as("dfc"))
+    // per-term score, identical operand expressions to the pre-r21
+    // exploded form; NULL (absent term) when tf is 0 or NULL
+    def score(tf: Column, df: Column): Column =
+      when(tf > 0,
+        (log(lit(1.0) + (col("n").cast("double") - df.cast("double") + lit(0.5))
+            / (df.cast("double") + lit(0.5)))
+          * (tf.cast("double") * lit(Bm25K1 + 1.0))
+          / (tf.cast("double")
             + lit(Bm25K1) * (lit(1.0 - Bm25B)
               + lit(Bm25B) * col("dl").cast("double") / col("avgdl"))))
-          .cast("decimal(18,6)").as("s"))
+          .cast("decimal(18,6)"))
     // each per-term score is rounded to DECIMAL(18,6) BEFORE the sum, so
-    // the final aggregate is exact decimal addition — order-independent,
-    // immune to FP summation-order divergence between engines
-    scored.groupBy("doc_id")
-      .agg(sum(col("s")).cast("double").as("bm25"),
-        count(lit(1)).as("n_terms"))
+    // the final addition is exact decimal arithmetic — order-independent,
+    // immune to FP summation-order divergence between engines (the same
+    // value the old per-row sum() aggregate produced, with no explode
+    // and no second exchange)
+    val zero = lit(0).cast("decimal(18,6)")
+    agg.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        score(col("tfa"), col("dfa")).as("sa"),
+        score(col("tfb"), col("dfb")).as("sb"),
+        score(col("tfc"), col("dfc")).as("sc"))
+      .select(col("doc_id"),
+        (coalesce(col("sa"), zero) + coalesce(col("sb"), zero)
+          + coalesce(col("sc"), zero)).cast("double").as("bm25"),
+        (when(col("sa").isNotNull, 1L).otherwise(0L)
+          + when(col("sb").isNotNull, 1L).otherwise(0L)
+          + when(col("sc").isNotNull, 1L).otherwise(0L)).as("n_terms"))
+      .filter(col("n_terms") > 0)
   }
 
   val textBm25Sql: String =
