@@ -443,28 +443,38 @@ object Dedup {
     // post-exchange join/verify stage re-executes). The explode runs
     // the pair source once and emits two rows per pair in the same
     // task (guide §2.3: one pass, half the work, identical edge set).
-    val edges = pairs
+    //
+    // Materialized to SCRATCH PARQUET, not persist() (r21): a cached
+    // plan executes WITHOUT adaptive execution (Spark keeps the cached
+    // subtree's partitioning stable —
+    // spark.sql.optimizer.canChangeCachedPlanOutputPartitioning
+    // defaults false), which silently turned off runtime exchange reuse
+    // and adaptive broadcasts for the whole edge build: the LSH
+    // caller's banded join re-paid the tokenize+shingle pass per
+    // consumer, measured ~1.5 s over the identical build through the
+    // noop sink at sf0.1. The scratch write runs under full AQE,
+    // materializes the pair source at the session's own shuffle
+    // partitioning BEFORE the 8-partition fixpoint window (letting
+    // round 1 trigger the corpus-scale join lazily inside that window
+    // would run it on 8 reducers), and is the production shape anyway —
+    // the edge list is a pipeline artifact, exactly like the labels it
+    // produces. Same per-dataset overwrite/invalidation contract as
+    // every Formats.tmp sink.
+    val edgesPath = out + "_edges"
+    pairs
       .select(explode(array(
         struct(col("doc_a"), col("doc_b")),
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-      .persist()
-    try {
-      // Materialize the pair source (for the exact path, the scratch
-      // pair artifact — a no-op when another consumer already paid it;
-      // for the LSH path, the banded candidate join) at the session's
-      // own shuffle partitioning BEFORE narrowing for the rounds:
-      // letting round 1 trigger the corpus-scale pair join lazily
-      // inside the 8-partition window would run that big join on 8
-      // reducers.
-      edges.count()
-      // The propagation rounds shuffle the LABEL table (one row per doc
-      // in any near-dup pair — orders of magnitude smaller than the
-      // corpus), so their shuffle partitioning is sized to that table:
-      // the same sized-to-key-space rule runToMemory applies to stateful
-      // streams. A deployment running components over billions of nodes
-      // would size this up again — the knob scales with |labels|.
-      Tables.withShufflePartitions(spark, 8) {
+      .write.mode("overwrite").parquet(edgesPath)
+    val edges = spark.read.parquet(edgesPath)
+    // The propagation rounds shuffle the LABEL table (one row per doc
+    // in any near-dup pair — orders of magnitude smaller than the
+    // corpus), so their shuffle partitioning is sized to that table:
+    // the same sized-to-key-space rule runToMemory applies to stateful
+    // streams. A deployment running components over billions of nodes
+    // would size this up again — the knob scales with |labels|.
+    Tables.withShufflePartitions(spark, 8) {
         var labels = edges.select(col("doc_a").as("node")).distinct()
           .select(col("node"), col("node").as("label"))
           .persist()
@@ -514,8 +524,7 @@ object Dedup {
             .write.mode("overwrite").parquet(out)
           rounds
         } finally labels.unpersist() // also covers a mid-loop failure
-      }
-    } finally edges.unpersist()
+    }
   }
 
   /** [[dedupComponents]] seeded from the BANDED-LSH candidate path
