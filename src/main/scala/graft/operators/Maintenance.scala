@@ -979,9 +979,24 @@ object Maintenance {
         .select(lit(name).as("rule"), col("n_violations"), col("n_checked"))
     val r1 = rule("lineitem_quantity_positive", li,
       col("l_quantity").isNull || col("l_quantity") <= 0)
-    val r2 = rule("events_user_id_present", events, col("user_id").isNull)
-    val r3 = rule("events_value_in_domain", events,
-      col("value").isNull || col("value") < 0)
+    // Both events rules in ONE scan (r21, guide §1.2 "don't compute
+    // things twice"): the per-rule helper would scan events once per
+    // rule; at 100 TB audit rules over the same table must share the
+    // pass. One aggregate computes both violation counts + the shared
+    // row count, then fans out to the two long-form rows — values
+    // identical to the per-rule form (same count(when) aggregates over
+    // the same rows).
+    val r23 = events.agg(
+      count(when(col("user_id").isNull, 1)).as("v2"),
+      count(when(col("value").isNull || col("value") < 0, 1)).as("v3"),
+      count(lit(1)).as("n"))
+      .select(explode(array(
+        struct(lit("events_user_id_present").as("rule"),
+          col("v2").as("n_violations"), col("n").as("n_checked")),
+        struct(lit("events_value_in_domain").as("rule"),
+          col("v3").as("n_violations"), col("n").as("n_checked")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_violations").as("n_violations"),
+        col("r.n_checked").as("n_checked"))
     val custKeys = customer.select(col("c_custkey").as("k")).distinct()
     val r4 = rule("orders_custkey_resolves",
       orders.join(broadcast(custKeys), col("o_custkey") === col("k"), "left"),
@@ -995,7 +1010,7 @@ object Maintenance {
     val r5 = rule("lineitem_orderkey_resolves",
       li.join(orderKeys, col("l_orderkey") === col("k"), "left"),
       col("k").isNull)
-    r1.union(r2).union(r3).union(r4).union(r5)
+    r1.union(r23).union(r4).union(r5)
   }
 
   val maintDqAuditSql: String =
