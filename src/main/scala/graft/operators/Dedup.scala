@@ -1252,7 +1252,23 @@ object Dedup {
       .join(del.as("b"), col("a.name") === col("b.k"))
       .select(least(col("a.name"), col("b.name")).as("name_a"),
         greatest(col("a.name"), col("b.name")).as("name_b"))
-    substitutions.union(insertions).distinct()
+    // distinct() scoped to the INSERTION arm only (r21, guide §2.4 —
+    // drop an exchange over the output bulk): the union's three dup
+    // vectors are (a) within substitutions — impossible: if deleting
+    // position i from both names matches AND deleting j≠i also matches,
+    // then a and b agree off-i and off-j, hence everywhere (each
+    // position is off one of them), contradicting the distinct-names
+    // input, so each substitution pair is emitted from EXACTLY one
+    // (k, pos); (b) across the arms — impossible: substitution pairs
+    // have equal lengths, insertion pairs differ by 1; (c) within
+    // insertions — real (deleting "aab" at pos 1 or 2 both yield "ab"),
+    // so that arm keeps its distinct, over the small cross-length set.
+    // The old whole-output distinct re-shuffled every result row of
+    // this output-bound query for (a) and (b), which hold structurally.
+    // FuzzyNamesSpec's brute-force property test asserts exact pair
+    // sets AND `got.length === expected.size` (no duplicates) on random
+    // vocabularies, so a regression here fails loud.
+    substitutions.union(insertions.distinct())
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
   }

@@ -922,21 +922,28 @@ object Maintenance {
     * averages are carried as sum+count and finished at read); decimal
     * domain keeps the merge order-independent. */
   def maintIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
-    val CutoffDay = "2024-01-25"
+    // The cutoff is stated in the ts DOMAIN (r21, guide §6): `day >=
+    // '2024-01-25'` over day = date_format(ts) is equivalent to
+    // `ts >= 2024-01-25T00:00Z` in the UTC session ('yyyy-MM-dd' string
+    // order IS date order), but the ts form PUSHES to the parquet scan
+    // (PushedFilters prunes row groups at scale) and drops the per-row
+    // date_format the string compare forced on BOTH branch scans — day
+    // itself was never used past the filter (the rollup keys on
+    // event_type), so nothing else changes.
+    val cutoffTs = lit("2024-01-25 00:00:00").cast("timestamp")
     val ev = Tables.events(spark, dir)
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
     val snapPath = Formats.tmp("maint_incr_snapshot", dir)
-    // day IS NULL (a NULL-ts refresh row) routes to the snapshot side:
+    // ts IS NULL (a NULL-ts refresh row) routes to the snapshot side:
     // both `< cutoff` and `>= cutoff` are three-valued NULL for it, so
     // without an explicit arm the row would vanish from BOTH partitions
     // — breaking merge-equals-full-recompute and diverging from the
     // oracle, which counts every events row
-    ev.filter(col("day") < CutoffDay || col("day").isNull)
+    ev.filter(col("ts") < cutoffTs || col("ts").isNull)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("val_sum"))
       .write.mode("overwrite").parquet(snapPath)
-    val delta = ev.filter(col("day") >= CutoffDay)
+    val delta = ev.filter(col("ts") >= cutoffTs)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("val_sum"))

@@ -226,17 +226,30 @@ object Similarity {
     */
   /** Rows per collected/broadcast block: bounds DRIVER memory by a
     * constant regardless of corpus size (the de-collect the r2 verdict
-    * demanded). 1024 rows × 64 dims × 8 B ≈ 0.5 MB per broadcast. */
-  val PairBlockRows = 1024
+    * demanded). 4096 rows × 64 dims × 8 B ≈ 2 MB per broadcast — still a
+    * corpus-independent constant, and 4× fewer blocks than the original
+    * 1024: each block is a full corpus pass plus a job + scratch-append
+    * commit, so fewer/larger blocks win at EVERY scale (guide §2.2's
+    * fewer-larger rule; the pair-comparison work itself is independent
+    * of the tiling). Measured r21: 2 blocks → 1 at sf0.1 took the query
+    * from 1.14 s to 0.73 s steady-state (ProbeR21b, ×2 query names). */
+  val PairBlockRows = 4096
 
-  def annPairsBruteforce(spark: SparkSession, dir: String): DataFrame = {
+  def annPairsBruteforce(spark: SparkSession, dir: String): DataFrame =
+    annPairsBruteforceBlocks(spark, dir, PairBlockRows)
+
+  /** [[annPairsBruteforce]] with the block size exposed — probe/spec
+    * surface for measuring the block-count trade-off without touching
+    * the declared query's constant. */
+  private[graft] def annPairsBruteforceBlocks(spark: SparkSession, dir: String,
+      blockRows: Int): DataFrame = {
     import spark.implicits._
     // cached so the per-block collects and the streamed scans all read the
     // quantize plan's one materialization (CacheManager dedupes by plan)
     val q = quantized(spark, dir).as[(Long, Array[Long], Long)].persist()
     try {
       val n = q.count()
-      val numBlocks = math.max(1L, (n + PairBlockRows - 1) / PairBlockRows)
+      val numBlocks = math.max(1L, (n + blockRows - 1) / blockRows)
       // Block membership is a multiplicative (Fibonacci) HASH of the id,
       // not `id % numBlocks`: residue classes are uniform only for dense
       // sequential ids — a refresh that re-keys vec_ids with a stride

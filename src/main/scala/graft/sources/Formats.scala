@@ -146,8 +146,27 @@ object Formats {
     val path = tmp("events_dynpart", dir)
     val ev = Tables.events(spark, dir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    ev.write.mode("overwrite").partitionBy("day").parquet(path)
-    val backfill = ev.filter(col("day") === "2024-01-05")
+    // repartition by the partition column before the partitioned write
+    // (guide §6's REBALANCE-before-write): each day's rows land in ONE
+    // task, so the write is (a) parallel across days instead of serial
+    // per input split and (b) exactly one file per day instead of
+    // (input splits × days) — the many-small-files pattern at scale.
+    // Distribution-only: row content, the day dirs, and the re-read
+    // aggregate are unchanged (r21: 1.02→0.84 s steady at sf0.1, where
+    // the single-split input previously wrote all ~60 day files from
+    // one task). A single giant day skews this to one task; production
+    // adds a salt bucket (day, pmod(xxhash64(key), k)) — not needed at
+    // bench scale and unmeasurable locally.
+    ev.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    // day == '2024-01-05'  ⟺  ts ∈ ['2024-01-05', '2024-01-06) in the
+    // UTC session (NULL ts excluded by both forms — date_format(NULL)
+    // is NULL ≠ the literal). The half-open ts range is the form the
+    // parquet scan can PUSH (PushedFilters prunes row groups); the
+    // derived date_format equality re-scanned the whole table.
+    val backfill = ev
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-06 00:00:00").cast("timestamp"))
       .withColumn("value", col("value") * 2.0)
     // per-WRITE option, not a session-conf window: it scopes dynamic
     // overwrite to exactly this write (DataFrameWriter options take
@@ -299,6 +318,10 @@ object Formats {
       withScratchLock(tmp("customer_jdbc_out", dir)) {
     val url = s"jdbc:derby:memory:graft_${sanitize(dir)};create=true"
     val props = new java.util.Properties()
+    // write-side batch size (default 1000): 10× fewer executeBatch
+    // cycles against embedded Derby — measured ~0.3 s at sf0.1 (r21,
+    // ProbeR21d batch10k vs base). Read path is unaffected.
+    props.setProperty("batchsize", "10000")
     val src = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
     // an empty customer table has a NULL max — any bounds plan fine
@@ -325,14 +348,21 @@ object Formats {
       .groupBy(col("c_nationkey").cast("long").as("nationkey"))
       .agg(count(lit(1)).as("n"),
         sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
-    // Materialize the (25-row) aggregate, then DROP the in-memory Derby
-    // DB: each memory:db otherwise lives until JVM exit holding a full
+    // Materialize the aggregate, then DROP the in-memory Derby DB: each
+    // memory:db otherwise lives until JVM exit holding a full
     // customer-table copy per dataset dir — a heap leak no harness
-    // check sees. The lazy JDBC read must be spent before the drop, so
-    // the result is parked in scratch parquet and re-read from there
-    // (the documented fmt_* invalidation contract covers the frame).
-    val out = tmp("customer_jdbc_out", dir)
-    agg.write.mode("overwrite").parquet(out)
+    // check sees. The lazy JDBC read must be spent before the drop;
+    // r21 (guide §1.2): the result is nation-bounded (≤ one row per
+    // c_nationkey value, 25 here — the same bounded-collect class as
+    // the one-row anchor above), so COLLECT it and return a local
+    // frame instead of the old park-to-scratch-parquet round-trip,
+    // whose write+re-read cost ~1 s at sf0.1 to move 25 rows
+    // (ProbeR21d/e: park_nodrop ≈ base, nopark ≈ base − 1.1 s). The
+    // JDBC read + aggregation still run distributed; only the final
+    // 25 rows touch the driver, at 100 TB exactly as here. A local
+    // frame also never goes stale — strictly safer than the fmt_*
+    // invalidation contract the parked copy leaned on.
+    val rows = agg.collectAsList()
     try {
       java.sql.DriverManager.getConnection(
         s"jdbc:derby:memory:graft_${sanitize(dir)};drop=true")
@@ -341,7 +371,7 @@ object Formats {
       // 08006 is Derby's SUCCESSFUL single-database shutdown signal
       case e: java.sql.SQLException if e.getSQLState == "08006" => ()
     }
-    spark.read.parquet(out)
+    spark.createDataFrame(rows, agg.schema)
   }
 
   val fmtJdbcRoundtripSql: String =
