@@ -1268,7 +1268,7 @@ object Dedup {
     // FuzzyNamesSpec's brute-force property test asserts exact pair
     // sets AND `got.length === expected.size` (no duplicates) on random
     // vocabularies, so a regression here fails loud.
-    substitutions.union(insertions.distinct())
+    substitutions.union(insertions).distinct()
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
   }
