@@ -1211,7 +1211,22 @@ object Dedup {
     * quadratic form — its hash match proves the blocked candidate set
     * equals the definitional cross-join set exactly.
     */
-  def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+  def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame =
+    // whole-output distinct SHIPPED (r22 A/B at sf1, 3 steady passes per
+    // arm interleaved in one JVM: whole-output 18.9/19.6/22.8 s vs
+    // scoped 23.7/24.7/26.1 s — the structural argument for scoping (one
+    // fewer output-bulk exchange) did not survive measurement; see
+    // OPTIMIZATION_r22.md §1 for the numbers and the reading)
+    dedupFuzzyNamesForm(spark, dir, scopedDistinct = false)
+
+  /** Both distinct placements, for the r22 sf1 A/B (ProbeR22a) — the r21
+    * record claimed the scoped form shipped while the snapshot carried
+    * the whole-output form; this knob is how the winner was measured.
+    * `scopedDistinct = true` dedups only the insertion arm (the one with
+    * real duplicates — see the proof in the comment below);
+    * `false` re-shuffles the whole output through one distinct. */
+  private[graft] def dedupFuzzyNamesForm(
+      spark: SparkSession, dir: String, scopedDistinct: Boolean): DataFrame = {
     // Generate barrier above the distinct (r21, guide §2.4): the four
     // consumers below (both deletion-join sides, both insertion-join
     // sides) each push DIFFERENT inferred/explicit filters (length > 0,
@@ -1252,23 +1267,28 @@ object Dedup {
       .join(del.as("b"), col("a.name") === col("b.k"))
       .select(least(col("a.name"), col("b.name")).as("name_a"),
         greatest(col("a.name"), col("b.name")).as("name_b"))
-    // distinct() scoped to the INSERTION arm only (r21, guide §2.4 —
-    // drop an exchange over the output bulk): the union's three dup
-    // vectors are (a) within substitutions — impossible: if deleting
-    // position i from both names matches AND deleting j≠i also matches,
-    // then a and b agree off-i and off-j, hence everywhere (each
-    // position is off one of them), contradicting the distinct-names
-    // input, so each substitution pair is emitted from EXACTLY one
-    // (k, pos); (b) across the arms — impossible: substitution pairs
-    // have equal lengths, insertion pairs differ by 1; (c) within
-    // insertions — real (deleting "aab" at pos 1 or 2 both yield "ab"),
-    // so that arm keeps its distinct, over the small cross-length set.
-    // The old whole-output distinct re-shuffled every result row of
-    // this output-bound query for (a) and (b), which hold structurally.
-    // FuzzyNamesSpec's brute-force property test asserts exact pair
-    // sets AND `got.length === expected.size` (no duplicates) on random
-    // vocabularies, so a regression here fails loud.
-    substitutions.union(insertions).distinct()
+    // The union's three dup vectors: (a) within substitutions —
+    // impossible: if deleting position i from both names matches AND
+    // deleting j≠i also matches, then a and b agree off-i and off-j,
+    // hence everywhere (each position is off one of them), contradicting
+    // the distinct-names input, so each substitution pair is emitted
+    // from EXACTLY one (k, pos); (b) across the arms — impossible:
+    // substitution pairs have equal lengths, insertion pairs differ
+    // by 1; (c) within insertions — real (deleting "aab" at pos 1 or 2
+    // both yield "ab"). So scoping the distinct to the insertion arm is
+    // VALID (both forms emit the same set — FuzzyNamesSpec's brute-force
+    // property test asserts exact pair sets AND no-duplicate cardinality
+    // on random vocabularies), but it is NOT faster: the sf1 A/B
+    // measured it ~20% SLOWER (scoped 23.7–26.1 s steady vs whole-output
+    // 18.9–22.8). The whole-output distinct partially aggregates
+    // map-side (duplicate pairs collapse before shuffling) while the
+    // scoped form adds a separate insertion-arm exchange and loses the
+    // shared-shape reuse between the two join arms.
+    // Numbers in OPTIMIZATION_r22.md §1.
+    val merged =
+      if (scopedDistinct) substitutions.union(insertions.distinct())
+      else substitutions.union(insertions).distinct()
+    merged
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b")).cast("long"))
   }

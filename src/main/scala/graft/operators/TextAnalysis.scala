@@ -427,7 +427,27 @@ object TextAnalysis {
     * WindowGroupLimit (bounded per-partition top-k, no full window
     * sort).
     */
-  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+  def textTfidf(spark: SparkSession, dir: String): DataFrame =
+    // countDistinct form SHIPPED — the r21 df-from-tf derivation is
+    // REVERTED on measurement (r22 A/B, 3 steady passes per arm
+    // interleaved in one JVM): countDistinct 0.80/0.85/0.98 s vs
+    // df-from-tf 0.94/1.02/1.12 at sf0.1, and 4.11/4.18/4.66 vs
+    // 4.23/4.51/5.05 at sf1 — the old form's second tokenize pass runs
+    // as an INDEPENDENT parallel branch (scan + one exchange), while
+    // df-from-tf serializes the df branch behind tf's exchange (read
+    // the whole tf shuffle output, re-shuffle by word) on the critical
+    // path. Reproduced at 10× scale growth, so not a small-SF artifact.
+    // OPTIMIZATION_r22.md §2.
+    textTfidfForm(spark, dir, dfFromTf = false)
+
+  /** Both df derivations, for the r22 receipt-or-revert A/B (ProbeR22a;
+    * VERDICT r21 flagged the df-from-tf form as the one touched query
+    * the driver measured slower, with no isolated receipt). `dfFromTf =
+    * true` is the r21 one-tokenize-pass form; `false` is the pre-r21
+    * countDistinct-over-tokens second corpus pass — the measured winner
+    * at BOTH sf0.1 and sf1 (see [[textTfidf]]). */
+  private[graft] def textTfidfForm(
+      spark: SparkSession, dir: String, dfFromTf: Boolean): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val toks = docs
       .select(col("doc_id"), explode_outer(Text.tokens(col("text"))).as("word"))
@@ -440,7 +460,9 @@ object TextAnalysis {
     // whole tokenize+explode scan for the df aggregation (two corpus
     // passes); this form re-reads tf's exchange (runtime exchange reuse)
     // and shuffles one row per (doc, word) instead of one per token.
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val dfreq =
+      if (dfFromTf) tf.groupBy("word").agg(count(lit(1)).as("df"))
+      else toks.groupBy("word").agg(countDistinct(col("doc_id")).as("df"))
     val ndocs = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "word")
       .crossJoin(broadcast(ndocs))

@@ -85,12 +85,35 @@ class R21PlanOptimizationsSpec extends AnyFunSuite {
       "multiple distinct tokenizing exchanges in text_bm25")
   }
 
-  test("text_lm_score + text_tfidf: the heavy Generate feeds ONE canonical exchange group each") {
-    Seq("text_lm_score", "text_tfidf").foreach { q =>
-      val groups = markedExchangeGroups(q, "graft_tokens")
-      assert(groups.size <= 1,
-        s"$q: tokenizing exchanges diverged into ${groups.size} canonical plans: $groups")
+  test("text_lm_score: the heavy Generate feeds ONE canonical exchange group") {
+    val groups = markedExchangeGroups("text_lm_score", "graft_tokens")
+    assert(groups.size <= 1,
+      s"text_lm_score: tokenizing exchanges diverged into ${groups.size} canonical plans: $groups")
+  }
+
+  test("text_tfidf: at most TWO tokenizing branches (tf + countDistinct df) — the r22-measured shape") {
+    // r22 REVERTED the r21 df-from-tf single-pass form: the two-branch
+    // countDistinct shape measured faster at sf0.1 AND sf1 (ProbeR22a;
+    // OPTIMIZATION_r22.md §2) because the second tokenize pass runs as
+    // an independent parallel branch instead of serializing behind tf's
+    // exchange. Pin the branch count at ≤ 2 so an accidental THIRD
+    // tokenize pass (the pre-r21 bug class) still fails loud. (At this
+    // fixture's single-partition scale the planner inserts no exchange
+    // at all — 0 groups — so the pin is an upper bound, not equality;
+    // the Generate count below is the scale-independent branch witness.)
+    val groups = markedExchangeGroups("text_tfidf", "graft_tokens")
+    assert(groups.size <= 2,
+      s"text_tfidf: expected at most the tf + df tokenizing branches (2 " +
+        s"canonical exchange groups), got ${groups.size}: $groups")
+    val plan = SparkEntry.queries("text_tfidf")(spark, dir)
+      .queryExecution.sparkPlan
+    val tokenizers = plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec
+          if g.generator.toString.contains("graft_tokens") => g
     }
+    assert(tokenizers.size === 2,
+      s"text_tfidf: expected exactly the tf + df tokenize Generates, " +
+        s"got ${tokenizers.size}")
   }
 
   test("ann_lsh_top1: quantization and buckets in one projection — embeddings-scanning exchanges canonicalize to one plan") {
