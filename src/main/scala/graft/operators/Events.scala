@@ -372,10 +372,40 @@ object Events {
     * linear and quadratic blow-up when user lifetimes are staggered at
     * scale.
     */
-  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(spark, dir)
-      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+  def eventsResample(spark: SparkSession, dir: String): DataFrame =
+    // two-scan partial-agg form SHIPPED — the r22 A/B measured the
+    // single-scan/one-exchange alternative and kept this one; numbers
+    // and the scale reading in OPTIMIZATION_r22.md (VERDICT r21 item 5).
+    eventsResampleForm(spark, dir, oneExchange = false)
+
+  /** Both plan shapes, for the r22 A/B (ProbeR22e; VERDICT r21 item 5 —
+    * the twice-deferred events_resample decision).
+    *
+    * `oneExchange = false` (shipped): hourly agg and grid bounds each
+    * scan events and partially aggregate BEFORE their exchange — two
+    * column-pruned scans, two small exchanges, hourly joined back by
+    * broadcast at bench scale; the window reuses the grid's user_id
+    * partitioning.
+    *
+    * `oneExchange = true`: ONE raw-events scan repartitioned by user_id
+    * once; the hourly agg, grid bounds, grid-hourly join and LOCF window
+    * all reuse that single exchange (subset partitioning satisfies every
+    * downstream ClusteredDistribution) — but every raw event row crosses
+    * the exchange unaggregated, trading map-side reduction for scan and
+    * exchange count. */
+  private[graft] def eventsResampleForm(
+      spark: SparkSession, dir: String, oneExchange: Boolean): DataFrame = {
+    val hourly =
+      if (oneExchange)
+        Tables.events(spark, dir)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("value"))
+          .repartition(col("user_id"))
+          .groupBy(col("user_id"), col("h"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+      else
+        Tables.events(spark, dir)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
     val grid = hourly
       .groupBy("user_id")
       .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
