@@ -420,8 +420,17 @@ object Dedup {
     // (sbt runs test suites in parallel in one JVM) — exactly one
     // fixpoint ever writes a given path
     componentsMaterialized.computeIfAbsent(graft.sources.Formats.canonicalDir(dir), { _ =>
+      // materializeEdges = false (r22): this caller's pair source is
+      // ALREADY the memoized nearDupPairs parquet artifact, so the
+      // fixpoint's per-round explode re-reads a tiny on-disk relation —
+      // the edge scratch write existed for the LSH caller, whose pair
+      // source is the live banded join (re-running THAT per round is
+      // the r21 pathology the write prevents). Measured at sf0.1
+      // (bench REPEAT=3, same warmup contract): steady 1.31–1.45 s
+      // before, see OPTIMIZATION_r22.md §5 for after.
       lastComponentsRounds = computeComponentLabels(spark,
-        nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b")), out)
+        nearDupPairs(spark, dir).select(col("doc_a"), col("doc_b")), out,
+        materializeEdges = false)
       java.lang.Boolean.TRUE
     })
     spark.read.parquet(out)
@@ -434,7 +443,8 @@ object Dedup {
     * pairs, once per (JVM, dataset)) and [[dedupComponentsLsh]]
     * (banded-LSH candidate pairs — the 100 TB edge source). */
   private def computeComponentLabels(
-      spark: SparkSession, pairs: DataFrame, out: String): Int = {
+      spark: SparkSession, pairs: DataFrame, out: String,
+      materializeEdges: Boolean = true): Int = {
     // Symmetrize by EXPLODING each pair into both directions, not by
     // union(pairs, pairs.reversed): a union evaluates the pair plan
     // TWICE — for the LSH caller that is the whole banded candidate
@@ -460,14 +470,28 @@ object Dedup {
     // the edge list is a pipeline artifact, exactly like the labels it
     // produces. Same per-dataset overwrite/invalidation contract as
     // every Formats.tmp sink.
-    val edgesPath = out + "_edges"
-    pairs
+    // materializeEdges = false (r22) skips the scratch write when the
+    // caller's pair source is ALREADY an on-disk parquet artifact (the
+    // exact-path nearDupPairs memo): the symmetrizing explode is narrow
+    // and each fixpoint round's re-evaluation is a tiny parquet re-read,
+    // so the write bought nothing there — one fewer commit-protocol job
+    // inside the timed region (bench REPEAT=3 receipt in
+    // OPTIMIZATION_r22.md §5). The LSH caller keeps the write: its pair
+    // source is the live banded join + verify, and re-running THAT per
+    // round (under the 8-partition fixpoint conf, without AQE exchange
+    // reuse) is the r21 pathology the scratch parquet exists to prevent.
+    val symmetrized = pairs
       .select(explode(array(
         struct(col("doc_a"), col("doc_b")),
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))).as("e"))
       .select(col("e.doc_a").as("doc_a"), col("e.doc_b").as("doc_b"))
-      .write.mode("overwrite").parquet(edgesPath)
-    val edges = spark.read.parquet(edgesPath)
+    val edges =
+      if (!materializeEdges) symmetrized
+      else {
+        val edgesPath = out + "_edges"
+        symmetrized.write.mode("overwrite").parquet(edgesPath)
+        spark.read.parquet(edgesPath)
+      }
     // The propagation rounds shuffle the LABEL table (one row per doc
     // in any near-dup pair — orders of magnitude smaller than the
     // corpus), so their shuffle partitioning is sized to that table:
