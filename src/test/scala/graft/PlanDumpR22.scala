@@ -42,6 +42,8 @@ object PlanDumpR22 {
           graft.operators.Dedup.dedupFuzzyNamesForm(spark, dir, scopedDistinct = false)
         case "dedup_fuzzy_names@scoped" =>
           graft.operators.Dedup.dedupFuzzyNamesForm(spark, dir, scopedDistinct = true)
+        case "events_resample@one_exchange" =>
+          graft.operators.Events.eventsResampleForm(spark, dir, oneExchange = true)
         case n =>
           SparkEntry.queries.getOrElse(n, sys.error(s"unknown query: $n"))(spark, dir)
       }
